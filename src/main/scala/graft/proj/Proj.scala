@@ -1,0 +1,363 @@
+package graft.proj
+
+import graft.core.{GeoMath, ProjErr, ProjError}
+
+/** Named-ellipsoid table (reference src/ellps.cpp:8-57). */
+object Ellipsoids {
+  // name -> (major-def, shape-def) exactly as in the reference table
+  val table: Map[String, (String, String)] = Map(
+    "MERIT" -> ("a=6378137.0", "rf=298.257"),
+    "SGS85" -> ("a=6378136.0", "rf=298.257"),
+    "GRS80" -> ("a=6378137.0", "rf=298.257222101"),
+    "IAU76" -> ("a=6378140.0", "rf=298.257"),
+    "airy" -> ("a=6377563.396", "rf=299.3249646"),
+    "APL4.9" -> ("a=6378137.0", "rf=298.25"),
+    "NWL9D" -> ("a=6378145.0", "rf=298.25"),
+    "mod_airy" -> ("a=6377340.189", "b=6356034.446"),
+    "andrae" -> ("a=6377104.43", "rf=300.0"),
+    "danish" -> ("a=6377019.2563", "rf=300.0"),
+    "aust_SA" -> ("a=6378160.0", "rf=298.25"),
+    "GRS67" -> ("a=6378160.0", "rf=298.2471674270"),
+    "GSK2011" -> ("a=6378136.5", "rf=298.2564151"),
+    "bessel" -> ("a=6377397.155", "rf=299.1528128"),
+    "bess_nam" -> ("a=6377483.865", "rf=299.1528128"),
+    "clrk66" -> ("a=6378206.4", "b=6356583.8"),
+    "clrk80" -> ("a=6378249.145", "rf=293.4663"),
+    "clrk80ign" -> ("a=6378249.2", "rf=293.4660212936269"),
+    "CPM" -> ("a=6375738.7", "rf=334.29"),
+    "delmbr" -> ("a=6376428.", "rf=311.5"),
+    "engelis" -> ("a=6378136.05", "rf=298.2566"),
+    "evrst30" -> ("a=6377276.345", "rf=300.8017"),
+    "evrst48" -> ("a=6377304.063", "rf=300.8017"),
+    "evrst56" -> ("a=6377301.243", "rf=300.8017"),
+    "evrst69" -> ("a=6377295.664", "rf=300.8017"),
+    "evrstSS" -> ("a=6377298.556", "rf=300.8017"),
+    "fschr60" -> ("a=6378166.", "rf=298.3"),
+    "fschr60m" -> ("a=6378155.", "rf=298.3"),
+    "fschr68" -> ("a=6378150.", "rf=298.3"),
+    "helmert" -> ("a=6378200.", "rf=298.3"),
+    "hough" -> ("a=6378270.0", "rf=297."),
+    "intl" -> ("a=6378388.0", "rf=297."),
+    "krass" -> ("a=6378245.0", "rf=298.3"),
+    "kaula" -> ("a=6378163.", "rf=298.24"),
+    "lerch" -> ("a=6378139.", "rf=298.257"),
+    "mprts" -> ("a=6397300.", "rf=191."),
+    "new_intl" -> ("a=6378157.5", "b=6356772.2"),
+    "plessis" -> ("a=6376523.", "b=6355863."),
+    "PZ90" -> ("a=6378136.0", "rf=298.25784"),
+    "SEasia" -> ("a=6378155.0", "b=6356773.3205"),
+    "walbeck" -> ("a=6376896.0", "b=6355834.8467"),
+    "WGS60" -> ("a=6378165.0", "rf=298.3"),
+    "WGS66" -> ("a=6378145.0", "rf=298.25"),
+    "WGS72" -> ("a=6378135.0", "rf=298.26"),
+    "WGS84" -> ("a=6378137.0", "rf=298.257223563"),
+    "sphere" -> ("a=6370997.0", "b=6370997.0")
+  )
+}
+
+/** A registered coordinate operation (the analogue of a PROJ_HEAD entry in
+  * reference src/pj_list.h + its constructor). The ctor runs the op's setup:
+  * reads params, precomputes constants, installs the kernel and IO-unit
+  * tags on P. It may throw ProjError. */
+final case class OpDef(name: String, needEllps: Boolean, isProjection: Boolean,
+                       ctor: PJ => Unit)
+
+/** Linear-unit table (reference src/units.cpp:12-45). */
+object Units {
+  val linear: Map[String, Double] = Map(
+    "km" -> 1000.0, "m" -> 1.0, "dm" -> 0.1, "cm" -> 0.01, "mm" -> 0.001,
+    "kmi" -> 1852.0, "in" -> 0.0254, "ft" -> 0.3048, "yd" -> 0.9144,
+    "mi" -> 1609.344, "fath" -> 1.8288, "ch" -> 20.1168, "link" -> 0.201168,
+    "us-in" -> 100 / 3937.0, "us-ft" -> 1200 / 3937.0, "us-yd" -> 3600 / 3937.0,
+    "us-ch" -> 79200 / 3937.0, "us-mi" -> 6336000 / 3937.0,
+    "ind-yd" -> 0.91439523, "ind-ft" -> 0.30479841, "ind-ch" -> 20.11669506
+  )
+  val angular: Map[String, Double] = Map(
+    "rad" -> 1.0, "deg" -> GeoMath.DEG2RAD, "grad" -> 0.015707963267948967
+  )
+
+  /** to_meter strings may be "x" or "x/y" ratios. */
+  def parseToMeter(s: String): Double = {
+    val slash = s.indexOf('/')
+    if (slash < 0) NumParse.atof(s)
+    else {
+      val num = NumParse.atof(s.substring(0, slash))
+      val den = NumParse.atof(s.substring(slash + 1))
+      if (den == 0.0 || den.isNaN) throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, s"bad to_meter $s")
+      num / den
+    }
+  }
+}
+
+/** Prime meridian table (reference src/datums.cpp pj_prime_meridians). */
+object PrimeMeridians {
+  val table: Map[String, String] = Map(
+    "greenwich" -> "0dE", "lisbon" -> "9d07'54.862\"W", "paris" -> "2d20'14.025\"E",
+    "bogota" -> "74d04'51.3\"W", "madrid" -> "3d41'16.58\"W", "rome" -> "12d27'8.4\"E",
+    "bern" -> "7d26'22.5\"E", "jakarta" -> "106d48'27.79\"E", "ferro" -> "17d40'W",
+    "brussels" -> "4d22'4.71\"E", "stockholm" -> "18d3'29.8\"E", "athens" -> "23d42'58.815\"E",
+    "oslo" -> "10d43'22.5\"E"
+  )
+}
+
+/** proj_create: proj-string → fully-bound PJ. Runs entirely on the driver
+  * (plan time); mirrors pj_init_ctx (reference src/init.cpp:436-713). */
+object Proj {
+
+  def create(projString: String): PJ = create(ParamList.parse(projString))
+
+  def create(params0: ParamList): PJ = {
+    val projName = params0.s("proj").getOrElse(
+      throw ProjError(ProjErr.INVALID_OP_MISSING_ARG, "missing proj= argument"))
+    if (projName.isEmpty)
+      throw ProjError(ProjErr.INVALID_OP_MISSING_ARG, "empty proj= argument")
+
+    val opDef = OpRegistry.byName.getOrElse(projName,
+      throw ProjError(ProjErr.INVALID_OP_WRONG_SYNTAX, s"unknown operation: $projName"))
+
+    // append default ellps=GRS80 unless inhibited (src/init.cpp append_default_ellipsoid_to_paralist)
+    val params = {
+      val inhibit = params0.has("no_defs") || projName == "pipeline" ||
+        params0.has("datum") || params0.has("ellps") || params0.has("a") ||
+        params0.has("b") || params0.has("rf") || params0.has("f") ||
+        params0.has("e") || params0.has("es")
+      if (inhibit) params0
+      else new ParamList(params0.entries :+ ("ellps" -> "GRS80"))
+    }
+
+    val P = new PJ(params, projName)
+    P.needEllps = opDef.needEllps
+
+    // --- ellipsoid (pj_ellipsoid, src/ell_set.cpp) ---
+    var ellpsOk = true
+    try setupEllipsoid(P)
+    catch {
+      case ProjError(ProjErr.INVALID_OP_MISSING_ARG, _) => ellpsOk = false
+      case e: ProjError => throw e
+    }
+    if (!ellpsOk) {
+      if (P.needEllps)
+        throw ProjError(ProjErr.INVALID_OP_MISSING_ARG, "must specify ellipsoid or sphere")
+      // free WGS84
+      P.f = 1.0 / 298.257223563
+      P.a = 6378137.0
+      P.es = P.f * (2 - P.f)
+      P.b = 0; P.e = 0
+      P.calcEllipsoidParams(P.a, P.es)
+    }
+    P.aOrig = P.a
+    P.esOrig = P.es
+
+    // --- common params (src/init.cpp:600-780) ---
+    P.geoc = P.es != 0.0 && params.b("geoc")
+    P.over = params.b("over")
+    P.isLongWrapSet = params.has("lon_wrap")
+    if (P.isLongWrapSet) {
+      P.longWrapCenter = params.r("lon_wrap")
+      if (!(math.abs(P.longWrapCenter) < 10 * GeoMath.TWOPI))
+        throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "invalid lon_wrap")
+    }
+    params.s("axis").foreach { ax =>
+      val legal = "ewnsud"
+      if (ax.length != 3 || !ax.forall(legal.contains(_)))
+        throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "invalid axis")
+      P.axis = ax
+    }
+    P.lam0 = params.r("lon_0")
+    P.phi0 = params.r("lat_0")
+    if (math.abs(P.phi0) > GeoMath.HALFPI)
+      throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "|lat_0| should be <= 90")
+    P.x0 = params.d("x_0")
+    P.y0 = params.d("y_0")
+    P.z0 = params.d("z_0")
+    P.t0 = params.d("t_0")
+    P.k0 =
+      if (params.has("k_0")) params.d("k_0")
+      else if (params.has("k")) params.d("k")
+      else 1.0
+    if (P.k0 <= 0.0)
+      throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "k/k_0 should be > 0")
+
+    // units
+    def resolveToMeter(unitKey: String, toMeterKey: String): Option[Double] = {
+      params.s(unitKey) match {
+        case Some(u) =>
+          Some(Units.linear.getOrElse(u,
+            throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, s"invalid $unitKey")))
+        case None => params.s(toMeterKey).map(Units.parseToMeter)
+      }
+    }
+    resolveToMeter("units", "to_meter") match {
+      case Some(tm) =>
+        if (tm <= 0.0) throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "invalid to_meter")
+        P.toMeter = tm; P.frMeter = 1 / tm
+      case None => P.toMeter = 1.0; P.frMeter = 1.0
+    }
+    resolveToMeter("vunits", "vto_meter") match {
+      case Some(tm) =>
+        if (tm <= 0.0) throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "invalid vto_meter")
+        P.vtoMeter = tm; P.vfrMeter = 1 / tm
+      case None => P.vtoMeter = P.toMeter; P.vfrMeter = P.frMeter
+    }
+
+    // prime meridian
+    params.s("pm").foreach { name =>
+      val vstr = PrimeMeridians.table.getOrElse(name, name)
+      val v = Dms.parse(vstr)
+      if (v.isNaN)
+        throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "invalid pm")
+      P.fromGreenwich = v
+    }
+
+    // --- default IO-unit tags for projections (PROJECTION macro,
+    //     src/proj_internal.h:881-883) ---
+    if (opDef.isProjection) {
+      P.left = IOUnits.RADIANS
+      P.right = IOUnits.CLASSIC
+    }
+
+    // --- op-specific setup ---
+    opDef.ctor(P)
+
+    // +axis sub-op (reference src/init.cpp end + fwd/inv finalize use)
+    if (P.axis != "enu" && projName != "axisswap") {
+      val sub = create(s"proj=axisswap axis=${P.axis}")
+      sub.skipFwdPrepare = true; sub.skipFwdFinalize = true
+      sub.skipInvPrepare = true; sub.skipInvFinalize = true
+      P.axisswapSub = sub
+    }
+    P
+  }
+
+  /** pj_ellipsoid (reference src/ell_set.cpp:21-135). */
+  private def setupEllipsoid(P: PJ): Unit = {
+    val params = P.params
+    // R overrules everything
+    if (params.has("R")) {
+      ellpsSize(P)
+      P.calcEllipsoidParams(P.a, 0)
+      return
+    }
+    // ellps=xxx table lookup provides defaults
+    params.s("ellps").foreach { name =>
+      if (name.isEmpty)
+        throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "invalid ellps")
+      val (major, shape) = Ellipsoids.table.getOrElse(name,
+        throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, s"unrecognized ellps $name"))
+      val tmp = ParamList.parse(s"$major $shape")
+      ellpsSizeFrom(P, tmp)
+      ellpsShapeFrom(P, tmp)
+    }
+    // explicit size/shape override table values
+    ellpsSize(P, required = !params.has("ellps"))
+    ellpsShapeFrom(P, params)
+    ellpsSpherification(P)
+    P.calcEllipsoidParams(P.a, P.es)
+  }
+
+  private def ellpsSize(P: PJ, required: Boolean = true): Unit =
+    ellpsSizeFrom(P, P.params, required)
+
+  private def ellpsSizeFrom(P: PJ, params: ParamList, required: Boolean = true): Unit = {
+    val aWasSet = P.a != 0
+    val key = if (params.has("R")) Some("R") else if (params.has("a")) Some("a") else None
+    key match {
+      case None =>
+        if (aWasSet) return
+        throw ProjError(ProjErr.INVALID_OP_MISSING_ARG, "major axis not given")
+      case Some(k) =>
+        P.a = params.d(k)
+        if (!(P.a > 0) || P.a == Double.PositiveInfinity)
+          throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "invalid major axis")
+        if (k == "R") { P.es = 0; P.f = 0; P.e = 0; P.rf = 0; P.b = P.a }
+    }
+  }
+
+  private def ellpsShapeFrom(P: PJ, params: ParamList): Unit = {
+    val keys = Seq("rf", "f", "es", "e", "b")
+    val found = keys.find(params.has)
+    found match {
+      case None => // keep shape selected by ellps, or sphere
+        if (P.es == 0) { P.f = 0; P.b = P.a }
+        return
+      case Some(k) =>
+        P.es = 0; P.f = 0; P.b = 0; P.e = 0; P.rf = 0
+        k match {
+          case "rf" =>
+            P.rf = params.d("rf")
+            if (!(P.rf > 0))
+              throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "rf should be > 0")
+            P.f = 1 / P.rf
+            P.es = 2 * P.f - P.f * P.f
+          case "f" =>
+            P.f = params.d("f")
+            if (P.f < 0 || P.f.isNaN)
+              throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "f should be >= 0")
+            P.rf = if (P.f != 0.0) 1.0 / P.f else Double.PositiveInfinity
+            P.es = 2 * P.f - P.f * P.f
+          case "es" =>
+            P.es = params.d("es")
+            if (P.es < 0 || P.es >= 1)
+              throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "es should be in [0,1[")
+          case "e" =>
+            P.e = params.d("e")
+            if (P.e < 0 || P.e >= 1)
+              throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "e should be in [0,1[")
+            P.es = P.e * P.e
+          case "b" =>
+            P.b = params.d("b")
+            if (!(P.b > 0))
+              throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "b should be > 0")
+            if (P.b != P.a) {
+              P.f = (P.a - P.b) / P.a
+              P.es = 2 * P.f - P.f * P.f
+            }
+        }
+        if (!(P.es >= 0))
+          throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "invalid eccentricity")
+    }
+  }
+
+  /** reference src/ell_set.cpp:356-470 */
+  private def ellpsSpherification(P: PJ): Unit = {
+    val SIXTH = 1 / 6.0; val RA4 = 17 / 360.0; val RA6 = 67 / 3024.0
+    val RV4 = 5 / 72.0; val RV6 = 55 / 1296.0
+    val keys = Seq("R_A", "R_V", "R_a", "R_g", "R_h", "R_lat_a", "R_lat_g", "R_C")
+    val idx = keys.indexWhere(P.params.has)
+    if (idx < 0) return
+    idx match {
+      case 0 => P.a *= 1.0 - P.es * (SIXTH + P.es * (RA4 + P.es * RA6))
+      case 1 => P.a *= 1.0 - P.es * (SIXTH + P.es * (RV4 + P.es * RV6))
+      case 2 => P.a = (P.a + P.b) / 2
+      case 3 => P.a = math.sqrt(P.a * P.b)
+      case 4 =>
+        if (P.a + P.b == 0)
+          throw ProjError(ProjErr.COORD_TRANSFM_OUTSIDE_PROJECTION_DOMAIN, "R_h with a+b=0")
+        P.a = (2 * P.a * P.b) / (P.a + P.b)
+      case 5 | 6 =>
+        val tRaw = Dms.parse(P.params.s(keys(idx)).getOrElse("0"))
+        if (math.abs(tRaw) > GeoMath.HALFPI)
+          throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "|lat| should be <= 90")
+        var t = math.sin(tRaw)
+        t = 1 - P.es * t * t
+        if (t == 0.0)
+          throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "invalid eccentricity")
+        if (idx == 5) P.a *= (1.0 - P.es + t) / (2 * t * math.sqrt(t))
+        else P.a *= math.sqrt(1 - P.es) / t
+      case 7 =>
+        // R_C uses phi0 as it stands at ellipsoid-setup time (matches the
+        // reference init order where pj_ellipsoid runs before lat_0 is read)
+        var t = math.sin(P.phi0)
+        t = 1 - P.es * t * t
+        if (t == 0.0)
+          throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "invalid eccentricity")
+        P.a *= math.sqrt(1 - P.es) / t
+    }
+    if (P.a <= 0.0)
+      throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "invalid major axis")
+    P.es = 0; P.e = 0; P.f = 0
+    P.rf = Double.PositiveInfinity
+    P.b = P.a
+    P.calcEllipsoidParams(P.a, 0)
+  }
+}

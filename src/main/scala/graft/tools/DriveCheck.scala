@@ -1,0 +1,26 @@
+package graft.tools
+import graft.proj._
+import graft.core.{Coord, GeoMath}
+object DriveCheck {
+  def main(args: Array[String]): Unit = {
+    val P = Proj.create("proj=pipeline ellps=GRS80 step proj=cart step proj=helmert convention=coordinate_frame x=0.06155 rx=-0.0394924 y=-0.01087 ry=-0.0327221 z=-0.04019 rz=-0.0328979 s=-0.009994 step proj=cart inv")
+    val c = new Coord
+    c.set(133.88551329 * GeoMath.DEG2RAD, -23.67012389 * GeoMath.DEG2RAD, 603.3466, 0)
+    Dispatch.trans(P, forward = true, c)
+    println(f"GDA94->GDA2020: lon=${c.x*GeoMath.RAD2DEG}%.9f lat=${c.y*GeoMath.RAD2DEG}%.9f h=${c.z}%.4f  (expect 133.8855216 -23.67011014 603.2489)")
+    try Proj.create("proj=bogus") catch { case e: Throwable => println("unknown op -> " + e.getMessage) }
+    try Proj.create("proj=utm zone=61") catch { case e: Throwable => println("bad zone -> " + e.getMessage) }
+    try Proj.create("proj=helmert x=1 rx=1") catch { case e: Throwable => println("missing convention -> " + e.getMessage) }
+    val P2 = Proj.create("proj=utm zone=32")
+    val c2 = new Coord; c2.set(170 * GeoMath.DEG2RAD, 0, 0, 0)
+    Dispatch.trans(P2, forward = true, c2)
+    println(s"far point: err=${c2.err} x=${c2.x}")
+    val c3 = new Coord; c3.set(Double.NaN, Double.NaN, 0, 0)
+    Dispatch.trans(P2, forward = true, c3)
+    println(s"NaN in -> x=${c3.x} y=${c3.y} err=${c3.err}")
+    val t0 = System.nanoTime
+    var i = 0; val cc = new Coord; var acc = 0.0
+    while (i < 1000000) { cc.set((6 + i % 6) * GeoMath.DEG2RAD, (40 + (i % 20)) * GeoMath.DEG2RAD, 0, 0); Dispatch.trans(P2, true, cc); acc += cc.x; i += 1 }
+    println(f"1M utm fwd in ${(System.nanoTime - t0)/1e9}%.3f s (checksum $acc%.1f)")
+  }
+}
