@@ -18,6 +18,9 @@ object DriveCheck {
     val c3 = new Coord; c3.set(Double.NaN, Double.NaN, 0, 0)
     Dispatch.trans(P2, forward = true, c3)
     println(s"NaN in -> x=${c3.x} y=${c3.y} err=${c3.err}")
+    val g = graft.core.Geodesic.WGS84
+    val (s12, azi1, azi2) = g.inverse(40.6, -73.8, 49.01666667, 2.55) // JFK->CDG
+    println(f"geodesic JFK->CDG: s12=$s12%.3f m azi1=$azi1%.6f azi2=$azi2%.6f")
     val t0 = System.nanoTime
     var i = 0; val cc = new Coord; var acc = 0.0
     while (i < 1000000) { cc.set((6 + i % 6) * GeoMath.DEG2RAD, (40 + (i % 20)) * GeoMath.DEG2RAD, 0, 0); Dispatch.trans(P2, true, cc); acc += cc.x; i += 1 }
