@@ -88,11 +88,16 @@ object GeoMath {
     math.exp(e * atanh(e * sinphi)) * base
   }
 
-  @inline def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
-  @inline def asinh(x: Double): Double = {
-    // sign-symmetric, stable for large |x|
+  /** log1p-based forms keep full relative accuracy for tiny arguments
+    * (log(1+x) loses ~all precision below 1e-8; gie asserts at 1e-15). */
+  @inline def atanh(x: Double): Double = {
     val a = math.abs(x)
-    val r = math.log(a + math.sqrt(a * a + 1.0))
+    val r = 0.5 * math.log1p(2 * a / (1 - a))
+    if (x < 0) -r else r
+  }
+  @inline def asinh(x: Double): Double = {
+    val a = math.abs(x)
+    val r = math.log1p(a * (1 + a / (math.sqrt(a * a + 1.0) + 1)))
     if (x < 0) -r else r
   }
 

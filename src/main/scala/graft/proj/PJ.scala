@@ -84,6 +84,23 @@ final class PJ(val params: ParamList, val shortName: String) extends Serializabl
 
   var kernel: OpKernel = null
 
+  /** Effective IO units honoring pipeline-step inversion, CLASSIC presented
+    * as PROJECTED (reference pj_left/pj_right, src/list.cpp). */
+  private def effU(u: Int): Int = if (u == IOUnits.CLASSIC) IOUnits.PROJECTED else u
+  def effLeft: Int = effU(if (inverted) right else left)
+  def effRight: Int = effU(if (inverted) left else right)
+
+  /** proj_angular_input/output (reference src/4D_api.cpp). */
+  def angularInput(forward: Boolean): Boolean =
+    (if (forward) effLeft else effRight) == IOUnits.RADIANS
+  def angularOutput(forward: Boolean): Boolean = angularInput(!forward)
+  def degreeInput(forward: Boolean): Boolean =
+    (if (forward) effLeft else effRight) == IOUnits.DEGREES
+  def degreeOutput(forward: Boolean): Boolean = degreeInput(!forward)
+
+  /** Geodesic solver on this operation's ellipsoid (reference P->geod). */
+  @transient lazy val geod: graft.core.Geodesic = new graft.core.Geodesic(a, f)
+
   @inline def hasCap(c: Int): Boolean = kernel != null && (kernel.caps & c) != 0
   def hasInverse: Boolean =
     hasCap(OpKernel.INV2) || hasCap(OpKernel.INV3) || hasCap(OpKernel.INV4)

@@ -62,34 +62,55 @@ object HelmertOps {
     }
   }
 
-  private def readCommon(P: PJ): Params = {
+  private def readConvention(p: ParamList, noRot: Boolean,
+                             requireAlways: Boolean): Boolean = {
+    if (noRot && !requireAlways) return false
+    p.s("convention") match {
+      case Some("position_vector") => true
+      case Some("coordinate_frame") =>
+        if (p.has("towgs84"))
+          throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE,
+            "helmert: towgs84 should only be used with convention=position_vector")
+        false
+      case Some(_) => throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE,
+        "helmert: invalid value for 'convention'")
+      case None => throw ProjError(ProjErr.INVALID_OP_MISSING_ARG,
+        "helmert: missing 'convention' argument")
+    }
+  }
+
+  private def readCommon(P: PJ, conventionAlways: Boolean = false): Params = {
     val p = P.params
     val exact = p.b("exact")
     val fourparam = p.has("theta")
-    val rx0 = p.d("rx") * ARCSEC_TO_RAD
-    val ry0 = p.d("ry") * ARCSEC_TO_RAD
-    val rz0 = p.d("rz") * ARCSEC_TO_RAD
+    // classic +towgs84=x,y,z[,rx,ry,rz,s] (reference helmert.cpp:588-603
+    // + pj_datum_set semantics: rotations in arcsec, scale in ppm)
+    val tw: Array[Double] = p.s("towgs84") match {
+      case Some(v) =>
+        val parts = v.split(",").map(s => { val x = NumParse.atof(s); if (x.isNaN) 0.0 else x })
+        if (parts.length != 3 && parts.length != 7)
+          throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "helmert: malformed towgs84")
+        parts.padTo(7, 0.0)
+      case None => null
+    }
+    def d(key: String, twIdx: Int, scale: Double = 1.0): Double =
+      if (p.has(key)) p.d(key) * scale
+      else if (tw != null && twIdx >= 0) tw(twIdx) * scale
+      else 0.0
+    val rx0 = d("rx", 3, ARCSEC_TO_RAD)
+    val ry0 = d("ry", 4, ARCSEC_TO_RAD)
+    val rz0 = d("rz", 5, ARCSEC_TO_RAD)
     val noRot = rx0 == 0 && ry0 == 0 && rz0 == 0 &&
       p.d("drx") == 0 && p.d("dry") == 0 && p.d("drz") == 0
-    val isPositionVector =
-      if (!noRot) {
-        p.s("convention") match {
-          case Some("position_vector") => true
-          case Some("coordinate_frame") => false
-          case Some(_) => throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE,
-            "helmert: invalid value for 'convention'")
-          case None => throw ProjError(ProjErr.INVALID_OP_MISSING_ARG,
-            "helmert: missing 'convention' argument")
-        }
-      } else false
-    var s0 = if (fourparam) 1.0 else 0.0
+    val isPositionVector = readConvention(p, noRot, conventionAlways)
+    var s0 = if (fourparam) 1.0 else d("s", 6)
     if (p.has("s")) {
       s0 = p.d("s")
       if (s0 <= -1.0e6 || (fourparam && s0 == 0.0))
         throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, "helmert: invalid value for s")
     }
     new Params(
-      p.d("x"), p.d("y"), p.d("z"),
+      d("x", 0), d("y", 1), d("z", 2),
       rx0, ry0, rz0,
       s0, p.d("theta") * ARCSEC_TO_RAD,
       p.d("dx"), p.d("dy"), p.d("dz"),
@@ -180,7 +201,9 @@ object HelmertOps {
     * the forward direction exactly as the reference does. */
   def molobadekas(P: PJ): Unit = {
     val p = P.params
-    val raw = readCommon(P)
+    // molobadekas requires an explicit convention even with zero rotation
+    // (reference helmert.cpp:712-718: no_rotation is never set on this path)
+    val raw = readCommon(P, conventionAlways = true)
     // reference folds refp into xyz_0 (translation) after reading params
     val hp = new Params(
       raw.x0 + raw.refpX, raw.y0 + raw.refpY, raw.z0 + raw.refpZ,

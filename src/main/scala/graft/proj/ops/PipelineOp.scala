@@ -84,11 +84,8 @@ object PipelineOp {
       omit || (if (q.inverted) q.hasForward else q.hasInverse)
     }
 
-    // pj_left/pj_right: effective IO units honoring step inversion, with
-    // CLASSIC presented as PROJECTED (reference src/list.cpp pj_left)
-    def eff(u: Int): Int = if (u == IOUnits.CLASSIC) IOUnits.PROJECTED else u
-    def pjLeft(pj: PJ): Int = eff(if (pj.inverted) pj.right else pj.left)
-    def pjRight(pj: PJ): Int = eff(if (pj.inverted) pj.left else pj.right)
+    def pjLeft(pj: PJ): Int = pj.effLeft
+    def pjRight(pj: PJ): Int = pj.effRight
 
     // IO-unit neighbour propagation (reference pipeline.cpp:578-612)
     val n = steps.length

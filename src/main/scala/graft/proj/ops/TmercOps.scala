@@ -80,9 +80,6 @@ object TmercOps {
 
   def approxFwd(q: ApproxConsts, c: Coord): Unit = {
     val lam = c.x; val phi = c.y
-    if (lam < -HALFPI || lam > HALFPI) {
-      c.setError(ProjErr.COORD_TRANSFM_OUTSIDE_PROJECTION_DOMAIN); return
-    }
     if (q.spherical) {
       // Snyder spherical form (tmerc.cpp:118-158)
       val cosphi = math.cos(phi)
@@ -107,6 +104,11 @@ object TmercOps {
       c.x = x
       c.y = q.esp * (y - q.phi0)
       return
+    }
+    // the series form degrades into garbage beyond 90 deg from the central
+    // meridian (reference tmerc.cpp:78-90; ellipsoidal branch only)
+    if (lam < -HALFPI || lam > HALFPI) {
+      c.setError(ProjErr.COORD_TRANSFM_OUTSIDE_PROJECTION_DOMAIN); return
     }
     val sinphi = math.sin(phi)
     val cosphi = math.cos(phi)
