@@ -294,6 +294,56 @@ object GeoMath {
     polyval(n * n, c, 0, 3) / (1 + n)
   }
 
+  /** Authalic-latitude context: series coefficients + exact fallback for
+    * very oblate ellipsoids (reference src/latitudes.cpp:53-150;
+    * series valid iff |n| < 0.01, latitudes.cpp:81). */
+  final class Authalic(e: Double, es: Double, oneEs: Double, n: Double)
+      extends Serializable {
+    val seriesValid: Boolean = math.abs(n) < 0.01
+    val qp: Double = q(1.0)
+    private val toPhi = new Array[Double](AUX_ORDER)
+    private val toBeta: Array[Double] = if (seriesValid) new Array[Double](AUX_ORDER) else null
+    auxlatCoeffs(n, AUX_AUTHALIC, AUX_GEOGRAPHIC, toPhi)
+    if (seriesValid) auxlatCoeffs(n, AUX_GEOGRAPHIC, AUX_AUTHALIC, toBeta)
+
+    /** authalic q (reference pj_authalic_lat_q). */
+    def q(sinphi: Double): Double = {
+      if (e >= 1e-7) {
+        val eSin = e * sinphi
+        val den = 1.0 - eSin * eSin
+        if (den == 0.0) Double.PositiveInfinity
+        else oneEs * (sinphi / den + atanh(eSin) / e)
+      } else 2 * sinphi
+    }
+
+    /** geographic → authalic latitude beta (reference pj_authalic_lat). */
+    def lat(phi: Double, sinphi: Double, cosphi: Double): Double =
+      if (seriesValid) auxlatConvert(phi, sinphi, cosphi, toBeta)
+      else {
+        var ratio = q(sinphi) / qp
+        if (math.abs(ratio) > 1) ratio = if (ratio > 0) 1 else -1
+        math.asin(ratio)
+      }
+
+    /** authalic → geographic (reference pj_authalic_lat_inverse). */
+    def latInverse(beta: Double): Double = {
+      var phi = auxlatConvert(beta, toPhi)
+      if (seriesValid) return phi
+      val qTarget = math.sin(beta) * qp / oneEs
+      var i = 0
+      var done = false
+      while (i < 10 && !done) {
+        val sinphi = math.sin(phi); val cosphi = math.cos(phi)
+        val om = 1 - es * sinphi * sinphi
+        val dphi = om * om / (2 * cosphi) *
+          (qTarget - sinphi / om - atanh(e * sinphi) / e)
+        if (!(math.abs(dphi) >= 1e-15)) done = true else phi += dphi
+        i += 1
+      }
+      phi
+    }
+  }
+
   /** pj_enfn equivalent: precomputed meridional-distance series (setup-time). */
   final class MlfnEn(n: Double) extends Serializable {
     val r: Double = rectifyingRadius(n)

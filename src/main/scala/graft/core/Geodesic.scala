@@ -58,8 +58,10 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
     }
   }
 
-  private def a3f(eps: Double): Double = polyval(5, a3x, 0, eps)
+  private[core] def a3fPub(eps: Double): Double = polyval(5, a3x, 0, eps)
+  @inline private def a3f(eps: Double): Double = a3fPub(eps)
 
+  private[core] def c3fPub(eps: Double, c: Array[Double]): Unit = c3f(eps, c)
   private def c3f(eps: Double, c: Array[Double]): Unit = {
     var mult = 1.0
     var o = 0
@@ -73,20 +75,24 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
     }
   }
 
-  /** Lengths: s12b and m12b/m0 for the given spherical arc
-    * (reference geodesic.c:1115-1175). out = (s12b, m12b, m0). */
+  /** Lengths: s12b and m12b/m0 (and geodesic scales M12/M21 when cbet's are
+    * supplied) for the given spherical arc (reference geodesic.c:1115-1175).
+    * out = (s12b, m12b, m0, M12, M21). */
   private def lengths(eps: Double, sig12: Double,
                       ssig1: Double, csig1: Double, dn1: Double,
                       ssig2: Double, csig2: Double, dn2: Double,
                       wantS12b: Boolean, wantM12b: Boolean,
-                      out: Array[Double]): Unit = {
+                      out: Array[Double],
+                      wantM: Boolean = false,
+                      cbet1: Double = 0, cbet2: Double = 0): Unit = {
     val ca = new Array[Double](7)
     val cb = new Array[Double](7)
     var m0 = 0.0; var j12 = 0.0
     var a1 = 0.0; var a2 = 0.0
-    if (wantS12b || wantM12b) {
+    val redlp = wantM12b || wantM
+    if (wantS12b || redlp) {
       a1 = a1m1f(eps); c1f(eps, ca)
-      if (wantM12b) {
+      if (redlp) {
         a2 = a2m1f(eps); c2f(eps, cb)
         m0 = a1 - a2
         a2 = 1 + a2
@@ -97,25 +103,37 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
       val b1 = sinCosSeries(sinp = true, ssig2, csig2, ca, 6) -
         sinCosSeries(sinp = true, ssig1, csig1, ca, 6)
       out(0) = a1 * (sig12 + b1)
-      if (wantM12b) {
+      if (redlp) {
         val b2 = sinCosSeries(sinp = true, ssig2, csig2, cb, 6) -
           sinCosSeries(sinp = true, ssig1, csig1, cb, 6)
         j12 = m0 * sig12 + (a1 * b1 - a2 * b2)
       }
-    } else if (wantM12b) {
+    } else if (redlp) {
       var l = 1
       while (l <= 6) { cb(l) = a1 * ca(l) - a2 * cb(l); l += 1 }
       j12 = m0 * sig12 + (sinCosSeries(sinp = true, ssig2, csig2, cb, 6) -
         sinCosSeries(sinp = true, ssig1, csig1, cb, 6))
     }
     out(2) = m0
-    if (wantM12b)
+    if (redlp)
       out(1) = dn2 * (csig1 * ssig2) - dn1 * (ssig1 * csig2) - csig1 * csig2 * j12
+    if (wantM) {
+      val csig12 = csig1 * csig2 + ssig1 * ssig2
+      val t = ep2 * (cbet1 - cbet2) * (cbet1 + cbet2) / (dn1 + dn2)
+      out(3) = csig12 + (t * ssig2 - csig2 * j12) * ssig1 / dn1
+      out(4) = csig12 - (t * ssig1 - csig1 * j12) * ssig2 / dn2
+    }
   }
 
-  /** Inverse problem: returns (s12, azi1, azi2) with azimuths in degrees.
-    * (reference geodesic.c:700-1053). */
+  /** Inverse problem: returns (s12, azi1, azi2) with azimuths in degrees. */
   def inverse(lat1In: Double, lon1: Double, lat2In: Double, lon2: Double): (Double, Double, Double) = {
+    val r = inverseAll(lat1In, lon1, lat2In, lon2)
+    (r(0), r(1), r(2))
+  }
+
+  /** Inverse problem with extras: [s12, azi1, azi2, m12, M12, M21]
+    * (reference geodesic.c:700-1053). */
+  def inverseAll(lat1In: Double, lon1: Double, lat2In: Double, lon2: Double): Array[Double] = {
     var lon12 = 0.0; var lon12s = 0.0
     val d = angDiff(lon1, lon2)
     lon12 = d._1; lon12s = d._2
@@ -151,9 +169,10 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
     val dn2 = math.sqrt(1 + ep2 * sbet2 * sbet2)
 
     var s12x = 0.0; var m12x = 0.0
+    var bigM12 = 0.0; var bigM21 = 0.0
     var sig12 = 0.0
     var salp1 = 0.0; var calp1 = 0.0; var salp2 = 0.0; var calp2 = 0.0
-    val lenOut = new Array[Double](3)
+    val lenOut = new Array[Double](5)
     var meridian = lat1 == -90 || slam12 == 0
 
     if (meridian) {
@@ -164,8 +183,9 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
       sig12 = math.atan2(math.max(0.0, csig1 * ssig2 - ssig1 * csig2),
         csig1 * csig2 + ssig1 * ssig2)
       lengths(n, sig12, ssig1, csig1, dn1, ssig2, csig2, dn2,
-        wantS12b = true, wantM12b = true, lenOut)
+        wantS12b = true, wantM12b = true, lenOut, wantM = true, cbet1, cbet2)
       s12x = lenOut(0); m12x = lenOut(1)
+      bigM12 = lenOut(3); bigM21 = lenOut(4)
       if (sig12 < tol2 || m12x >= 0) {
         if (sig12 < 3 * TINY || (sig12 < tol0 && (s12x < 0 || m12x < 0))) {
           sig12 = 0; m12x = 0; s12x = 0
@@ -180,6 +200,7 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
       s12x = a * lam12
       sig12 = lam12 / f1
       m12x = b * math.sin(sig12)
+      bigM12 = math.cos(sig12); bigM21 = bigM12
     } else if (!meridian) {
       // general case: Newton's method on alp1
       var dnm = 0.0
@@ -190,6 +211,7 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
       if (sig12 >= 0) {
         s12x = sig12 * b * dnm
         m12x = dnm * dnm * b * math.sin(sig12 / dnm)
+        bigM12 = math.cos(sig12 / dnm); bigM21 = bigM12
       } else {
         var ssig1 = 0.0; var csig1 = 0.0; var ssig2 = 0.0; var csig2 = 0.0
         var eps = 0.0
@@ -241,9 +263,10 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
           }
         }
         lengths(eps, sig12, ssig1, csig1, dn1, ssig2, csig2, dn2,
-          wantS12b = true, wantM12b = false, lenOut)
+          wantS12b = true, wantM12b = true, lenOut, wantM = true, cbet1, cbet2)
         s12x = lenOut(0)
-        m12x = lenOut(1)
+        m12x = lenOut(1) * b
+        bigM12 = lenOut(3); bigM21 = lenOut(4)
         s12x *= b
       }
     }
@@ -251,6 +274,7 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
     if (swapp < 0) {
       var t = salp1; salp1 = salp2; salp2 = t
       t = calp1; calp1 = calp2; calp2 = t
+      t = bigM12; bigM12 = bigM21; bigM21 = t
     }
     salp1 *= swapp * lonsign; calp1 *= swapp * latsign
     salp2 *= swapp * lonsign; calp2 *= swapp * latsign
@@ -258,7 +282,7 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
     val s12 = 0 + s12x
     val azi1 = atan2dx(salp1, calp1)
     val azi2 = atan2dx(salp2, calp2)
-    (s12, azi1, azi2)
+    Array(s12, azi1, azi2, 0 + m12x, bigM12, bigM21)
   }
 
   /** Just the distance in metres. */
@@ -402,68 +426,96 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
   }
 
   /** Direct problem: from (lat1, lon1) with azimuth azi1 (degrees), travel
-    * s12 metres; returns (lat2, lon2, azi2) in degrees
-    * (reference geodesic.c:332-688). */
-  def direct(lat1In: Double, lon1: Double, azi1In: Double, s12: Double): (Double, Double, Double) = {
-    val azi1 = angNormalize(azi1In)
-    val scA = sincosdx(angRound(azi1))
-    val salp1 = scA._1; val calp1 = scA._2
-    val lat1 = latFix(lat1In)
+    * s12 metres; returns (lat2, lon2, azi2) in degrees. */
+  def direct(lat1: Double, lon1: Double, azi1: Double, s12: Double): (Double, Double, Double) = {
+    val out = new Array[Double](6)
+    new Line(this, lat1, lon1, azi1).position(arcMode = false, s12, out)
+    (out(0), out(1), out(2))
+  }
+}
 
-    var sbet1 = 0.0; var cbet1 = 0.0
-    locally {
-      val s1 = sincosdx(angRound(lat1)); sbet1 = s1._1 * f1; cbet1 = s1._2
-      val r1 = math.hypot(sbet1, cbet1); sbet1 /= r1; cbet1 = math.max(TINY, cbet1 / r1)
-    }
-    val dn1 = math.sqrt(1 + ep2 * sbet1 * sbet1)
-    val salp0 = salp1 * cbet1
-    val calp0 = math.hypot(calp1, salp1 * sbet1)
-    var ssig1 = sbet1; val somg1 = salp0 * sbet1
-    var csig1 = if (sbet1 != 0 || calp1 != 0) cbet1 * calp1 else 1.0
-    val comg1 = csig1
-    locally { val r = math.hypot(ssig1, csig1); ssig1 /= r; csig1 /= r }
-    val k2 = calp0 * calp0 * ep2
-    val eps = k2 / (2 * (1 + math.sqrt(1 + k2)) + k2)
+/** A geodesic line from (lat1, lon1) with azimuth azi1, supporting repeated
+  * position evaluation in distance or arc mode with reduced length and
+  * geodesic scale outputs (reference geod_lineinit_int + geod_genposition,
+  * src/geodesic.c:332-641). */
+final class Line(g: Geodesic, lat1In: Double, val lon1: Double, azi1In: Double)
+    extends Serializable {
+  import Geodesic._
 
-    val c1a = new Array[Double](7)
-    val a1m1 = a1m1f(eps)
-    c1f(eps, c1a)
-    val b11 = sinCosSeries(sinp = true, ssig1, csig1, c1a, 6)
-    val s = math.sin(b11); val c = math.cos(b11)
-    val stau1 = ssig1 * c + csig1 * s
-    val ctau1 = csig1 * c - ssig1 * s
-    val c1pa = new Array[Double](7)
-    c1pf(eps, c1pa)
-    val c3a = new Array[Double](7)
-    c3f(eps, c3a)
-    val a3c = -f * salp0 * a3f(eps)
-    val b31 = sinCosSeries(sinp = true, ssig1, csig1, c3a, 5)
+  val azi1: Double = angNormalize(azi1In)
+  private val scA = sincosdx(angRound(azi1))
+  private val salp1 = scA._1; private val calp1 = scA._2
+  val lat1: Double = latFix(lat1In)
 
-    // solve for sig12 from distance
-    val tau12 = s12 / (b * (1 + a1m1))
-    val st12 = math.sin(tau12); val ct12 = math.cos(tau12)
-    var b12 = -sinCosSeries(sinp = true,
-      stau1 * ct12 + ctau1 * st12, ctau1 * ct12 - stau1 * st12, c1pa, 6)
-    var sig12 = tau12 - (b12 - b11)
-    var ssig12 = math.sin(sig12); var csig12 = math.cos(sig12)
-    if (math.abs(f) > 0.01) {
-      // one Newton correction for very eccentric ellipsoids
-      val ssig2a = ssig1 * csig12 + csig1 * ssig12
-      val csig2a = csig1 * csig12 - ssig1 * ssig12
-      b12 = sinCosSeries(sinp = true, ssig2a, csig2a, c1a, 6)
-      val serr = (1 + a1m1) * (sig12 + (b12 - b11)) - s12 / b
-      sig12 = sig12 - serr / math.sqrt(1 + k2 * ssig2a * ssig2a)
+  private var sbet1 = 0.0; private var cbet1 = 0.0
+  locally {
+    val s1 = sincosdx(angRound(lat1)); sbet1 = s1._1 * g.f1; cbet1 = s1._2
+    val r1 = math.hypot(sbet1, cbet1); sbet1 /= r1; cbet1 = math.max(TINY, cbet1 / r1)
+  }
+  private val dn1 = math.sqrt(1 + g.ep2 * sbet1 * sbet1)
+  private val salp0 = salp1 * cbet1
+  private val calp0 = math.hypot(calp1, salp1 * sbet1)
+  private var ssig1 = sbet1
+  private val somg1 = salp0 * sbet1
+  private var csig1 = if (sbet1 != 0 || calp1 != 0) cbet1 * calp1 else 1.0
+  private val comg1 = csig1
+  locally { val r = math.hypot(ssig1, csig1); ssig1 /= r; csig1 /= r }
+  private val k2 = calp0 * calp0 * g.ep2
+  private val eps = k2 / (2 * (1 + math.sqrt(1 + k2)) + k2)
+
+  private val c1a = new Array[Double](7)
+  private val a1m1 = a1m1f(eps)
+  c1f(eps, c1a)
+  private val b11 = sinCosSeries(sinp = true, ssig1, csig1, c1a, 6)
+  private val stau1 = { val s = math.sin(b11); val c = math.cos(b11); ssig1 * c + csig1 * s }
+  private val ctau1 = { val s = math.sin(b11); val c = math.cos(b11); csig1 * c - ssig1 * s }
+  private val c1pa = new Array[Double](7)
+  c1pf(eps, c1pa)
+  private val c3a = new Array[Double](7)
+  g.c3fPub(eps, c3a)
+  private val a3c = -g.f * salp0 * g.a3fPub(eps)
+  private val b31 = sinCosSeries(sinp = true, ssig1, csig1, c3a, 5)
+  private val a2m1 = a2m1f(eps)
+  private val c2a = new Array[Double](7)
+  c2f(eps, c2a)
+  private val b21 = sinCosSeries(sinp = true, ssig1, csig1, c2a, 6)
+
+  /** out = [lat2, lon2, azi2, s12, m12, M12]; returns a12 (arc, degrees). */
+  def position(arcMode: Boolean, s12a12: Double, out: Array[Double]): Double = {
+    var sig12 = 0.0; var ssig12 = 0.0; var csig12 = 0.0; var b12 = 0.0
+    if (arcMode) {
+      sig12 = s12a12 * DEGv
+      val sc = sincosdx(s12a12); ssig12 = sc._1; csig12 = sc._2
+    } else {
+      val tau12 = s12a12 / (g.b * (1 + a1m1))
+      val s = math.sin(tau12); val c = math.cos(tau12)
+      b12 = -sinCosSeries(sinp = true,
+        stau1 * c + ctau1 * s, ctau1 * c - stau1 * s, c1pa, 6)
+      sig12 = tau12 - (b12 - b11)
       ssig12 = math.sin(sig12); csig12 = math.cos(sig12)
+      if (math.abs(g.f) > 0.01) {
+        val ssig2a = ssig1 * csig12 + csig1 * ssig12
+        val csig2a = csig1 * csig12 - ssig1 * ssig12
+        b12 = sinCosSeries(sinp = true, ssig2a, csig2a, c1a, 6)
+        val serr = (1 + a1m1) * (sig12 + (b12 - b11)) - s12a12 / g.b
+        sig12 = sig12 - serr / math.sqrt(1 + k2 * ssig2a * ssig2a)
+        ssig12 = math.sin(sig12); csig12 = math.cos(sig12)
+      }
     }
-
     val ssig2 = ssig1 * csig12 + csig1 * ssig12
     var csig2 = csig1 * csig12 - ssig1 * ssig12
+    val dn2 = math.sqrt(1 + k2 * ssig2 * ssig2)
+    if (arcMode || math.abs(g.f) > 0.01)
+      b12 = sinCosSeries(sinp = true, ssig2, csig2, c1a, 6)
+    val ab1 = (1 + a1m1) * (b12 - b11)
     val sbet2 = calp0 * ssig2
     var cbet2 = math.hypot(salp0, calp0 * csig2)
     if (cbet2 == 0) { cbet2 = TINY; csig2 = TINY }
     val salp2 = salp0; val calp2 = calp0 * csig2
 
-    // longitude, unrolled form
+    val s12 = if (arcMode) g.b * ((1 + a1m1) * sig12 + ab1) else s12a12
+
+    // longitude (unrolled)
     val e = java.lang.Math.copySign(1.0, salp0)
     val somg2 = salp0 * ssig2; val comg2 = csig2
     val omg12 = e * (sig12 -
@@ -471,17 +523,28 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
       (math.atan2(e * somg2, comg2) - math.atan2(e * somg1, comg1)))
     val lam12 = omg12 + a3c *
       (sig12 + (sinCosSeries(sinp = true, ssig2, csig2, c3a, 5) - b31))
-    val lon12 = lam12 / DEG
-    val lon2 = angNormalize(angNormalize(lon1) + angNormalize(lon12))
-    val lat2 = atan2dx(sbet2, f1 * cbet2)
-    val azi2 = atan2dx(salp2, calp2)
-    (lat2, lon2, azi2)
+    val lon12 = lam12 / DEGv
+    out(1) = angNormalize(angNormalize(lon1) + angNormalize(lon12))
+    out(0) = atan2dx(sbet2, g.f1 * cbet2)
+    out(2) = atan2dx(salp2, calp2)
+    out(3) = s12
+
+    // reduced length m12 and geodesic scale M12
+    val b22 = sinCosSeries(sinp = true, ssig2, csig2, c2a, 6)
+    val ab2 = (1 + a2m1) * (b22 - b21)
+    val j12 = (a1m1 - a2m1) * sig12 + (ab1 - ab2)
+    out(4) = g.b * ((dn2 * (csig1 * ssig2) - dn1 * (ssig1 * csig2)) -
+      csig1 * csig2 * j12)
+    out(5) = csig12 + (k2 * (ssig2 - ssig1) * (ssig2 + ssig1) / (dn1 + dn2) *
+      ssig2 - csig2 * j12) * ssig1 / dn1
+    if (arcMode) s12a12 else sig12 / DEGv
   }
 }
 
 object Geodesic {
-  private final val DEG = math.Pi / 180.0
-  private final val TINY = math.sqrt(java.lang.Double.MIN_NORMAL)
+  private[core] final val DEG = math.Pi / 180.0
+  private[core] final val DEGv = DEG
+  private[core] final val TINY = math.sqrt(java.lang.Double.MIN_NORMAL)
   private final val tol0 = 2.220446049250313e-16
   private final val tol1 = 200 * tol0
   private final val tol2 = math.sqrt(tol0)

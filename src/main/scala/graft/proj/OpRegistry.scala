@@ -33,6 +33,14 @@ object OpRegistry {
     // --- datum transformations ---
     op("helmert", HelmertOps.helmert),
     op("molobadekas", HelmertOps.molobadekas),
+    // --- azimuthal projections ---
+    op("ortho", AzimuthalOps.ortho, isProjection = true, needEllps = true),
+    op("gnom", AzimuthalOps.gnom, isProjection = true, needEllps = true),
+    op("laea", AzimuthalOps.laea, isProjection = true, needEllps = true),
+    op("stere", Azimuthal2Ops.stere, isProjection = true, needEllps = true),
+    op("ups", Azimuthal2Ops.ups, isProjection = true, needEllps = true),
+    op("sterea", Azimuthal2Ops.sterea, isProjection = true, needEllps = true),
+    op("aeqd", Azimuthal2Ops.aeqd, isProjection = true, needEllps = true),
     // --- conformal projections ---
     op("tmerc", TmercOps.tmerc, isProjection = true, needEllps = true),
     op("etmerc", TmercOps.etmerc, isProjection = true, needEllps = true),
