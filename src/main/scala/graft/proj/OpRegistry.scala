@@ -41,6 +41,43 @@ object OpRegistry {
     op("ups", Azimuthal2Ops.ups, isProjection = true, needEllps = true),
     op("sterea", Azimuthal2Ops.sterea, isProjection = true, needEllps = true),
     op("aeqd", Azimuthal2Ops.aeqd, isProjection = true, needEllps = true),
+    // --- conic / cylindrical ---
+    op("aea", ConicCylOps.aea, isProjection = true, needEllps = true),
+    op("leac", ConicCylOps.leac, isProjection = true, needEllps = true),
+    op("eqc", ConicCylOps.eqc, isProjection = true, needEllps = true),
+    op("eqdc", ConicCylOps.eqdc, isProjection = true, needEllps = true),
+    op("cass", ConicCylOps.cass, isProjection = true, needEllps = true),
+    op("cea", ConicCylOps.cea, isProjection = true, needEllps = true),
+    op("bonne", ConicCylOps.bonne, isProjection = true, needEllps = true),
+    op("tobmerc", ConicCylOps.tobmerc, isProjection = true, needEllps = true),
+    // --- pseudocylindrical / world ---
+    op("moll", PseudoCylOps.moll, isProjection = true),
+    op("wag4", PseudoCylOps.wag4, isProjection = true),
+    op("wag5", PseudoCylOps.wag5, isProjection = true),
+    op("sinu", PseudoCylOps.sinu, isProjection = true, needEllps = true),
+    op("gn_sinu", PseudoCylOps.gnSinu, isProjection = true),
+    op("eck6", PseudoCylOps.eck6, isProjection = true),
+    op("mbtfps", PseudoCylOps.mbtfps, isProjection = true),
+    op("eck4", PseudoCylOps.eck4, isProjection = true),
+    op("eqearth", PseudoCylOps.eqearth, isProjection = true, needEllps = true),
+    op("eck1", PseudoCyl2Ops.eck1, isProjection = true),
+    op("eck2", PseudoCyl2Ops.eck2, isProjection = true),
+    op("eck3", PseudoCyl2Ops.eck3, isProjection = true),
+    op("kav7", PseudoCyl2Ops.kav7, isProjection = true),
+    op("wag6", PseudoCyl2Ops.wag6, isProjection = true),
+    op("putp1", PseudoCyl2Ops.putp1, isProjection = true),
+    op("eck5", PseudoCyl2Ops.eck5, isProjection = true),
+    op("goode", PseudoCyl2Ops.goode, isProjection = true),
+    op("boggs", PseudoCyl2Ops.boggs, isProjection = true),
+    op("collg", PseudoCyl2Ops.collg, isProjection = true),
+    op("crast", PseudoCyl2Ops.crast, isProjection = true),
+    op("denoy", PseudoCyl2Ops.denoy, isProjection = true),
+    op("fahey", PseudoCyl2Ops.fahey, isProjection = true),
+    op("hammer", PseudoCyl2Ops.hammer, isProjection = true),
+    op("aitoff", PseudoCyl2Ops.aitoff, isProjection = true),
+    op("wintri", PseudoCyl2Ops.wintri, isProjection = true),
+    op("robin", PseudoCyl2Ops.robin, isProjection = true),
+    op("vandg", PseudoCyl2Ops.vandg, isProjection = true),
     // --- conformal projections ---
     op("tmerc", TmercOps.tmerc, isProjection = true, needEllps = true),
     op("etmerc", TmercOps.etmerc, isProjection = true, needEllps = true),
