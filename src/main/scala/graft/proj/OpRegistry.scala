@@ -78,6 +78,38 @@ object OpRegistry {
     op("wintri", PseudoCyl2Ops.wintri, isProjection = true),
     op("robin", PseudoCyl2Ops.robin, isProjection = true),
     op("vandg", PseudoCyl2Ops.vandg, isProjection = true),
+    op("igh", InterruptedOps.igh, isProjection = true),
+    op("igh_o", InterruptedOps.ighO, isProjection = true),
+    op("imoll", InterruptedOps.imoll, isProjection = true),
+    op("imoll_o", InterruptedOps.imollO, isProjection = true),
+    op("euler", PseudoCyl3Ops.euler, isProjection = true),
+    op("murd1", PseudoCyl3Ops.murd1, isProjection = true),
+    op("murd2", PseudoCyl3Ops.murd2, isProjection = true),
+    op("murd3", PseudoCyl3Ops.murd3, isProjection = true),
+    op("pconic", PseudoCyl3Ops.pconic, isProjection = true),
+    op("tissot", PseudoCyl3Ops.tissot, isProjection = true),
+    op("vitk1", PseudoCyl3Ops.vitk1, isProjection = true),
+    op("fouc", PseudoCyl3Ops.fouc, isProjection = true),
+    op("kav5", PseudoCyl3Ops.kav5, isProjection = true),
+    op("qua_aut", PseudoCyl3Ops.quaAut, isProjection = true),
+    op("mbt_s", PseudoCyl3Ops.mbtS, isProjection = true),
+    op("putp2", PseudoCyl3Ops.putp2, isProjection = true),
+    op("putp3", PseudoCyl3Ops.putp3, isProjection = true),
+    op("putp3p", PseudoCyl3Ops.putp3p, isProjection = true),
+    op("putp4p", PseudoCyl3Ops.putp4p, isProjection = true),
+    op("weren", PseudoCyl3Ops.weren, isProjection = true),
+    op("putp5", PseudoCyl3Ops.putp5, isProjection = true),
+    op("putp5p", PseudoCyl3Ops.putp5p, isProjection = true),
+    op("putp6", PseudoCyl3Ops.putp6, isProjection = true),
+    op("putp6p", PseudoCyl3Ops.putp6p, isProjection = true),
+    op("urm5", PseudoCyl3Ops.urm5, isProjection = true),
+    op("urmfps", PseudoCyl3Ops.urmfps, isProjection = true),
+    op("wag1", PseudoCyl3Ops.wag1, isProjection = true),
+    op("wag2", PseudoCyl3Ops.wag2, isProjection = true),
+    op("wag3", PseudoCyl3Ops.wag3, isProjection = true),
+    op("wag7", PseudoCyl3Ops.wag7, isProjection = true),
+    op("wink1", PseudoCyl3Ops.wink1, isProjection = true),
+    op("wink2", PseudoCyl3Ops.wink2, isProjection = true),
     // --- conformal projections ---
     op("tmerc", TmercOps.tmerc, isProjection = true, needEllps = true),
     op("etmerc", TmercOps.etmerc, isProjection = true, needEllps = true),

@@ -184,7 +184,12 @@ object Dispatch {
     else if (P.hasCap(INV3)) P.kernel.inv3(c)
     else if (P.hasCap(INV2)) P.kernel.inv2(c)
     else { c.setError(ProjErr.OTHER_NO_INVERSE_OP); return }
-    if (c.x == Double.PositiveInfinity) { c.setError(c.err); return }
+    if (c.x == Double.PositiveInfinity) {
+      // inv_finalize flags bare HUGE_VAL results as domain errors
+      // (reference src/inv.cpp:103-110)
+      c.setError(if (c.err != 0) c.err else ProjErr.COORD_TRANSFM_OUTSIDE_PROJECTION_DOMAIN)
+      return
+    }
     if (!P.skipInvFinalize) invFinalize(P, c)
     if (c.err != 0) c.setError(c.err) else c.err = saved
   }
