@@ -21,6 +21,21 @@ object DriveCheck {
     val g = graft.core.Geodesic.WGS84
     val (s12, azi1, azi2) = g.inverse(40.6, -73.8, 49.01666667, 2.55) // JFK->CDG
     println(f"geodesic JFK->CDG: s12=$s12%.3f m azi1=$azi1%.6f azi2=$azi2%.6f")
+    // snapshot layer drive: commit/resume over a live SparkSession
+    locally {
+      val sess = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]").config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+      sess.sparkContext.setLogLevel("WARN")
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("drive_snap").toString + "/tbl"
+      def proc(a: Long, b: Long) = sess.range(a, b).select(col("id"), (col("id") % 4).as("bucket"))
+      val r1 = graft.spark.Snapshots.resumableRun(sess, dir, 0, 300, 100, proc, "bucket", "id")
+      val r2 = graft.spark.Snapshots.resumableRun(sess, dir, 0, 500, 100, proc, "bucket", "id")
+      println(s"snapshots: first run committed $r1, resumed run committed $r2, latest=${graft.spark.Snapshots.latestId(dir)}")
+      println("manifest head: " + graft.spark.Snapshots.manifest(dir).linesIterator.take(4).mkString(" | "))
+      sess.stop()
+    }
     val t0 = System.nanoTime
     var i = 0; val cc = new Coord; var acc = 0.0
     while (i < 1000000) { cc.set((6 + i % 6) * GeoMath.DEG2RAD, (40 + (i % 20)) * GeoMath.DEG2RAD, 0, 0); Dispatch.trans(P2, true, cc); acc += cc.x; i += 1 }
