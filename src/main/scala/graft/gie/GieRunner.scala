@@ -104,6 +104,8 @@ object GieRunner {
       if (pos >= n) { bad = true }
       else if (args.startsWith("HUGE_VAL", pos)) {
         v(i) = Double.PositiveInfinity; pos += 8; dims += 1; i += 1
+      } else if (args.toLowerCase.startsWith("nan", pos)) {
+        v(i) = Double.NaN; pos += 3; dims += 1; i += 1
       } else {
         val (d0, end0) = NumParse.strtod(args, pos, allowUnderscore = true)
         var d = d0; var end = end0

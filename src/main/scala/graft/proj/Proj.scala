@@ -89,6 +89,17 @@ object Units {
   }
 }
 
+/** Datum → ellipsoid table (reference src/datums.cpp pj_datums; the
+  * towgs84/grid components apply only on the legacy cs2cs path). */
+object Datums {
+  val toEllps: Map[String, String] = Map(
+    "WGS84" -> "WGS84", "GGRS87" -> "GRS80", "NAD83" -> "GRS80",
+    "NAD27" -> "clrk66", "potsdam" -> "bessel", "carthage" -> "clrk80ign",
+    "hermannskogel" -> "bessel", "militargeographische_institut" -> "bessel",
+    "ire65" -> "mod_airy", "nzgd49" -> "intl", "OSGB36" -> "airy",
+    "ch1903" -> "bessel")
+}
+
 /** Prime meridian table (reference src/datums.cpp pj_prime_meridians). */
 object PrimeMeridians {
   val table: Map[String, String] = Map(
@@ -115,14 +126,24 @@ object Proj {
     val opDef = OpRegistry.byName.getOrElse(projName,
       throw ProjError(ProjErr.INVALID_OP_WRONG_SYNTAX, s"unknown operation: $projName"))
 
+    // expand +datum= to its ellipsoid (reference pj_datum_set +
+    // src/datums.cpp table; towgs84 shifts only matter on the cs2cs path)
+    val params1 = params0.s("datum") match {
+      case Some(d) =>
+        val ellps = Datums.toEllps.getOrElse(d,
+          throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, s"unknown datum $d"))
+        new ParamList(params0.entries :+ ("ellps" -> ellps))
+      case None => params0
+    }
+
     // append default ellps=GRS80 unless inhibited (src/init.cpp append_default_ellipsoid_to_paralist)
     val params = {
-      val inhibit = params0.has("no_defs") || projName == "pipeline" ||
-        params0.has("datum") || params0.has("ellps") || params0.has("a") ||
-        params0.has("b") || params0.has("rf") || params0.has("f") ||
-        params0.has("e") || params0.has("es")
-      if (inhibit) params0
-      else new ParamList(params0.entries :+ ("ellps" -> "GRS80"))
+      val inhibit = params1.has("no_defs") || projName == "pipeline" ||
+        params1.has("datum") || params1.has("ellps") || params1.has("a") ||
+        params1.has("b") || params1.has("rf") || params1.has("f") ||
+        params1.has("e") || params1.has("es") || params1.has("R")
+      if (inhibit) params1
+      else new ParamList(params1.entries :+ ("ellps" -> "GRS80"))
     }
 
     val P = new PJ(params, projName)

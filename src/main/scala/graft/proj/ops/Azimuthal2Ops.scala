@@ -212,10 +212,17 @@ object Azimuthal2Ops {
     val bigC: Double = math.sqrt(1 + es * cphi2 * cphi2 / (1 - es))
     val chi: Double = math.asin(sphi / bigC)
     private val ratexp = 0.5 * bigC * e
-    private val k: Double =
-      if (0.5 * phi0 + QUARTERPI < 1e-10) 1.0 / srat(e * sphi, ratexp)
+    private val k: Double = {
+      // degenerate (near-unity eccentricity) ellipsoids underflow srat;
+      // the reference fails creation there (pj_gauss_ini returning null)
+      val sr = srat(e * sphi, ratexp)
+      if (sr == 0.0 || bigC == 0.0 || bigC.isNaN)
+        throw graft.core.ProjError(graft.core.ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE,
+          "gauss: degenerate ellipsoid")
+      if (0.5 * phi0 + QUARTERPI < 1e-10) 1.0 / sr
       else math.tan(0.5 * chi + QUARTERPI) /
-        (math.pow(math.tan(0.5 * phi0 + QUARTERPI), bigC) * srat(e * sphi, ratexp))
+        (math.pow(math.tan(0.5 * phi0 + QUARTERPI), bigC) * sr)
+    }
 
     @inline private def srat(esinp: Double, exp: Double): Double =
       math.pow((1 - esinp) / (1 + esinp), exp)

@@ -29,7 +29,11 @@ object CoreOps {
     P.x0 = 0; P.y0 = 0
     P.left = IOUnits.RADIANS; P.right = IOUnits.RADIANS
     P.kernel = new OpKernel {
-      val caps = FWD4 | INV4
+      val caps = FWD2 | INV2 | FWD3 | INV3 | FWD4 | INV4
+      override def fwd2(c: Coord): Unit = ()
+      override def inv2(c: Coord): Unit = ()
+      override def fwd3(c: Coord): Unit = ()
+      override def inv3(c: Coord): Unit = ()
       override def fwd4(c: Coord): Unit = ()
       override def inv4(c: Coord): Unit = ()
     }

@@ -358,12 +358,21 @@ object ObliqueOps {
     val lk = link.kernel
     val hasFwd = link.hasCap(FWD2)
     val hasInv = link.hasCap(INV2)
+    def linkFwd(c: graft.core.Coord): Unit =
+      if (link.hasCap(FWD2)) lk.fwd2(c)
+      else if (link.hasCap(FWD3)) lk.fwd3(c)
+      else lk.fwd4(c)
+    def linkInv(c: graft.core.Coord): Unit =
+      if (link.hasCap(INV2)) lk.inv2(c)
+      else if (link.hasCap(INV3)) lk.inv3(c)
+      else lk.inv4(c)
 
     // speculative latlong-rotation case: no CLASSIC scaling (reference tail)
     if (link.right == IOUnits.RADIANS) P.right = IOUnits.WHATEVER
 
     P.kernel = new OpKernel {
       val caps = (if (hasFwd) FWD2 else 0) | (if (hasInv) INV2 else 0)
+
       override def fwd2(c: Coord): Unit = {
         val coslam = math.cos(c.x)
         val sinphi = math.sin(c.y)
@@ -376,10 +385,10 @@ object ObliqueOps {
           c.x = adjlon(aatan2(cosphi * math.sin(c.x), sinphi) + lampF)
           c.y = aasin(c, -cosphi * coslam)
         }
-        lk.fwd2(c)
+        linkFwd(c)
       }
       override def inv2(c: Coord): Unit = {
-        lk.inv2(c)
+        linkInv(c)
         if (c.x != Double.PositiveInfinity) {
           if (oblique) {
             val lam = c.x - lampF

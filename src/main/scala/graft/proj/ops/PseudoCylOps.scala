@@ -243,7 +243,13 @@ object PseudoCylOps {
         val y2 = yc * yc
         val y6 = y2 * y2 * y2
         c.x = M * x * (A1 + 3 * A2 * y2 + y6 * (7 * A3 + 9 * A4 * y2)) / math.cos(yc)
-        var phi = math.asin(math.sin(yc) / M)
+        // the pole is catastrophically sensitive to the last ulp of y:
+        // treat ratios within 1e-12 of 1 as the pole (sub-cm effect)
+        val ratio = math.sin(yc) / M
+        var phi =
+          if (ratio >= 1 - 1e-12) HALFPI
+          else if (ratio <= -(1 - 1e-12)) -HALFPI
+          else math.asin(ratio)
         if (es != 0) phi = auth.latInverse(phi)
         c.y = phi
       }
