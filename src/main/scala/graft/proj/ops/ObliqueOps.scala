@@ -178,11 +178,15 @@ object ObliqueOps {
   private def krovakSetup(P: PJ, modified: Boolean): Unit = {
     val UQ = 1.04216856380474
     val S0 = 1.37008346281555
-    // fixed Bessel ellipsoid (reference krovak.cpp:214-216)
+    // fixed Bessel ellipsoid (reference krovak.cpp:286-289). The reference
+    // deliberately does NOT refresh P->ra here, so with e.g. +ellps=GRS80 the
+    // inverse prepare keeps dividing by the declared ellipsoid's a while the
+    // forward finalize multiplies by Bessel's a — an asymmetry its own test
+    // expectations encode (visible only near the cone apex). Keep ra stale
+    // to match.
     P.a = 6377397.155
     P.es = 0.006674372230614
     P.e = math.sqrt(P.es)
-    P.ra = 1.0 / P.a
     if (!P.params.has("lat_0")) P.phi0 = 0.863937979737193
     if (!P.params.has("lon_0")) P.lam0 = 0.7417649320975901 - 0.308341501185665
     if (!P.params.has("k") && !P.params.has("k_0")) P.k0 = 0.9999
