@@ -44,8 +44,11 @@ object GieRunner {
     var line = line0
     val hash = line.indexOf('#')
     if (hash >= 0) line = line.substring(0, hash)
-    line.dropWhile(c => Character.isWhitespace(c) || c == ';')
+    line = line.dropWhile(c => Character.isWhitespace(c) || c == ';')
       .reverse.dropWhile(c => Character.isWhitespace(c) || c == ';').reverse
+    // drop shell-style line continuations
+    if (line.endsWith("\\")) line.dropRight(1).reverse.dropWhile(Character.isWhitespace).reverse
+    else line
   }
 
   private def isDecorative(s: String): Boolean =
@@ -296,7 +299,7 @@ object GieRunner {
       else st.ko(lineno, "failed to fail")
       return
     }
-    val (e, _) = parseCoord(args)
+    val (e, expectDims) = parseCoord(args)
     if (e == null) { st.ko(lineno, s"cannot parse expectation: $args"); return }
     val angOut = st.P.angularOutput(st.dirFwd)
     val degOut = st.P.degreeOutput(st.dirFwd)
@@ -305,8 +308,8 @@ object GieRunner {
       convCoord(st.P, st.dirFwd, st.a, toRad = true) else st.a
     val c = runCoord(st, ci)
     val co = Array(c.x, c.y, c.z, c.t)
-    if (st.dimsGiven < 4) co(3) = 0
-    if (st.dimsGiven < 3) co(2) = 0
+    if (expectDims < 4) co(3) = 0
+    if (expectDims < 3) co(2) = 0
     val d =
       if (co(0).isNaN && ce(0).isNaN) 0.0
       else if (angOut) lpzDist(st.P, ce, co)
@@ -321,7 +324,7 @@ object GieRunner {
         f"(got ${co(0)}%.12g ${co(1)}%.12g ${co(2)}%.9g, want $args)")
       return
     }
-    if (st.dimsGiven == 4 && math.abs(ce(3) - co(3)) > 1e-4) {
+    if (expectDims == 4 && math.abs(ce(3) - co(3)) > 1e-4) {
       st.ko(lineno, f"temporal deviation ${math.abs(ce(3) - co(3))}%.4f yr")
       return
     }
@@ -391,7 +394,14 @@ object GieRunner {
           st.tolerance = strtodScaled(cmd.args, 1)
           if (st.tolerance == Double.PositiveInfinity) st.tolerance = 0.0005
         case "ignore" => st.ignore = errnoFromName(cmd.args.split("\\s+").headOption.getOrElse(""))
-        case "require_grid" => st.skipTest = true // no grid support yet
+        case "require_grid" =>
+          // skip only when the named grid genuinely is not available
+          val names = cmd.args.split("[,\\s]+").filter(_.nonEmpty)
+          val available = names.forall { n =>
+            Seq(s"/root/reference/data/$n", s"/root/reference/data/tests/$n")
+              .exists(pth => java.nio.file.Files.isReadable(java.nio.file.Paths.get(pth)))
+          }
+          if (!available) st.skipTest = true
         case "skip" => st.fileSkip = true
         case _ => () // banner, verbose, echo, use_proj4_init_rules
       }
@@ -403,8 +413,11 @@ object GieRunner {
   /** CLI: run the given gie files (default: builtins + more_builtins). */
   def main(args: Array[String]): Unit = {
     val files = if (args.nonEmpty) args.toSeq else Seq(
-      "/root/reference/test/gie/builtins.gie",
-      "/root/reference/test/gie/more_builtins.gie")
+      "builtins", "more_builtins", "gridshift", "geotiff_grids", "tinshift",
+      "defmodel", "deformation", "DHDN_ETRS89", "GDA", "4D-API_cs2cs-style",
+      "ellipsoid", "axisswap", "unitconvert", "adams_hemi", "adams_ws1",
+      "adams_ws2", "guyou", "peirce_q", "spilhaus"
+    ).map(n => s"/root/reference/test/gie/$n.gie")
     val total = new Stats
     for (f <- files) {
       val s = runFile(f)

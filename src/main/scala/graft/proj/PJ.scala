@@ -81,6 +81,14 @@ final class PJ(val params: ParamList, val shortName: String) extends Serializabl
     * axisswap sub-op for +axis. */
   var cartSub: PJ = null
   var axisswapSub: PJ = null
+  // cs2cs-emulation sub-operations (reference create.cpp:49-200): applied in
+  // fwd prepare / inv finalize to make a lone CRS-style op behave as the
+  // transformation from the WGS84 hub, like proj_trans does
+  var emuHgrid: PJ = null
+  var emuVgrid: PJ = null
+  var emuHelmert: PJ = null
+  var emuCart: PJ = null
+  var emuCartWgs84: PJ = null
 
   var kernel: OpKernel = null
 
@@ -216,8 +224,23 @@ object Dispatch {
       }
       if (c.z == Double.PositiveInfinity) { c.setError(ProjErr.COORD_TRANSFM_INVALID_COORD); return }
       if (P.geoc) GeocentricLatitude.convert(P, forward = false, c)
-      // (legacy +towgs84/+nadgrids sub-shifts intentionally unsupported —
-      // the gie corpus drives datum shifts through explicit pipelines)
+      // legacy cs2cs emulation: step from the WGS84 hub into the local frame
+      // (reference src/fwd.cpp:94-113)
+      if (P.emuHgrid != null) {
+        trans(P.emuHgrid, forward = false, c)
+        if (c.x == Double.PositiveInfinity) return
+      } else if (P.emuHelmert != null || (P.emuCartWgs84 != null && P.emuCart != null)) {
+        if (c.z == Double.PositiveInfinity) c.z = 0
+        if (c.t == Double.PositiveInfinity) c.t = 0
+        trans(P.emuCartWgs84, forward = true, c)
+        if (P.emuHelmert != null) trans(P.emuHelmert, forward = false, c)
+        trans(P.emuCart, forward = false, c)
+        if (c.x == Double.PositiveInfinity) return
+      }
+      if (P.emuVgrid != null) {
+        trans(P.emuVgrid, forward = true, c)
+        if (c.x == Double.PositiveInfinity) return
+      }
       c.x = (c.x - P.fromGreenwich) - P.lam0
       if (!P.over) c.x = adjlon(c.x)
       return
@@ -277,6 +300,23 @@ object Dispatch {
     if (P.left == RADIANS) {
       c.x = c.x + P.fromGreenwich + P.lam0
       if (!P.over) c.x = adjlon(c.x)
+      // legacy cs2cs emulation: step from the local frame back to the WGS84
+      // hub (reference src/inv.cpp:120-143)
+      if (P.emuVgrid != null) {
+        trans(P.emuVgrid, forward = false, c)
+        if (c.x == Double.PositiveInfinity) return
+      }
+      if (P.emuHgrid != null) {
+        trans(P.emuHgrid, forward = true, c)
+        if (c.x == Double.PositiveInfinity) return
+      } else if (P.emuHelmert != null || (P.emuCartWgs84 != null && P.emuCart != null)) {
+        if (c.z == Double.PositiveInfinity) c.z = 0
+        if (c.t == Double.PositiveInfinity) c.t = 0
+        trans(P.emuCart, forward = true, c)
+        if (P.emuHelmert != null) trans(P.emuHelmert, forward = true, c)
+        trans(P.emuCartWgs84, forward = false, c)
+        if (c.x == Double.PositiveInfinity) return
+      }
       if (P.geoc) GeocentricLatitude.convert(P, forward = true, c)
     }
   }

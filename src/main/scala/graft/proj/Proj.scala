@@ -98,6 +98,18 @@ object Datums {
     "hermannskogel" -> "bessel", "militargeographische_institut" -> "bessel",
     "ire65" -> "mod_airy", "nzgd49" -> "intl", "OSGB36" -> "airy",
     "ch1903" -> "bessel")
+  /** datum shift definitions for the legacy cs2cs path. */
+  val toDefn: Map[String, (String, String)] = Map(
+    "WGS84" -> ("towgs84", "0,0,0"),
+    "GGRS87" -> ("towgs84", "-199.87,74.79,246.62"),
+    "NAD83" -> ("towgs84", "0,0,0"),
+    "NAD27" -> ("nadgrids", "@conus,@alaska,@ntv2_0.gsb,@ntv1_can.dat"),
+    "potsdam" -> ("nadgrids", "@BETA2007.gsb"),
+    "carthage" -> ("towgs84", "-263.0,6.0,431.0"),
+    "hermannskogel" -> ("towgs84", "577.326,90.129,463.919,5.137,1.474,5.297,2.4232"),
+    "ire65" -> ("towgs84", "482.530,-130.596,564.557,-1.042,-0.214,-0.631,8.15"),
+    "nzgd49" -> ("towgs84", "59.47,-5.04,187.44,0.47,-0.1,1.024,-4.5993"),
+    "OSGB36" -> ("towgs84", "446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894"))
 }
 
 /** Prime meridian table (reference src/datums.cpp pj_prime_meridians). */
@@ -125,7 +137,9 @@ object Proj {
     * from the legacy proj4 epsg init table. */
   private val epsgInit: Map[String, String] = Map(
     "25832" -> "proj=utm zone=32 ellps=GRS80 towgs84=0,0,0 units=m no_defs",
-    "25833" -> "proj=utm zone=33 ellps=GRS80 towgs84=0,0,0 units=m no_defs")
+    "25833" -> "proj=utm zone=33 ellps=GRS80 towgs84=0,0,0 units=m no_defs",
+    "26915" -> "proj=utm zone=15 datum=NAD83 units=m no_defs",
+    "3857" -> "proj=webmerc datum=WGS84 units=m no_defs")
 
   private def expandInit(params: ParamList): ParamList = params.s("init") match {
     case None => params
@@ -156,13 +170,24 @@ object Proj {
             throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID, s"unterminated $key in $file")
           noComments.substring(after, end).replace('\n', ' ')
         }
-      new ParamList(params.entries ++ ParamList.parse(body).entries)
+      // insert right after the init token — appending at the end would leak
+      // the expansion into the last step of a pipeline string
+      val idx = params.entries.indexWhere(_._1 == "init")
+      new ParamList(params.entries.take(idx + 1) ++ ParamList.parse(body).entries ++
+        params.entries.drop(idx + 1))
   }
 
   def create(params0pre: ParamList): PJ = {
     val params0 = expandInit(params0pre)
-    val projName = params0.s("proj").getOrElse(
-      throw ProjError(ProjErr.INVALID_OP_MISSING_ARG, "missing proj= argument"))
+    val projName = params0.s("proj").getOrElse {
+      // a non-empty string with no key=value structure at all is a syntax
+      // error (like proj_create on a bogus CRS string); an op definition
+      // that has arguments but lacks proj= is a missing-argument error
+      val anyKeyValue = params0.entries.exists(_._2.nonEmpty)
+      if (params0.entries.nonEmpty && !anyKeyValue)
+        throw ProjError(ProjErr.INVALID_OP_WRONG_SYNTAX, "not a parseable operation definition")
+      throw ProjError(ProjErr.INVALID_OP_MISSING_ARG, "missing proj= argument")
+    }
     if (projName.isEmpty)
       throw ProjError(ProjErr.INVALID_OP_MISSING_ARG, "empty proj= argument")
 
@@ -175,7 +200,12 @@ object Proj {
       case Some(d) =>
         val ellps = Datums.toEllps.getOrElse(d,
           throw ProjError(ProjErr.INVALID_OP_ILLEGAL_ARG_VALUE, s"unknown datum $d"))
-        new ParamList(params0.entries :+ ("ellps" -> ellps))
+        val extra = ("ellps" -> ellps) +: Datums.toDefn.get(d).toVector
+        // insert right after the datum token: appending at the end would
+        // leak the expansion into the last step of a pipeline string
+        val idx = params0.entries.indexWhere(_._1 == "datum")
+        new ParamList(params0.entries.take(idx + 1) ++ extra ++
+          params0.entries.drop(idx + 1))
       case None => params0
     }
 
@@ -290,7 +320,52 @@ object Proj {
       sub.skipInvPrepare = true; sub.skipInvFinalize = true
       P.axisswapSub = sub
     }
+    cs2csEmulationSetup(P)
     P
+  }
+
+  /** Legacy cs2cs emulation (reference src/create.cpp cs2cs_emulation_setup
+    * :49-200): +geoidgrids/+nadgrids/+towgs84 make a lone CRS-style op act
+    * as the transformation from the WGS84 hub, via sub-operations applied in
+    * the fwd prepare / inv finalize steps. */
+  private def cs2csEmulationSetup(P: PJ): Unit = {
+    val params = P.params
+    if (params.has("break_cs2cs_recursion")) return
+
+    def sub(defn: Vector[(String, String)]): PJ = {
+      val q = create(new ParamList(("break_cs2cs_recursion" -> "") +: defn))
+      q.skipFwdPrepare = true; q.skipFwdFinalize = true
+      q.skipInvPrepare = true; q.skipInvFinalize = true
+      q
+    }
+
+    params.s("geoidgrids").filter(_.nonEmpty).foreach { names =>
+      P.emuVgrid = sub(Vector("proj" -> "vgridshift", "grids" -> names))
+    }
+    params.s("nadgrids").filter(_.nonEmpty).foreach { names =>
+      P.emuHgrid = sub(Vector("proj" -> "hgridshift", "grids" -> names))
+    }
+    if (P.emuHgrid == null) {
+      params.s("towgs84").foreach { tw =>
+        val d = tw.split(",").map(v => { val x = NumParse.atof(v); if (x.isNaN) 0.0 else x })
+          .padTo(7, 0.0)
+        if (d.forall(_ == 0.0)) {
+          // null shift: only the change of ellipsoid matters, if any
+          if (!(math.abs(P.a - 6378137.0) < 1e-8 &&
+              math.abs(P.es - 0.0066943799901413) < 1e-15)) {
+            P.emuCart = sub(Vector("proj" -> "cart",
+              "a" -> P.a.toString, "es" -> P.es.toString))
+            P.emuCartWgs84 = sub(Vector("proj" -> "cart", "ellps" -> "WGS84"))
+          }
+        } else {
+          P.emuHelmert = sub(Vector("proj" -> "helmert", "exact" -> "",
+            "towgs84" -> tw, "convention" -> "position_vector"))
+          P.emuCart = sub(Vector("proj" -> "cart",
+            "a" -> P.a.toString, "es" -> P.es.toString))
+          P.emuCartWgs84 = sub(Vector("proj" -> "cart", "ellps" -> "WGS84"))
+        }
+      }
+    }
   }
 
   /** pj_ellipsoid (reference src/ell_set.cpp:21-135). */
@@ -315,8 +390,11 @@ object Proj {
     // explicit size/shape override table values
     ellpsSize(P, required = !params.has("ellps"))
     ellpsShapeFrom(P, params)
-    ellpsSpherification(P)
+    // derive b and validate f BEFORE spherification, like the reference
+    // (pj_ellipsoid calls pj_calc_ellipsoid_params before spherification,
+    // so R_a/R_g/R_h see the true semiminor axis)
     P.calcEllipsoidParams(P.a, P.es)
+    ellpsSpherification(P)
   }
 
   private def ellpsSize(P: PJ, required: Boolean = true): Unit =

@@ -2,21 +2,22 @@ package graft.proj.ops
 
 import graft.core.{Coord, GeoMath, ProjErr, ProjError}
 import graft.proj._
+import graft.proj.grids.GeoTiff
 import GeoMath._
 import OpKernel._
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.file.{Files, Paths}
 import scala.collection.mutable
 
-/** Grid-based datum shifts: +proj=vgridshift (.gtx geoid heights) and
-  * +proj=hgridshift (NTv2 .gsb lon/lat shifts).
+/** Grid-based datum shifts: +proj=vgridshift (GTX or GeoTIFF geoid heights)
+  * and +proj=hgridshift (NTv2 .gsb or GeoTIFF lon/lat shifts).
   *
   * File-format and application semantics per reference src/grids.cpp
-  * (GTX reader :246-365, NTv2 reader :2097-2330, bilinear interpolation
-  * with nodata handling :3593-3750 and :3326-3396, iterative inverse
-  * :3402-3508) and src/transformations/{vgridshift,hgridshift}.cpp.
-  * Both formats are public specifications (NOAA VDatum GTX; Natural
-  * Resources Canada NTv2).
+  * (GTX reader :246-365, NTv2 reader :2097-2330, GeoTIFF vertical/horizontal
+  * grid selection :1521-1610 and :2460-2654, bilinear interpolation with
+  * nodata handling :3593-3750 and :3326-3396, iterative inverse :3402-3508)
+  * and src/transformations/{vgridshift,hgridshift}.cpp. All formats are
+  * public specifications.
   *
   * Grids load once per JVM and are cached; in a Spark job the cache warms
   * once per executor, so the per-row cost is a bilinear lookup.
@@ -33,7 +34,7 @@ object GridShiftOps {
 
   private def resolve(name: String): Option[Array[Byte]] = {
     val candidates =
-      DATA_DIRS.map(d => s"$d/$name") ++
+      DATA_DIRS.map(d => s"$d/$name") ++ Seq(name) ++
         ALIASES.get(name.split('/').last).toSeq.flatMap(a => DATA_DIRS.map(d => s"$d/$a"))
     candidates.iterator
       .map(Paths.get(_))
@@ -41,29 +42,24 @@ object GridShiftOps {
       .map(Files.readAllBytes)
   }
 
-  // ---------------- vertical grids (.gtx) ----------------
+  private def isTiff(bytes: Array[Byte]): Boolean =
+    bytes.length > 4 &&
+      ((bytes(0) == 'I' && bytes(1) == 'I') || (bytes(0) == 'M' && bytes(1) == 'M'))
 
-  final class GtxGrid(bytes: Array[Byte]) {
-    private val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-    val south: Double = bb.getDouble(0) * DEG2RAD
-    private val xorigin0 = bb.getDouble(8)
-    val resY: Double = bb.getDouble(16) * DEG2RAD
-    val resX: Double = bb.getDouble(24) * DEG2RAD
-    val height: Int = bb.getInt(32)
-    val width: Int = bb.getInt(36)
-    if (width <= 0 || height <= 0 || xorigin0 < -360 || xorigin0 > 360 ||
-        bb.getDouble(0) < -90 || bb.getDouble(0) > 90)
-      throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID, "gtx: invalid header")
-    // shift 0-360 grids into -180..180 when possible (reference :290-293)
-    val west: Double = (if (xorigin0 >= 180.0) xorigin0 - 360.0 else xorigin0) * DEG2RAD
-    val east: Double = west + resX * (width - 1)
-    val north: Double = south + resY * (height - 1)
-    def fullWorldLon: Boolean = east - west + resX >= 2 * math.Pi - 1e-10
-    def valueAt(x: Int, y: Int): Float = bb.getFloat(40 + 4 * (y * width + x))
-    def isNodata(v: Float, mult: Double): Boolean =
-      v * mult > 1000 || v * mult < -1000 || v == -88.88880f
+  // ---------------- vertical grids ----------------
 
-    def contains(lam: Double, phi: Double): Boolean = {
+  /** vertical shift grid, any backend (reference VerticalShiftGrid). */
+  sealed trait VGrid {
+    def west: Double; def east: Double; def south: Double; def north: Double
+    def resX: Double; def resY: Double
+    def width: Int; def height: Int
+    def children: Seq[VGrid]
+    def valueAt(x: Int, y: Int): Float
+    def isNodata(v: Float, mult: Double): Boolean
+
+    final def fullWorldLon: Boolean = east - west + resX >= 2 * math.Pi - 1e-10
+
+    final def containsPoint(lam: Double, phi: Double): Boolean = {
       if (!(phi >= south && phi <= north)) return false
       if (fullWorldLon) return true
       var x = lam
@@ -71,8 +67,9 @@ object GridShiftOps {
       x >= west && x <= east
     }
 
-    /** bilinear geoid height at (lam, phi) radians, or NaN outside/nodata. */
-    def interp(lam: Double, phi: Double, mult: Double, c: Coord): Double = {
+    /** bilinear value at (lam, phi) radians, or NaN outside/nodata
+      * (reference read_vgrid_value :3593-3750). */
+    final def interp(lam: Double, phi: Double, mult: Double, c: Coord): Double = {
       var gx = (lam - west) / resX
       if (lam < west || lam > east) {
         if (fullWorldLon) {
@@ -112,23 +109,148 @@ object GridShiftOps {
     }
   }
 
-  // ---------------- horizontal grids (NTv2 .gsb) ----------------
+  final class GtxGrid(bytes: Array[Byte]) extends VGrid {
+    private val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val south: Double = bb.getDouble(0) * DEG2RAD
+    private val xorigin0 = bb.getDouble(8)
+    val resY: Double = bb.getDouble(16) * DEG2RAD
+    val resX: Double = bb.getDouble(24) * DEG2RAD
+    val height: Int = bb.getInt(32)
+    val width: Int = bb.getInt(36)
+    if (width <= 0 || height <= 0 || xorigin0 < -360 || xorigin0 > 360 ||
+        bb.getDouble(0) < -90 || bb.getDouble(0) > 90)
+      throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID, "gtx: invalid header")
+    // shift 0-360 grids into -180..180 when possible (reference :290-293)
+    val west: Double = (if (xorigin0 >= 180.0) xorigin0 - 360.0 else xorigin0) * DEG2RAD
+    val east: Double = west + resX * (width - 1)
+    val north: Double = south + resY * (height - 1)
+    def children: Seq[VGrid] = Nil
+    def valueAt(x: Int, y: Int): Float = bb.getFloat(40 + 4 * (y * width + x))
+    def isNodata(v: Float, mult: Double): Boolean =
+      v * mult > 1000 || v * mult < -1000 || v == -88.88880f
+  }
+
+  /** GeoTIFF vertical grid (reference GTiffVGrid :1445-1493): nodata only
+    * from the GDAL_NODATA tag. */
+  final class VTiffGrid(ifd: GeoTiff.Ifd, idxSample: Int) extends VGrid {
+    val kids = mutable.ListBuffer[VTiffGrid]()
+    def west = ifd.west; def east = ifd.east
+    def south = ifd.south; def north = ifd.north
+    def resX = ifd.resX; def resY = ifd.resY
+    def width = ifd.width; def height = ifd.height
+    def children: Seq[VGrid] = kids.toSeq
+    def valueAt(x: Int, y: Int): Float = ifd.valueAt(idxSample, x, y)
+    def isNodata(v: Float, mult: Double): Boolean = ifd.isNodata(v)
+    def meta(key: String, sample: Int = -1): String = ifd.meta(key, sample)
+    def contains(o: VTiffGrid): Boolean =
+      west <= o.west && east >= o.east && south <= o.south && north >= o.north
+  }
+
+  /** build the vertical-grid hierarchy from a GeoTIFF
+    * (reference GTiffVGridShiftSet::open :1521-1610). */
+  private def vTiffGrids(bytes: Array[Byte]): List[VGrid] = {
+    val ifds = GeoTiff.parse(bytes)
+    var idxSample = 0 // persists across IFDs, like the reference
+    val tops = mutable.ListBuffer[VTiffGrid]()
+    val byName = mutable.Map[String, VTiffGrid]()
+    var i = -1
+    for (ifd <- ifds) {
+      i += 1
+      val usable = ifd.subfileType == 0 || ifd.subfileType == 2
+      if (!usable) {
+        if (i == 0) throw new GeoTiff.TiffError("invalid subfileType")
+      } else {
+        var foundAnyDesc = false
+        var foundShift = false
+        var s = 0
+        while (s < ifd.samplesPerPixel) {
+          val desc = ifd.meta("DESCRIPTION", s)
+          if (desc.nonEmpty) foundAnyDesc = true
+          if (desc == "geoid_undulation" || desc == "vertical_offset" ||
+              desc == "hydroid_height" || desc == "ellipsoidal_height_offset") {
+            idxSample = s; foundShift = true
+          }
+          s += 1
+        }
+        val skip = foundAnyDesc && !foundShift
+        if (skip && i == 0) throw new GeoTiff.TiffError("IFD 0 has no vertical shift channel")
+        if (!skip) {
+          if (idxSample >= ifd.samplesPerPixel) throw new GeoTiff.TiffError("invalid sample index")
+          val g = new VTiffGrid(ifd, idxSample)
+          insertHierarchy[VTiffGrid](g, ifd.meta("grid_name"), ifd.meta("parent_grid_name"),
+            tops, byName, _.contains(_), _.kids)
+        }
+      }
+    }
+    if (tops.isEmpty) throw new GeoTiff.TiffError("no usable vertical grid")
+    tops.toList
+  }
+
+  /** reference insertIntoHierarchy (src/grids.cpp :1396-1441) */
+  private def insertHierarchy[G](g: G, gridName: String, parentName: String,
+                                 tops: mutable.ListBuffer[G],
+                                 byName: mutable.Map[String, G],
+                                 contains: (G, G) => Boolean,
+                                 kidsOf: G => mutable.ListBuffer[G]): Unit = {
+    if (gridName.nonEmpty) byName(gridName) = g
+    if (parentName.nonEmpty) {
+      byName.get(parentName) match {
+        case Some(p) if contains(p, g) => kidsOf(p) += g; return
+        case _ => () // bounding-box fallback
+      }
+    } else if (gridName.nonEmpty) {
+      tops += g; return
+    }
+    for (cand <- tops) {
+      if (contains(cand, g)) {
+        var parent = cand
+        var descended = true
+        while (descended) {
+          descended = false
+          val it = kidsOf(parent).iterator
+          while (it.hasNext && !descended) {
+            val ch = it.next()
+            if (contains(ch, g)) { parent = ch; descended = true }
+          }
+        }
+        kidsOf(parent) += g
+        return
+      }
+    }
+    tops += g
+  }
+
+  // ---------------- horizontal grids ----------------
+
+  /** horizontal shift grid, any backend; valueAt returns east-positive
+    * (lonShiftRad, latShiftRad) at a node. */
+  sealed trait HGrid {
+    def west: Double; def east: Double; def south: Double; def north: Double
+    def resX: Double; def resY: Double
+    def width: Int; def height: Int
+    def children: Seq[HGrid]
+    /** (lonShiftRad, latShiftRad); compensate flips the NTv2/CTable2
+      * positive-west convention to east-positive (GeoTIFF grids carry their
+      * own convention and ignore the flag, like the reference). */
+    def valueAt(x: Int, y: Int, compensate: Boolean): (Float, Float)
+  }
 
   /** One NTv2 subgrid: row 0 at south, file columns east-to-west. */
   final class Ntv2Grid(bb: ByteBuffer, val offset: Int,
                        val west: Double, val south: Double,
                        val east: Double, val north: Double,
                        val resX: Double, val resY: Double,
-                       val width: Int, val height: Int) {
-    val children = mutable.ListBuffer[Ntv2Grid]()
-    /** (lonShiftEastRad, latShiftRad) at grid node, NT convention compensated. */
-    def valueAt(x: Int, y: Int): (Float, Float) = {
+                       val width: Int, val height: Int) extends HGrid {
+    val kids = mutable.ListBuffer[Ntv2Grid]()
+    def children: Seq[HGrid] = kids.toSeq
+    def valueAt(x: Int, y: Int, compensate: Boolean): (Float, Float) = {
       val fileCol = width - 1 - x // NTv2 stores east to west
       val rec = offset + 16 * (y * width + fileCol)
       val latS = bb.getFloat(rec)
       val lonS = bb.getFloat(rec + 4)
       val toRad = (math.Pi / 180.0) / 3600.0
-      ((-(lonS * toRad)).toFloat, (latS * toRad).toFloat) // west-positive -> east-positive
+      val sign = if (compensate) -1.0 else 1.0 // west-positive -> east-positive
+      ((sign * lonS * toRad).toFloat, (latS * toRad).toFloat)
     }
   }
 
@@ -142,7 +264,7 @@ object GridShiftOps {
       else if (le.getInt(8) == 11) le
       else throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID, "ntv2: bad NUM_OREC")
     }
-    val grids: List[Ntv2Grid] = {
+    val grids: List[HGrid] = {
       val numSubfiles = bb.getInt(40) // NUM_FILE value at 8 + 32
       val byName = mutable.Map[String, Ntv2Grid]()
       val roots = mutable.ListBuffer[Ntv2Grid]()
@@ -171,7 +293,7 @@ object GridShiftOps {
           throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID, "ntv2: GS_COUNT mismatch")
         val g = new Ntv2Grid(bb, off + 11 * 16, west, south, east, north, resX, resY, cols, rows)
         byName.get(parent) match {
-          case Some(p) => p.children += g
+          case Some(p) => p.kids += g
           case None => roots += g
         }
         byName(name) = g
@@ -182,7 +304,117 @@ object GridShiftOps {
     }
   }
 
-  private def inExtent(lam0: Double, phi: Double, g: Ntv2Grid, eps: Double): Boolean = {
+  /** CTable2 grid (reference CTable2Grid :1977-2056): little-endian header
+    * with west/south/resX/resY doubles in radians at byte 96, width/height
+    * ints at 128, then (lonShift, latShift) float pairs in radians. */
+  final class CTable2Grid(bytes: Array[Byte]) extends HGrid {
+    private val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val west: Double = bb.getDouble(96)
+    val south: Double = bb.getDouble(104)
+    val resX: Double = bb.getDouble(112)
+    val resY: Double = bb.getDouble(120)
+    val width: Int = bb.getInt(128)
+    val height: Int = bb.getInt(132)
+    if (!(math.abs(west) <= 4 * math.Pi && math.abs(south) <= math.Pi + 1e-5 &&
+          resX > 1e-10 && resY > 1e-10) || width <= 0 || height <= 0)
+      throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID, "ctable2: bad header")
+    val east: Double = west + (width - 1) * resX
+    // the reference computes north with resX too; keep the same behavior
+    val north: Double = south + (height - 1) * resX
+    def children: Seq[HGrid] = Nil
+    def valueAt(x: Int, y: Int, compensate: Boolean): (Float, Float) = {
+      val rec = 160 + 8 * (y * width + x)
+      val lonS = bb.getFloat(rec)
+      val latS = bb.getFloat(rec + 4)
+      ((if (compensate) -lonS else lonS), latS)
+    }
+  }
+
+  /** GeoTIFF horizontal grid (reference GTiffHGrid :2440-2462). */
+  final class HTiffGrid(ifd: GeoTiff.Ifd, idxLat: Int, idxLon: Int,
+                        convToRad: Double, positiveEast: Boolean) extends HGrid {
+    val kids = mutable.ListBuffer[HTiffGrid]()
+    def west = ifd.west; def east = ifd.east
+    def south = ifd.south; def north = ifd.north
+    def resX = ifd.resX; def resY = ifd.resY
+    def width = ifd.width; def height = ifd.height
+    def children: Seq[HGrid] = kids.toSeq
+    def valueAt(x: Int, y: Int, compensate: Boolean): (Float, Float) = {
+      val latS = (ifd.valueAt(idxLat, x, y) * convToRad).toFloat
+      var lonS = (ifd.valueAt(idxLon, x, y) * convToRad).toFloat
+      if (!positiveEast) lonS = -lonS
+      (lonS, latS)
+    }
+    def contains(o: HTiffGrid): Boolean =
+      west <= o.west && east >= o.east && south <= o.south && north >= o.north
+  }
+
+  /** build the horizontal-grid hierarchy from a GeoTIFF
+    * (reference GTiffHGridShiftSet::open :2500-2654). */
+  private def hTiffGrids(bytes: Array[Byte]): List[HGrid] = {
+    val ifds = GeoTiff.parse(bytes)
+    val ARCSEC = DEG2RAD / 3600.0
+    // defaults persist across IFDs, like the reference
+    var idxLat = 0; var idxLon = 1
+    var convToRad = ARCSEC
+    var positiveEast = true
+    val tops = mutable.ListBuffer[HTiffGrid]()
+    val byName = mutable.Map[String, HTiffGrid]()
+    var i = -1
+    for (ifd <- ifds) {
+      i += 1
+      val usable = ifd.subfileType == 0 || ifd.subfileType == 2
+      if (!usable) {
+        if (i == 0) throw new GeoTiff.TiffError("invalid subfileType")
+      } else {
+        var foundAnyDesc = false
+        var foundLat = false; var foundLon = false
+        var s = 0
+        while (s < ifd.samplesPerPixel) {
+          val desc = ifd.meta("DESCRIPTION", s)
+          if (desc.nonEmpty) foundAnyDesc = true
+          if (desc == "latitude_offset") { idxLat = s; foundLat = true }
+          else if (desc == "longitude_offset") { idxLon = s; foundLon = true }
+          s += 1
+        }
+        val skip = foundAnyDesc && !foundLat && !foundLon
+        if (skip && i == 0) throw new GeoTiff.TiffError("IFD 0 has no lon/lat offset channels")
+        if (!skip) {
+          if (foundLat != foundLon)
+            throw new GeoTiff.TiffError("latitude_offset and longitude_offset must both be present")
+          if (idxLat >= ifd.samplesPerPixel || idxLon >= ifd.samplesPerPixel)
+            throw new GeoTiff.TiffError("invalid sample index")
+          if (foundLon) {
+            ifd.meta("positive_value", idxLon) match {
+              case "" => ()
+              case "west" => positiveEast = false
+              case "east" => positiveEast = true
+              case other => throw new GeoTiff.TiffError(s"unsupported positive_value $other")
+            }
+          }
+          val unitLat = ifd.meta("UNITTYPE", idxLat)
+          val unitLon = ifd.meta("UNITTYPE", idxLon)
+          if (unitLat != unitLon)
+            throw new GeoTiff.TiffError("different units for lon and lat offsets")
+          if (unitLat.nonEmpty) {
+            convToRad = unitLat match {
+              case "arc-second" | "arc-seconds per year" => ARCSEC
+              case "radian" => 1.0
+              case "degree" => DEG2RAD
+              case other => throw new GeoTiff.TiffError(s"unsupported unit $other")
+            }
+          }
+          val g = new HTiffGrid(ifd, idxLat, idxLon, convToRad, positiveEast)
+          insertHierarchy[HTiffGrid](g, ifd.meta("grid_name"), ifd.meta("parent_grid_name"),
+            tops, byName, _.contains(_), _.kids)
+        }
+      }
+    }
+    if (tops.isEmpty) throw new GeoTiff.TiffError("no usable horizontal grid")
+    tops.toList
+  }
+
+  private def inExtent(lam0: Double, phi: Double, g: HGrid, eps: Double): Boolean = {
     if (!(phi + eps >= g.south && phi - eps <= g.north)) return false
     var lam = lam0
     if (lam + eps < g.west) lam += 2 * math.Pi
@@ -190,8 +422,8 @@ object GridShiftOps {
     lam + eps >= g.west && lam - eps <= g.east
   }
 
-  private def gridAt(roots: List[Ntv2Grid], lam: Double, phi: Double): Ntv2Grid = {
-    var cur: Ntv2Grid = null
+  private def gridAt(roots: List[HGrid], lam: Double, phi: Double): HGrid = {
+    var cur: HGrid = null
     roots.find { g => inExtent(lam, phi, g, (g.resX + g.resY) * RELTOL) } match {
       case Some(g0) =>
         cur = g0
@@ -211,7 +443,8 @@ object GridShiftOps {
 
   /** Bilinear shift lookup in grid-origin coords; NaN pair if outside
     * (reference pj_hgrid_interpolate :3326). Returns (dLam, dPhi) radians. */
-  private def hInterp(g: Ntv2Grid, tLam0: Double, tPhi0: Double): (Double, Double) = {
+  private def hInterp(g: HGrid, tLam0: Double, tPhi0: Double,
+                      compensate: Boolean = true): (Double, Double) = {
     val bad = (Double.NaN, Double.NaN)
     val tLam = tLam0 / g.resX
     var ixLam = if (tLam.isNaN) 0 else math.floor(tLam).toInt
@@ -229,10 +462,10 @@ object GridShiftOps {
     } else if (ixPhi + 1 >= g.height) {
       if (ixPhi + 1 == g.height && fPhi < 10 * RELTOL) { ixPhi -= 1; fPhi = 1 } else return bad
     }
-    val (f00x, f00y) = g.valueAt(ixLam, ixPhi)
-    val (f10x, f10y) = g.valueAt(ixLam + 1, ixPhi)
-    val (f01x, f01y) = g.valueAt(ixLam, ixPhi + 1)
-    val (f11x, f11y) = g.valueAt(ixLam + 1, ixPhi + 1)
+    val (f00x, f00y) = g.valueAt(ixLam, ixPhi, compensate)
+    val (f10x, f10y) = g.valueAt(ixLam + 1, ixPhi, compensate)
+    val (f01x, f01y) = g.valueAt(ixLam, ixPhi + 1, compensate)
+    val (f11x, f11y) = g.valueAt(ixLam + 1, ixPhi + 1, compensate)
     var m10 = fLam; var m11 = m10; var m01 = 1.0 - fLam; var m00 = m01
     m11 *= fPhi; m01 *= fPhi
     val fPhi1 = 1.0 - fPhi
@@ -243,7 +476,7 @@ object GridShiftOps {
 
   /** Apply an hgrid shift, forward or iterative-inverse
     * (reference pj_hgrid_apply_internal :3402). Writes into c or errors. */
-  private def hApply(roots: List[Ntv2Grid], c: Coord, forward: Boolean): Unit = {
+  private def hApply(roots: List[HGrid], c: Coord, forward: Boolean): Unit = {
     val grid = gridAt(roots, c.x, c.y)
     if (grid == null) { c.setError(ProjErr.COORD_TRANSFM_OUTSIDE_GRID); return }
     val eps = (grid.resX + grid.resY) * RELTOL
@@ -278,8 +511,8 @@ object GridShiftOps {
 
   // ---------------- grid cache + name list parsing ----------------
 
-  private val vCache = new java.util.concurrent.ConcurrentHashMap[String, GtxGrid]()
-  private val hCache = new java.util.concurrent.ConcurrentHashMap[String, Ntv2GridSet]()
+  private val vCache = new java.util.concurrent.ConcurrentHashMap[String, List[VGrid]]()
+  private val hCache = new java.util.concurrent.ConcurrentHashMap[String, List[HGrid]]()
 
   /** parse "a.gtx,@maybe.gtx" -> loaded grids; throws on non-optional miss.
     * `null` names denote the identity null grid. */
@@ -294,7 +527,20 @@ object GridShiftOps {
         if (cached != null) Some(cached)
         else resolve(name) match {
           case Some(bytes) =>
-            val g = mk(bytes); cache.putIfAbsent(name, g); Some(cache.get(name))
+            val gOpt =
+              try Some(mk(bytes))
+              catch {
+                case e: GeoTiff.TiffError =>
+                  if (canFail) None
+                  else throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID,
+                    s"gridshift: invalid grid $name: ${e.getMessage}")
+                case e: ProjError =>
+                  if (canFail) None else throw e
+              }
+            gOpt match {
+              case Some(g) => cache.putIfAbsent(name, g); Some(cache.get(name))
+              case None => None
+            }
           case None =>
             if (canFail) None
             else throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID,
@@ -302,6 +548,71 @@ object GridShiftOps {
         }
       }
     }
+  }
+
+  /** dispatch one horizontal grid file by magic bytes. */
+  def hLoad(bytes: Array[Byte]): List[HGrid] =
+    if (isTiff(bytes)) hTiffGrids(bytes)
+    else if (bytes.length >= 9 && new String(bytes, 0, 9, "ASCII") == "CTABLE V2")
+      List(new CTable2Grid(bytes))
+    else new Ntv2GridSet(bytes).grids
+
+  def vLoad(bytes: Array[Byte]): List[VGrid] =
+    if (isTiff(bytes)) vTiffGrids(bytes) else List(new GtxGrid(bytes))
+
+  def loadHGrids(names: String): (List[HGrid], Boolean) = {
+    val entries = loadList(names, hCache, hLoad _)
+    (entries.flatten.flatten, entries.exists(_.isEmpty))
+  }
+  def loadVGrids(names: String): (List[VGrid], Boolean) = {
+    val entries = loadList(names, vCache, vLoad _)
+    (entries.flatten.flatten, entries.exists(_.isEmpty))
+  }
+
+  /** grid shift value (not applied) at lp, east-positive radians, for the
+    * deformation op (reference pj_hgrid_value :3546; compensate=false). */
+  def hgridValue(roots: List[HGrid], lam: Double, phi: Double): (Double, Double) = {
+    val grid = gridAt(roots, lam, phi)
+    if (grid == null) return (Double.NaN, Double.NaN)
+    val eps = (grid.resX + grid.resY) * RELTOL
+    var tLam = lam - grid.west
+    if (tLam + eps < 0) tLam += 2 * math.Pi
+    else if (tLam - eps > grid.east - grid.west) tLam -= 2 * math.Pi
+    hInterp(grid, tLam, phi - grid.south, compensate = false)
+  }
+
+  /** vertical grid value ×mult at lp or NaN (reference read_vgrid_value). */
+  def vgridValue(grids: List[VGrid], lam: Double, phi: Double, mult: Double,
+                 c: Coord): Double = {
+    grids.find(_.containsPoint(lam, phi)) match {
+      case Some(g0) =>
+        var g = g0
+        var descended = true
+        while (descended) {
+          descended = false
+          val it = g.children.iterator
+          while (it.hasNext && !descended) {
+            val ch = it.next()
+            if (ch.containsPoint(lam, phi)) { g = ch; descended = true }
+          }
+        }
+        g.interp(lam, phi, mult, c)
+      case None => Double.NaN
+    }
+  }
+
+  /** +t_final= value; "now" means the current decimal year
+    * (reference src/param.cpp pj_parse_t_final :221-260). */
+  def parseTFinal(P: PJ): Double = P.params.s("t_final") match {
+    case None => 0.0
+    case Some("now") =>
+      val cal = java.util.Calendar.getInstance()
+      val year = cal.get(java.util.Calendar.YEAR)
+      val daysInYear = if (year % 4 == 0 && (year % 100 != 0 || year % 400 == 0)) 366 else 365
+      year + cal.get(java.util.Calendar.DAY_OF_YEAR).toDouble / daysInYear
+    case Some(v) =>
+      val d = NumParse.atof(v)
+      if (d.isNaN) 0.0 else d
   }
 
   // ---------------- the operations ----------------
@@ -312,28 +623,47 @@ object GridShiftOps {
       throw ProjError(ProjErr.INVALID_OP_MISSING_ARG, "vgridshift: +grids parameter missing")
     // historical: the forward direction subtracts the grid offset
     val multiplier = if (P.params.has("multiplier")) P.params.d("multiplier") else -1.0
-    val entries = loadList(P.params.s("grids").get, vCache, new GtxGrid(_))
-    val grids = entries.flatten
+    val entries = loadList(P.params.s("grids").get, vCache, vLoad _)
+    val grids = entries.flatten.flatten
     val hasNull = entries.exists(_.isEmpty)
+    val tFinal = parseTFinal(P)
+    val tEpoch = if (P.params.has("t_epoch")) P.params.d("t_epoch") else 0.0
     P.left = IOUnits.RADIANS; P.right = IOUnits.RADIANS
     P.kernel = new OpKernel {
       val caps = FWD4 | INV4
       private def value(c: Coord): Double = {
         if (c.x.isNaN || c.y.isNaN) return Double.NaN
-        grids.find(_.contains(c.x, c.y)) match {
-          case Some(g) => g.interp(c.x, c.y, multiplier, c)
+        grids.find(_.containsPoint(c.x, c.y)) match {
+          case Some(g0) =>
+            // descend to the most specific subgrid (reference gridAt :1709)
+            var g = g0
+            var descended = true
+            while (descended) {
+              descended = false
+              val it = g.children.iterator
+              while (it.hasNext && !descended) {
+                val ch = it.next()
+                if (ch.containsPoint(c.x, c.y)) { g = ch; descended = true }
+              }
+            }
+            g.interp(c.x, c.y, multiplier, c)
           case None =>
             if (hasNull) 0.0
             else { c.setError(ProjErr.COORD_TRANSFM_OUTSIDE_GRID); Double.NaN }
         }
       }
+      // time-restricted transforms only apply within the bracket
+      private def inBracket(c: Coord): Boolean =
+        tFinal == 0 || tEpoch == 0 || (c.t < tEpoch && tFinal > tEpoch)
       override def fwd4(c: Coord): Unit = {
         if (grids.isEmpty && !hasNull) return
+        if (!inBracket(c)) return
         val v = value(c)
         if (!v.isNaN) c.z += v
       }
       override def inv4(c: Coord): Unit = {
         if (grids.isEmpty && !hasNull) return
+        if (!inBracket(c)) return
         val v = value(c)
         if (!v.isNaN) c.z -= v
       }
@@ -344,18 +674,22 @@ object GridShiftOps {
   def hgridshift(P: PJ): Unit = {
     if (!P.params.has("grids"))
       throw ProjError(ProjErr.INVALID_OP_MISSING_ARG, "hgridshift: +grids parameter missing")
-    val entries = loadList(P.params.s("grids").get, hCache, new Ntv2GridSet(_))
-    val roots = entries.flatten.flatMap(_.grids)
+    val entries = loadList(P.params.s("grids").get, hCache, hLoad _)
+    val roots = entries.flatten.flatten
     val hasNull = entries.exists(_.isEmpty)
+    val tFinal = parseTFinal(P)
+    val tEpoch = if (P.params.has("t_epoch")) P.params.d("t_epoch") else 0.0
     P.left = IOUnits.RADIANS; P.right = IOUnits.RADIANS
     P.kernel = new OpKernel {
       val caps = FWD4 | INV4
+      private def inBracket(c: Coord): Boolean =
+        tFinal == 0 || tEpoch == 0 || (c.t < tEpoch && tFinal > tEpoch)
       override def fwd4(c: Coord): Unit = {
-        if (roots.isEmpty) { if (!hasNull) () else (); return }
+        if (roots.isEmpty || !inBracket(c)) return
         hApply(roots, c, forward = true)
       }
       override def inv4(c: Coord): Unit = {
-        if (roots.isEmpty) return
+        if (roots.isEmpty || !inBracket(c)) return
         hApply(roots, c, forward = false)
       }
     }
