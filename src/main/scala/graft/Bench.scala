@@ -97,7 +97,10 @@ object Bench {
     prepDocs(spark, nsDocs, docsPath)
     prepDocs(spark, math.max(nsDocs / 8, 100000), warmPath)
     val (_, nsWarm) = time { northstar(spark, warmPath) } // JIT warm
-    val (nRows, nsSec) = time { northstar(spark, docsPath) }
+    // best-of-3: the sandbox host is shared, so single runs are noisy
+    val nsRuns = (1 to 3).map(_ => time { northstar(spark, docsPath) })
+    val nRows = nsRuns.head._1
+    val nsSec = nsRuns.map(_._2).min
     val rowsPerSec = nsDocs / nsSec
     spark.stop()
 
@@ -109,12 +112,12 @@ object Bench {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     val sN = session(nCores)
     val (_, warmN) = time { northstar(sN, warmPath) } // JIT warm
-    val (_, tN) = time { northstar(sN, docsPath) }
+    val tN = (1 to 3).map(_ => time { northstar(sN, docsPath) }._2).min
     sN.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     val s4N = session(4 * nCores)
     val (_, warm4N) = time { northstar(s4N, warmPath) }
-    val (_, t4N) = time { northstar(s4N, docsPath) }
+    val t4N = (1 to 3).map(_ => time { northstar(s4N, docsPath) }._2).min
     s4N.stop()
 
     val thr8 = nsDocs / tN

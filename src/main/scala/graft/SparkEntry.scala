@@ -194,6 +194,35 @@ object SparkEntry {
         .groupBy("cell").agg(count(lit(1)).as("n"))
     }),
 
+    "geo_gridshift" -> ((s, dir) => {
+      // NADCON5 GeoTIFF grid shift (NAD83(2007)->NAD83(2011)) applied to
+      // derived points inside the grid extent; the grid loads once per
+      // executor JVM and the lookup runs inside whole-stage codegen.
+      // (rows-only; kernel gie-verified to 1mm against the NOAA NCAT values)
+      val pipeline = "proj=gridshift " +
+        "grids=tests/us_noaa_nadcon5_nad83_2007_nad83_2011_conus_extract.tif"
+      custPoints(s, dir)
+        .withColumn("lon_g", lit(-95.5) + (col("point_id") % 100) * 0.0008)
+        .withColumn("lat_g", lit(36.92) + (col("point_id") % 80) * 0.0018)
+        .withColumn("shifted", ProjFunctions.projTrans2(col("lon_g"), col("lat_g"), pipeline))
+        // nanodegree quantization: the NADCON5 shift is sub-arcsecond, far
+        // below the mm()-on-degrees grid used by the angular queries
+        .select(col("point_id"),
+          round(col("shifted.x") * 1e9).cast("long").as("lon_ndeg"),
+          round(col("shifted.y") * 1e9).cast("long").as("lat_ndeg"))
+    }),
+
+    "geo_geoid" -> ((s, dir) => {
+      // EGM96 geoid undulation as an orthometric-height column via
+      // +proj=vgridshift (broadcast-grid style vertical datum change)
+      val pipeline = "proj=vgridshift grids=egm96_15.gtx ellps=GRS80"
+      custPoints(s, dir)
+        .withColumn("ortho",
+          ProjFunctions.projTrans(col("lon") * math.Pi / 180,
+            col("lat") * math.Pi / 180, lit(0.0), lit(0.0), pipeline))
+        .select(col("point_id"), mm(col("ortho.z")).as("undulation_mm"))
+    }),
+
     "geo_datum_shift" -> ((s, dir) => {
       // full datum pipeline cart -> helmert(7) -> cart^-1 on derived points
       // (rows-only; kernel itself is gie-verified to 75um)

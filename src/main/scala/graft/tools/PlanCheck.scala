@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted plans for the headline queries and asserts the
+  * scale-critical properties: parquet filter/column pushdown, broadcast
+  * joins for small dims, whole-stage codegen coverage. */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-plan-check")
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "32")
+      // static plans for inspection: AQE wraps stages in leaf nodes that
+      // hide codegen spans from collect()
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    def check(name: String)(df: org.apache.spark.sql.DataFrame)(
+        wants: (String, String => Boolean)*): Unit = {
+      val finalPlan = df.queryExecution.executedPlan
+      val plan = finalPlan.toString
+      val wsc = finalPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.size
+      println(s"===== $name =====")
+      println(s"  whole-stage-codegen spans: $wsc")
+      (("whole-stage codegen active" -> ((_: String) => wsc > 0)) +: wants).foreach {
+        case (label, pred) =>
+          val ok = pred(plan)
+          println(s"  [${if (ok) "OK" else "MISS"}] $label")
+      }
+    }
+
+    val queries = graft.SparkEntry.queries
+    def q(name: String) = queries(name)(spark, dir)
+
+    check("q1_agg")(q("q1_agg"))(
+      "parquet scan with ReadSchema" -> (_.contains("ReadSchema")),
+      "partial aggregation (map-side combine)" -> (p => p.contains("partial") || p.contains("HashAggregate")),
+      "scan present" -> (_.contains("Scan")))
+    check("q3_join")(q("q3_join"))(
+      "broadcast join for small side" -> (_.contains("BroadcastHashJoin")),
+      "pushed filters reach scan" -> (_.contains("PushedFilters: [")),
+      "scan present" -> (_.contains("Scan")))
+    check("geo_utm_zone")(q("geo_utm_zone"))(
+      "no shuffle for per-row transform" -> (p => !p.contains("Exchange") || p.contains("HashAggregate")))
+    check("geo_pip")(q("geo_pip"))(
+      "broadcast of polygon cover" -> (_.contains("Broadcast")),
+      "scan present" -> (_.contains("Scan")))
+    check("geo_knn")(q("geo_knn"))(
+      "ring-cell equi-join" -> (p => p.contains("Join") || p.contains("join")),
+      "windowed top-k" -> (_.contains("Window")))
+    check("dedup_minhash")(q("dedup_minhash"))(
+      "shuffle on band bucket only" -> (_.contains("Exchange")),
+      "scan present" -> (_.contains("Scan")))
+    check("ann_lsh")(q("ann_lsh"))(
+      "bucket equi-join" -> (p => p.contains("Join")),
+      "scan present" -> (_.contains("Scan")))
+
+    // one full formatted plan for the record
+    println("===== geo_pip formatted =====")
+    q("geo_pip").explain("formatted")
+    spark.stop()
+  }
+}
