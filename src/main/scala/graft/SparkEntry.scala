@@ -194,6 +194,17 @@ object SparkEntry {
         .groupBy("cell").agg(count(lit(1)).as("n"))
     }),
 
+    "geo_tile_qa" -> ((s, dir) => {
+      // tile QA metrics: web-mercator distortion factors per point. For the
+      // spherical webmerc kernel the parallel scale is exactly sec(lat), so
+      // this one IS oracle-checkable in SQL despite the numeric derivation.
+      custPoints(s, dir)
+        .withColumn("f", ProjFunctions.projFactors(col("lon"), col("lat"),
+          "proj=webmerc ellps=WGS84"))
+        .select(col("point_id"),
+          round(col("f.k") * 1e6).cast("long").as("k_ppm"))
+    }),
+
     "geo_gridshift" -> ((s, dir) => {
       // NADCON5 GeoTIFF grid shift (NAD83(2007)->NAD83(2011)) applied to
       // derived points inside the grid extent; the grid loads once per
@@ -301,6 +312,14 @@ object SparkEntry {
   /** DuckDB-runnable SQL over the same parquet tables; column names match
     * the Spark plans exactly. Entries absent here are rows-only checks. */
   def oracleSql: Map[String, String] = Map(
+    // webmerc runs the spherical kernel on the WGS84 ellipsoid (es != 0),
+    // so proj_factors applies the ellipsoidal correction: k =
+    // sqrt(1 - es sin^2(lat)) / cos(lat) — closed form, checkable in SQL
+    "geo_tile_qa" -> ("SELECT point_id, CAST(round(1000000.0*" +
+      "sqrt(1 - 0.0066943799901413165*sin(radians(lat))*sin(radians(lat)))" +
+      "/cos(radians(lat))) AS BIGINT) AS k_ppm " +
+      "FROM (SELECT c_custkey AS point_id, " +
+      "((c_custkey*37)%160)-80+0.25 AS lat FROM customer)"),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(round(sum(l_quantity)*1000) AS BIGINT) AS sum_qty,

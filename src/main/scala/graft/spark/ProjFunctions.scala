@@ -34,6 +34,7 @@ final class ProjPipeline(val projString: String) extends Serializable {
 
   def angularInput(forward: Boolean): Boolean = pj.angularInput(forward)
   def angularOutput(forward: Boolean): Boolean = pj.angularOutput(forward)
+  private[spark] def pjForFactors: PJ = pj
 }
 
 object ProjPipeline {
@@ -74,6 +75,70 @@ object ProjKernels {
     }
     new GenericInternalRow(Array[Any](xo, yo, c.z, c.t, err))
   }
+}
+
+/** Row-level proj_factors: cartographic distortion characteristics
+  * (reference src/factors.cpp via graft.proj.Factors). */
+object FactorsKernels {
+  private val outType: StructType = StructType(Seq(
+    StructField("h", DoubleType, nullable = false), // meridional scale
+    StructField("k", DoubleType, nullable = false), // parallel scale
+    StructField("s", DoubleType, nullable = false), // areal scale
+    StructField("omega", DoubleType, nullable = false), // angular distortion
+    StructField("conv", DoubleType, nullable = false))) // meridian convergence
+
+  def resultType: StructType = outType
+
+  def eval(p: ProjPipeline, lonDeg: Double, latDeg: Double): InternalRow = {
+    try {
+      val f = graft.proj.Factors(p.pjForFactors,
+        lonDeg * (math.Pi / 180), latDeg * (math.Pi / 180))
+      new GenericInternalRow(Array[Any](
+        f.meridionalScale, f.parallelScale, f.arealScale,
+        f.angularDistortion, f.meridianConvergence))
+    } catch {
+      case _: graft.core.ProjError =>
+        new GenericInternalRow(Array[Any](Double.NaN, Double.NaN, Double.NaN,
+          Double.NaN, Double.NaN))
+    }
+  }
+}
+
+/** Catalyst expression: (lonDeg, latDeg) -> struct(h,k,s,omega,conv). */
+case class ProjFactorsExpr(lonExpr: Expression, latExpr: Expression,
+                           projString: String) extends Expression {
+  @transient private lazy val pipeline = new ProjPipeline(projString)
+
+  override def children: Seq[Expression] = Seq(lonExpr, latExpr)
+  override def dataType: DataType = FactorsKernels.resultType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: InternalRow): Any = {
+    val lon = lonExpr.eval(input); val lat = latExpr.eval(input)
+    if (lon == null || lat == null) null
+    else FactorsKernels.eval(pipeline, lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pipeRef = ctx.addReferenceObj("projPipeline", pipeline,
+      classOf[ProjPipeline].getName)
+    val lonC = lonExpr.genCode(ctx); val latC = latExpr.genCode(ctx)
+    val kern = FactorsKernels.getClass.getName + ".MODULE$"
+    val code =
+      code"""
+        ${lonC.code}
+        ${latC.code}
+        boolean ${ev.isNull} = ${lonC.isNull} || ${latC.isNull};
+        InternalRow ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $kern.eval($pipeRef, ${lonC.value}, ${latC.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(lonExpr = newChildren(0), latExpr = newChildren(1))
 }
 
 /** Catalyst expression: (x, y, z, t) --proj pipeline--> struct(x,y,z,t,err).
@@ -135,6 +200,11 @@ object ProjFunctions {
 
   private def col(e: CExpr): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
   private def expr(c: Column): CExpr = org.apache.spark.sql.graftbridge.Bridge.expression(c)
+
+  /** Cartographic distortion factors (meridional/parallel/areal scale,
+    * angular distortion, convergence) of a projection at lon/lat degrees. */
+  def projFactors(lon: Column, lat: Column, pipeline: String): Column =
+    col(ProjFactorsExpr(expr(lon), expr(lat), pipeline))
 
   /** Full 4D pipeline transform. Angular IO is exposed in degrees when
     * degIO = true (the natural fit for lon/lat columns). */

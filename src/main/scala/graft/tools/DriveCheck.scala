@@ -36,6 +36,26 @@ object DriveCheck {
       println("manifest head: " + graft.spark.Snapshots.manifest(dir).linesIterator.take(4).mkString(" | "))
       sess.stop()
     }
+    // proj_factors: merc at lat 45 should give h = k = sec(45)*sqrt(1-es/2)
+    // style values; webmerc parallel scale closed form
+    locally {
+      val pm = Proj.create("proj=webmerc ellps=WGS84")
+      val f = Factors(pm, 10 * GeoMath.DEG2RAD, 45 * GeoMath.DEG2RAD)
+      val es = 0.0066943799901413165
+      val kExpect = math.sqrt(1 - es * 0.5) / math.cos(45 * GeoMath.DEG2RAD)
+      println(f"factors webmerc@45N: k=${f.parallelScale}%.9f expect $kExpect%.9f " +
+        f"omega=${f.angularDistortion}%.6f conv=${f.meridianConvergence}%.6f")
+      // stere polar: conformal, so omega ~ 0 and h == k
+      val ps = Proj.create("proj=stere lat_0=90 lat_ts=70 ellps=WGS84")
+      val f2 = Factors(ps, 0, 80 * GeoMath.DEG2RAD)
+      println(f"factors stere@80N: h=${f2.meridionalScale}%.9f k=${f2.parallelScale}%.9f omega=${f2.angularDistortion}%.2e")
+      // bounds: lon/lat box -> utm32 with densified edges
+      val utm = Proj.create("proj=utm zone=32 ellps=GRS80")
+      val (bx0, by0, bx1, by1) = Factors.transBounds(utm, forward = true,
+        6 * GeoMath.DEG2RAD, 40 * GeoMath.DEG2RAD,
+        12 * GeoMath.DEG2RAD, 55 * GeoMath.DEG2RAD)
+      println(f"trans_bounds utm32 of 6-12E 40-55N: x [$bx0%.1f, $bx1%.1f] y [$by0%.1f, $by1%.1f]")
+    }
     val t0 = System.nanoTime
     var i = 0; val cc = new Coord; var acc = 0.0
     while (i < 1000000) { cc.set((6 + i % 6) * GeoMath.DEG2RAD, (40 + (i % 20)) * GeoMath.DEG2RAD, 0, 0); Dispatch.trans(P2, true, cc); acc += cc.x; i += 1 }
