@@ -141,7 +141,7 @@ object Bench {
          |
          || query | seconds |
          ||---|---|
-         |${results.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n")}
+         |${results.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n|")}
          |
          |## North-star pipeline (generated docs: anchor → UTM + datum-shift +
          |S2 cell + tile → PIP join, $nsDocs docs)

@@ -11,9 +11,10 @@ import scala.collection.mutable
   * :820-871, expect :1009-1195 (angular outputs compared via geodesic
   * distance, :1137-1161), roundtrip :886-949 (proj_roundtrip,
   * src/trans.cpp:591-629), tolerance scaling :513-547, skip/ignore
-  * accounting :389-426, require_grid :571-597 (no grids are bundled in this
-  * engine yet, so grid-dependent blocks skip, exactly as gie does when a
-  * grid file is absent).
+  * accounting :389-426, require_grid :571-597 (grids resolve from the
+  * reference's data/ directory, so the grid-dependent corpora run for real —
+  * zero skips; a block only skips if its grid file is genuinely absent,
+  * exactly as gie does).
   */
 object GieRunner {
 

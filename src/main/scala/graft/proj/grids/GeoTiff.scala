@@ -78,21 +78,24 @@ object GeoTiff {
       if (predictor == 2) {
         // horizontal differencing on integer samples
         val rowBytes = blockWidth * sppInBlock * bytesPerSample
+        // NB: absolute get/put indices on a wrapped ByteBuffer address the
+        // backing array from 0, so every index must be base-relative.
+        val bb = ByteBuffer.wrap(buf).order(order)
         var row = 0
         while (row < blockHeight) {
           val base = row * rowBytes
-          val bb = ByteBuffer.wrap(buf, base, rowBytes).order(order)
           bytesPerSample match {
             case 2 =>
               var i = sppInBlock
               while (i < blockWidth * sppInBlock) {
-                bb.putShort(2 * i, (bb.getShort(2 * i) + bb.getShort(2 * (i - sppInBlock))).toShort)
+                bb.putShort(base + 2 * i,
+                  (bb.getShort(base + 2 * i) + bb.getShort(base + 2 * (i - sppInBlock))).toShort)
                 i += 1
               }
             case 4 =>
               var i = sppInBlock
               while (i < blockWidth * sppInBlock) {
-                bb.putInt(4 * i, bb.getInt(4 * i) + bb.getInt(4 * (i - sppInBlock)))
+                bb.putInt(base + 4 * i, bb.getInt(base + 4 * i) + bb.getInt(base + 4 * (i - sppInBlock)))
                 i += 1
               }
             case _ => throw new TiffError("predictor 2 with unsupported sample size")

@@ -21,20 +21,29 @@ import graft.index.S2CellId
   */
 object SpatialJoins {
 
-  /** Cover a lon/lat bbox with S2 cells at `level` (driver-side, for
-    * broadcast-sized polygon sets). Dense grid sampling of the box plus its
-    * boundary; fine for the convex test zones. */
+  /** Cover a lon/lat bbox with S2 cells at `level`. Grid sampling of the box
+    * plus one neighbor ring per sample; the step count adapts to the bbox
+    * extent vs the cell pitch at `level` so interior cells can't fall
+    * between samples (a fixed grid silently under-covered large boxes). */
   def coverBBox(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
                 level: Int): Seq[Long] = {
     val cells = collection.mutable.LinkedHashSet[Long]()
-    // sample at ~half the cell pitch to not miss cells
-    val steps = 24
+    // conservative min cell extent in degrees at `level`: a face spans 90°
+    // over 2^level cells; the uv->st quadratic transform shrinks edge cells
+    // by up to ~1.7x, and high-latitude lon extent shrinks by cos(lat)
+    val maxAbsLat = math.min(89.9, math.max(math.abs(minLat), math.abs(maxLat)))
+    val pitchLat = 90.0 / (1L << math.min(level, 28)) / 1.7
+    val pitchLon = pitchLat * math.max(0.05, math.cos(maxAbsLat.toRadians))
+    def stepsFor(span: Double, pitch: Double): Int =
+      math.min(4096, math.max(8, math.ceil(2.0 * span / pitch).toInt))
+    val stepsI = stepsFor(maxLon - minLon, pitchLon)
+    val stepsJ = stepsFor(maxLat - minLat, pitchLat)
     var i = 0
-    while (i <= steps) {
+    while (i <= stepsI) {
       var j = 0
-      while (j <= steps) {
-        val lon = minLon + (maxLon - minLon) * i / steps
-        val lat = minLat + (maxLat - minLat) * j / steps
+      while (j <= stepsJ) {
+        val lon = minLon + (maxLon - minLon) * i / stepsI
+        val lat = minLat + (maxLat - minLat) * j / stepsJ
         val c = S2CellId.cellId(lon, lat, level)
         cells += c
         cells ++= S2CellId.allNeighbors(c)
