@@ -1,0 +1,388 @@
+package graft
+
+/** DuckDB-runnable oracle SQL builders for the cross-engine-verifiable
+  * queries. Every formula here MIRRORS the corresponding kernel's floating-
+  * point arithmetic (same operations, same association) so the only cross-
+  * engine differences are libm ulps, far below each query's quantization.
+  *
+  * Grid-node VALUES tables are dumped by graft.tools.GridDump from the same
+  * files the kernels read (Double.toString round-trip, so the SQL literal
+  * parses to the identical double); the grid READERS are locked by the gie
+  * corpus (geotiff_grids.gie 51/51, gridshift.gie 59/59), and these oracles
+  * lock the Spark-side interpolation + plumbing on top of them.
+  */
+object OracleSql {
+
+  /** derived point set shared by the geo queries (same arithmetic as
+    * SparkEntry.custPoints). */
+  private val ptsCte =
+    """pts AS (
+        SELECT c_custkey AS point_id,
+          (((c_custkey*73)%360)-180+0.5)::DOUBLE AS lon,
+          (((c_custkey*37)%160)-80+0.25)::DOUBLE AS lat
+        FROM customer)"""
+
+  // ---------------------------------------------------------------- lang_id
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "ing", " of"),
+    "es" -> Seq(" de", "de ", " la", "os ", "i\u00f3n", " el", "ent"),
+    "fr" -> Seq(" de", "es ", " le", "ent", "de ", " la", "ion"),
+    "de" -> Seq("en ", "er ", "ch ", " de", "ein", "sch", "die"))
+
+  def langId: String = {
+    val scores = langProfiles.map { case (l, grams) =>
+      grams.map(g => s"(length(t)-length(replace(t,'$g','')))/3").mkString("(", " + ", s") AS s_$l")
+    }.mkString(",\n      ")
+    s"""SELECT lang_pred, count(*) AS n FROM (
+      SELECT CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                  WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                  WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS lang_pred
+      FROM (SELECT $scores
+            FROM (SELECT ' ' || lower(text) || ' ' AS t FROM documents))
+    ) GROUP BY 1 ORDER BY 1"""
+  }
+
+  // ----------------------------------------------------------- dedup_simhash
+
+  /** 16-bit md5-digit simhash bucket; bit k = majority vote of nibble bit
+    * (k%4) of hex digit (13+k/4) over normalized words. */
+  def dedupSimhash: String = {
+    val bits = (0 until 16).map { k =>
+      val pos = 13 + k / 4
+      val shift = 1 << (k % 4)
+      s"""CASE WHEN list_sum(list_transform(w, x -> CASE WHEN ((strpos('0123456789abcdef', substring(md5(x),$pos,1))-1) // $shift) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1 << k} ELSE 0 END"""
+    }.mkString(" + ")
+    s"""SELECT bucket, count(*) AS n FROM (
+      SELECT ($bits)::BIGINT AS bucket
+      FROM (SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents)
+    ) GROUP BY 1 ORDER BY 1"""
+  }
+
+  // ----------------------------------------------------------- dedup_minhash
+
+  def dedupMinhash(numHashes: Int, bands: Int, thresholdPpm: Long): String =
+    s"""WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' extra' FROM documents WHERE doc_id % 11 = 0),
+    words AS (
+      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w FROM base),
+    grams AS (
+      SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
+      FROM words),
+    hashed AS (
+      SELECT doc_id, k, min(('0x' || substring(md5(k::VARCHAR || ':' || g), 1, 15))::BIGINT) AS h
+      FROM grams, range(0, $numHashes) t(k) GROUP BY doc_id, k),
+    bands AS (
+      SELECT doc_id, b, md5(string_agg(h::VARCHAR, ',' ORDER BY k)) AS band_key
+      FROM (SELECT doc_id, k, h, k // ${numHashes / bands} AS b FROM hashed) GROUP BY doc_id, b),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    jac AS (
+      SELECT p.da, p.db, CAST(round(sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / $numHashes.0 * 1000000) AS BIGINT) AS jacc_ppm
+      FROM pairs p JOIN hashed ha ON ha.doc_id = p.da JOIN hashed hb ON hb.doc_id = p.db AND ha.k = hb.k
+      GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b, jacc_ppm FROM jac WHERE jacc_ppm >= $thresholdPpm ORDER BY 1, 2"""
+
+  // --------------------------------------------------------------- ann_brute
+
+  def annBrute(k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q_id, e.vec_id AS c_id,
+        CAST(round(1000000.0 * (
+          list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]))
+          / (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(v, x -> x*x))))
+        )) AS BIGINT) AS cos_ppm
+      FROM e, q WHERE e.vec_id <> q_id),
+    ranked AS (
+      SELECT q_id, c_id, cos_ppm,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_ppm DESC, c_id) AS rnk
+      FROM scored)
+    SELECT q_id, c_id, cos_ppm, rnk FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
+
+  // ----------------------------------------------------------------- ann_lsh
+
+  def annLsh(k: Int, planes: Int, tables: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    hv AS (
+      SELECT t, p, list_transform(range(1, 65), d ->
+        (((('0x' || substring(md5(t::VARCHAR || ',' || p::VARCHAR || ',' || (d-1)::VARCHAR), 1, 8))::BIGINT) % 2001) - 1000) / 1000.0) AS h
+      FROM range(0, $tables) r1(t), range(0, $planes) r2(p)),
+    dots AS (
+      SELECT vec_id, t, p,
+        list_sum(list_transform(range(1, 65), i -> v[i]*h[i])) AS dot
+      FROM e, hv),
+    buckets AS (
+      SELECT vec_id, t, sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
+      FROM dots GROUP BY 1, 2),
+    qb AS (SELECT vec_id AS q_id, t, bucket FROM buckets WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT qb.q_id, cb.vec_id AS c_id
+      FROM qb JOIN buckets cb ON cb.t = qb.t AND cb.bucket = qb.bucket
+      WHERE cb.vec_id <> qb.q_id),
+    scored AS (
+      SELECT cand.q_id, cand.c_id,
+        CAST(round(1000000.0 * (
+          list_sum(list_transform(range(1, 65), i -> eq.v[i]*ec.v[i]))
+          / (sqrt(list_sum(list_transform(eq.v, x -> x*x))) * sqrt(list_sum(list_transform(ec.v, x -> x*x))))
+        )) AS BIGINT) AS cos_ppm
+      FROM cand JOIN e eq ON eq.vec_id = cand.q_id JOIN e ec ON ec.vec_id = cand.c_id),
+    ranked AS (
+      SELECT q_id, c_id, cos_ppm,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_ppm DESC, c_id) AS rnk
+      FROM scored)
+    SELECT q_id, c_id, cos_ppm, rnk FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
+
+  // ---------------------------------------------------------- geo_datum_shift
+
+  /** cart fwd -> helmert(coordinate_frame, small-angle) -> Bowring inverse,
+    * mirroring CoreOps.cart / HelmertOps exactly; micro-degree output. */
+  def geoDatumShift: String =
+    s"""WITH $ptsCte,
+    rad AS (
+      SELECT point_id, lon*(pi()/180) AS lam, lat*(pi()/180) AS phi FROM pts),
+    fwd AS (
+      SELECT point_id,
+        1.0/298.257222101 AS ff, 2*ff - ff*ff AS es, 6378137.0 AS aa,
+        aa/sqrt(1 - es*sin(phi)*sin(phi)) AS nr,
+        nr*cos(phi)*cos(lam) AS X0,
+        nr*cos(phi)*sin(lam) AS Y0,
+        (nr*(1-es))*sin(phi) AS Z0,
+        (-0.0394924/3600)*(pi()/180) AS rx,
+        (-0.0327221/3600)*(pi()/180) AS ry,
+        (-0.0328979/3600)*(pi()/180) AS rz,
+        1 + (-0.009994)*1e-6 AS sc,
+        sc*(X0 + rz*Y0 - ry*Z0) + 0.06155 AS X,
+        sc*(-rz*X0 + Y0 + rx*Z0) + (-0.01087) AS Y,
+        sc*(ry*X0 - rx*Y0 + Z0) + (-0.04019) AS Z
+      FROM rad),
+    inv AS (
+      SELECT point_id, es/(1-es) AS e2s,
+        X/aa AS xa, Y/aa AS ya, Z/aa AS za,
+        sqrt(xa*xa+ya*ya) AS p, 1-ff AS ba, p*ba AS pb,
+        sqrt(za*za+pb*pb) AS nrm,
+        pb/nrm AS cth, za/nrm AS sth,
+        za + e2s*ba*sth*sth*sth AS yphi,
+        p - es*cth*cth*cth AS xphi,
+        atan(yphi/xphi) AS phi2, atan2(ya, xa) AS lam2
+      FROM fwd)
+    SELECT point_id,
+      CAST(round(lam2*(180/pi())*1000000) AS BIGINT) AS lon_udeg,
+      CAST(round(phi2*(180/pi())*1000000) AS BIGINT) AS lat_udeg
+    FROM inv ORDER BY point_id"""
+
+  // ------------------------------------------------------------ geo_s2_cells
+
+  /** S2 face selection + face (u,v) coordinates, mirroring DggOps.faceOf /
+    * validFaceXyzToUv; radians via Java Math.toRadians form (x/180*pi). */
+  def geoS2Cells: String =
+    s"""WITH $ptsCte,
+    xyz AS (
+      SELECT point_id,
+        cos(lat/180.0*pi())*cos(lon/180.0*pi()) AS x,
+        cos(lat/180.0*pi())*sin(lon/180.0*pi()) AS y,
+        sin(lat/180.0*pi()) AS z
+      FROM pts),
+    fc AS (
+      SELECT point_id, x, y, z,
+        CASE WHEN abs(x) > abs(y) THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
+             WHEN abs(y) > abs(z) THEN 1 ELSE 2 END AS f0,
+        CASE WHEN f0 = 0 AND x < 0 THEN 3
+             WHEN f0 = 1 AND y < 0 THEN 4
+             WHEN f0 = 2 AND z < 0 THEN 5 ELSE f0 END AS face,
+        CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                  WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+        CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                  WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+      FROM xyz)
+    SELECT point_id, face,
+      CAST(round(u*1e9) AS BIGINT) AS u_nano,
+      CAST(round(v*1e9) AS BIGINT) AS v_nano
+    FROM fc ORDER BY point_id"""
+
+  // ----------------------------------------------------------- geo_gridshift
+
+  private val tifNodes: String =
+    "(4,0,2.6556574084679596E-5,6.444079335778952E-4)," +
+    "(5,0,2.2738053303328343E-5,6.401714636012912E-4)," +
+    "(6,0,1.8624463336891495E-5,6.358136306516826E-4)," +
+    "(7,0,1.4273096894612536E-5,6.313736666925251E-4)," +
+    "(8,0,9.72560064838035E-6,6.268374272622168E-4)," +
+    "(9,0,4.997046744392719E-6,6.222081137821078E-4)," +
+    "(10,0,6.278590802821782E-8,6.175872404128313E-4)," +
+    "(4,1,3.292771361884661E-5,6.440827855840325E-4)," +
+    "(5,1,2.8946065867785364E-5,6.400120328180492E-4)," +
+    "(6,1,2.4725322873564437E-5,6.35810021776706E-4)," +
+    "(7,1,2.0243285689502954E-5,6.314882775768638E-4)," +
+    "(8,1,1.5687119230278768E-5,6.270536105148494E-4)," +
+    "(9,1,1.0737900993262883E-5,6.225974066182971E-4)," +
+    "(10,1,5.647435955324909E-6,6.181069184094667E-4)," +
+    "(4,2,3.88004191336222E-5,6.439610733650625E-4)," +
+    "(5,2,3.475645280559547E-5,6.400276906788349E-4)," +
+    "(6,2,3.04014884022763E-5,6.359480903483927E-4)," +
+    "(7,2,2.579584179329686E-5,6.317412480711937E-4)," +
+    "(8,2,2.103489896398969E-5,6.274575716815889E-4)," +
+    "(9,2,1.5947043721098453E-5,6.231171428225935E-4)," +
+    "(10,2,1.0694042430259287E-5,6.187837570905685E-4)," +
+    "(4,3,4.467716280487366E-5,6.440458237193525E-4)," +
+    "(5,3,4.053585871588439E-5,6.402122089639306E-4)," +
+    "(6,3,3.601800563046709E-5,6.362252752296627E-4)," +
+    "(7,3,3.134857979603112E-5,6.32172217592597E-4)," +
+    "(8,3,2.640741877257824E-5,6.280127563513815E-4)," +
+    "(9,3,2.118451266142074E-5,6.23814295977354E-4)," +
+    "(10,3,1.568181687616743E-5,6.195697351358831E-4)," +
+    "(4,4,5.076054367236793E-5,6.442799931392074E-4)," +
+    "(5,4,4.651372000807896E-5,6.405632593668997E-4)," +
+    "(6,4,4.191513289697468E-5,6.367171299643815E-4)," +
+    "(7,4,3.710275632329285E-5,6.327878800220788E-4)," +
+    "(8,4,3.199332786607556E-5,6.287717842496932E-4)," +
+    "(9,4,2.660794234543573E-5,6.246872362680733E-4)," +
+    "(10,4,2.1036177713540383E-5,6.206220714375377E-4)," +
+    "(4,5,5.7254339481005445E-5,6.446695770137012E-4)," +
+    "(5,5,5.300367047311738E-5,6.410907371900976E-4)," +
+    "(6,5,4.837017331738025E-5,6.37378019746393E-4)," +
+    "(7,5,4.349472146714106E-5,6.335640791803598E-4)," +
+    "(8,5,3.818197001237422E-5,6.296482170000672E-4)," +
+    "(9,5,3.277054929640144E-5,6.257327040657401E-4)," +
+    "(10,5,2.7098905775346793E-5,6.218013004399836E-4)," +
+    "(4,6,6.44837855361402E-5,6.452350644394755E-4)," +
+    "(5,6,6.025331458658911E-5,6.4178736647591E-4)," +
+    "(6,6,5.5581345804966986E-5,6.381978746503592E-4)," +
+    "(7,6,5.070944826002233E-5,6.3449761364609E-4)," +
+    "(8,6,4.532124876277521E-5,6.307334406301379E-4)," +
+    "(9,6,3.9830378227634355E-5,6.269390578381717E-4)," +
+    "(10,6,3.4037719160551205E-5,6.231782608665526E-4)," +
+    "(4,7,7.177638326538727E-5,6.459648138843477E-4)," +
+    "(5,7,6.74361945129931E-5,6.42600585706532E-4)," +
+    "(6,7,6.285999552346766E-5,6.391055067069829E-4)," +
+    "(7,7,5.76692218601238E-5,6.355410441756248E-4)," +
+    "(8,7,5.228473310125992E-5,6.319030653685331E-4)," +
+    "(9,7,4.663736399379559E-5,6.282599060796201E-4)," +
+    "(10,7,4.089953290531412E-5,6.246202392503619E-4)," +
+    "(4,8,7.887508400017396E-5,6.467866478487849E-4)," +
+    "(5,8,7.442234345944598E-5,6.435112445615232E-4)," +
+    "(6,8,6.952018884476274E-5,6.40137295704335E-4)," +
+    "(7,8,6.424340244848281E-5,6.366856978274882E-4)," +
+    "(8,8,5.872876863577403E-5,6.33196032140404E-4)," +
+    "(9,8,5.3069674322614446E-5,6.296718493103981E-4)," +
+    "(10,8,4.7104640543693677E-5,6.262037786655128E-4)," +
+    "(4,9,8.606931805843487E-5,6.477690767496824E-4)," +
+    "(5,9,8.100335980998352E-5,6.446023471653461E-4)," +
+    "(6,9,7.570115849375725E-5,6.413214723579586E-4)," +
+    "(7,9,7.019137410679832E-5,6.379875703714788E-4)," +
+    "(8,9,6.473790563177317E-5,6.345916190184653E-4)," +
+    "(9,9,5.869954838999547E-5,6.312239565886557E-4)," +
+    "(10,9,5.254607094684616E-5,6.27869158051908E-4)"
+
+  private val gtxNodes: String =
+    "(184,134,51.351585388183594),(185,134,51.18162155151367),(186,134,52.52753829956055)," +
+    "(187,134,50.90046691894531),(184,135,51.12047576904297),(185,135,49.82252502441406)," +
+    "(186,135,51.23637771606445),(187,135,51.670082092285156),(184,136,49.111053466796875)," +
+    "(185,136,49.09831619262695),(186,136,49.905460357666016),(187,136,50.23531723022461)," +
+    "(184,137,47.55485153198242),(185,137,47.952049255371094),(186,137,49.0360107421875)," +
+    "(187,137,49.00468444824219)"
+
+  /** NADCON5 bilinear grid shift, mirroring GridShift2Ops bilinear
+    * interpolation; grid georef from GridDump. Output: applied shift in
+    * 1e-10 deg units (the shift is ~1.7e-7 deg, so fully resolved). */
+  def geoGridshift: String =
+    s"""WITH nodes(ix, iy, vlat, vlon) AS (VALUES $tifNodes),
+    pts AS (
+      SELECT c_custkey AS point_id,
+        -95.4995 + (c_custkey % 100) * 0.0008 AS lon,
+        36.9212 + (c_custkey % 80) * 0.0018 AS lat
+      FROM customer),
+    g AS (
+      SELECT point_id, lon, lat,
+        lon*(pi()/180) AS lam, lat*(pi()/180) AS phi,
+        (-95.583333333333330)*(pi()/180) AS west,
+        (36.916666666666680)*(pi()/180) AS south,
+        (0.016666666666666666)*(pi()/180) AS resx,
+        (0.016666666666666666)*(pi()/180) AS resy,
+        floor((lam - west)/resx) AS ixf, floor((phi - south)/resy) AS iyf,
+        (lam - west)/resx - ixf AS fx, (phi - south)/resy - iyf AS fy,
+        CAST(ixf AS INT) AS ix, CAST(iyf AS INT) AS iy,
+        fx*(1-fy) AS m10, fx*fy AS m11, (1-fx)*fy AS m01, (1-fx)*(1-fy) AS m00
+      FROM pts),
+    interp AS (
+      SELECT g.point_id, g.lam, g.phi, g.lon, g.lat,
+        g.m00*n00.vlon + g.m10*n10.vlon + g.m01*n01.vlon + g.m11*n11.vlon AS dx,
+        g.m00*n00.vlat + g.m10*n10.vlat + g.m01*n01.vlat + g.m11*n11.vlat AS dy
+      FROM g
+      JOIN nodes n00 ON n00.ix = g.ix     AND n00.iy = g.iy
+      JOIN nodes n10 ON n10.ix = g.ix + 1 AND n10.iy = g.iy
+      JOIN nodes n01 ON n01.ix = g.ix     AND n01.iy = g.iy + 1
+      JOIN nodes n11 ON n11.ix = g.ix + 1 AND n11.iy = g.iy + 1)
+    SELECT point_id,
+      CAST(round(((lam + dx*(1.0/3600/180*pi()))*(180/pi()) - lon)*1e10) AS BIGINT) AS dlon_e10,
+      CAST(round(((phi + dy*(1.0/3600/180*pi()))*(180/pi()) - lat)*1e10) AS BIGINT) AS dlat_e10
+    FROM interp ORDER BY point_id"""
+
+  // --------------------------------------------------------------- geo_geoid
+
+  /** EGM96 vgridshift undulation, mirroring GridShiftOps.VGrid.interp
+    * (forward z += -N); mm output. */
+  def geoGeoid: String =
+    s"""WITH nodes(ix, iy, nval) AS (VALUES $gtxNodes),
+    pts AS (
+      SELECT c_custkey AS point_id,
+        5.0 + (c_custkey % 100) * 0.02 AS lon,
+        45.0 + (c_custkey % 80) * 0.025 AS lat
+      FROM customer),
+    g AS (
+      SELECT point_id,
+        lon*(pi()/180) AS lam, lat*(pi()/180) AS phi,
+        (-179.625)*(pi()/180) AS west,
+        (-89.62430555555557)*(pi()/180) AS south,
+        (1.0)*(pi()/180) AS resx,
+        (1.0013888888888889)*(pi()/180) AS resy,
+        floor((lam - west)/resx) AS ixf, floor((phi - south)/resy) AS iyf,
+        (lam - west)/resx - ixf AS gx, (phi - south)/resy - iyf AS gy,
+        CAST(ixf AS INT) AS ix, CAST(iyf AS INT) AS iy,
+        gx*gy AS gxy
+      FROM pts),
+    interp AS (
+      SELECT g.point_id,
+        na.nval*(1.0 - gx - gy + gxy) + nb.nval*(gx - gxy) + nc.nval*(gy - gxy) + nd.nval*gxy AS nv
+      FROM g
+      JOIN nodes na ON na.ix = g.ix     AND na.iy = g.iy
+      JOIN nodes nb ON nb.ix = g.ix + 1 AND nb.iy = g.iy
+      JOIN nodes nc ON nc.ix = g.ix     AND nc.iy = g.iy + 1
+      JOIN nodes nd ON nd.ix = g.ix + 1 AND nd.iy = g.iy + 1)
+    SELECT point_id,
+      CAST(round((nv * (-1.0)) * 1000) AS BIGINT) AS undulation_mm
+    FROM interp ORDER BY point_id"""
+
+  // ---------------------------------------------------- geo_geodesic_meridian
+
+  /** Karney inverse along a meridian == Helmert meridian-arc series
+    * (order n^5, error ~1e-10 m on WGS84); mm output. */
+  def geoGeodesicMeridian: String =
+    s"""WITH pts AS (
+      SELECT c_custkey AS point_id,
+        (((c_custkey*37)%140)-70+0.25)::DOUBLE AS lat1,
+        (((c_custkey*37)%140)-70+0.25+5.5)::DOUBLE AS lat2
+      FROM customer),
+    c AS (
+      SELECT 6378137.0 AS aa, 1.0/298.257223563 AS ff, ff/(2-ff) AS n,
+        aa/(1+n)*(1 + n*n/4 + n*n*n*n/64 + n*n*n*n*n*n/256 + 25*n*n*n*n*n*n*n*n/16384) AS ar,
+        -3*n/2 + 9*n*n*n/16 - 3*n*n*n*n*n/32 AS d1,
+        15*n*n/16 - 15*n*n*n*n/32 AS d2,
+        -35*n*n*n/48 + 105*n*n*n*n*n/256 AS d3,
+        315*n*n*n*n/512 AS d4,
+        -693*n*n*n*n*n/1280 AS d5),
+    m AS (
+      SELECT point_id,
+        lat1*(pi()/180) AS p1, lat2*(pi()/180) AS p2,
+        ar*(p1 + d1*sin(2*p1) + d2*sin(4*p1) + d3*sin(6*p1) + d4*sin(8*p1) + d5*sin(10*p1)) AS m1,
+        ar*(p2 + d1*sin(2*p2) + d2*sin(4*p2) + d3*sin(6*p2) + d4*sin(8*p2) + d5*sin(10*p2)) AS m2
+      FROM pts, c)
+    SELECT point_id, CAST(round(abs(m2 - m1)*1000) AS BIGINT) AS dist_mm
+    FROM m ORDER BY point_id"""
+}

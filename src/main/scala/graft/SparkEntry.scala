@@ -187,11 +187,15 @@ object SparkEntry {
     }),
 
     "geo_s2_cells" -> ((s, dir) => {
-      // S2 cell assignment + per-cell counts (rows-only; bijectivity and
-      // hierarchy invariants are ScalaCheck'd in S2CellSpec)
+      // S2 face + (u,v) — the closed-form projection half of the cell
+      // mapping, oracle-checked in SQL; the Hilbert-curve id itself is
+      // ScalaCheck'd (bijectivity/hierarchy) in S2CellSpec and exercised by
+      // geo_pip / geo_knn_geodesic / the flagship entry.
       custPoints(s, dir)
-        .withColumn("cell", GeoFunctions.s2Cell(col("lon"), col("lat"), lit(8)))
-        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .withColumn("fuv", GeoFunctions.s2FaceUv(col("lon"), col("lat")))
+        .select(col("point_id"), col("fuv.face").as("face"),
+          round(col("fuv.u") * 1e9).cast("long").as("u_nano"),
+          round(col("fuv.v") * 1e9).cast("long").as("v_nano"))
     }),
 
     "geo_tile_qa" -> ((s, dir) => {
@@ -209,42 +213,57 @@ object SparkEntry {
       // NADCON5 GeoTIFF grid shift (NAD83(2007)->NAD83(2011)) applied to
       // derived points inside the grid extent; the grid loads once per
       // executor JVM and the lookup runs inside whole-stage codegen.
-      // (rows-only; kernel gie-verified to 1mm against the NOAA NCAT values)
-      val pipeline = "proj=gridshift " +
+      // Oracle: DuckDB bilinear over the dumped grid nodes (OracleSql);
+      // output is the applied shift in 1e-10 deg units.
+      val pipeline = "proj=gridshift interpolation=bilinear " +
         "grids=tests/us_noaa_nadcon5_nad83_2007_nad83_2011_conus_extract.tif"
       custPoints(s, dir)
-        .withColumn("lon_g", lit(-95.5) + (col("point_id") % 100) * 0.0008)
-        .withColumn("lat_g", lit(36.92) + (col("point_id") % 80) * 0.0018)
+        .withColumn("lon_g", lit(-95.4995) + (col("point_id") % 100) * 0.0008)
+        .withColumn("lat_g", lit(36.9212) + (col("point_id") % 80) * 0.0018)
         .withColumn("shifted", ProjFunctions.projTrans2(col("lon_g"), col("lat_g"), pipeline))
-        // nanodegree quantization: the NADCON5 shift is sub-arcsecond, far
-        // below the mm()-on-degrees grid used by the angular queries
         .select(col("point_id"),
-          round(col("shifted.x") * 1e9).cast("long").as("lon_ndeg"),
-          round(col("shifted.y") * 1e9).cast("long").as("lat_ndeg"))
+          round((col("shifted.x") - col("lon_g")) * 1e10).cast("long").as("dlon_e10"),
+          round((col("shifted.y") - col("lat_g")) * 1e10).cast("long").as("dlat_e10"))
     }),
 
     "geo_geoid" -> ((s, dir) => {
       // EGM96 geoid undulation as an orthometric-height column via
-      // +proj=vgridshift (broadcast-grid style vertical datum change)
+      // +proj=vgridshift (broadcast-grid style vertical datum change).
+      // Oracle: DuckDB bilinear over the dumped GTX nodes (OracleSql).
       val pipeline = "proj=vgridshift grids=egm96_15.gtx ellps=GRS80"
       custPoints(s, dir)
+        .withColumn("lon_g", lit(5.0) + (col("point_id") % 100) * 0.02)
+        .withColumn("lat_g", lit(45.0) + (col("point_id") % 80) * 0.025)
         .withColumn("ortho",
-          ProjFunctions.projTrans(col("lon") * math.Pi / 180,
-            col("lat") * math.Pi / 180, lit(0.0), lit(0.0), pipeline))
+          ProjFunctions.projTrans2(col("lon_g"), col("lat_g"), pipeline))
         .select(col("point_id"), mm(col("ortho.z")).as("undulation_mm"))
     }),
 
     "geo_datum_shift" -> ((s, dir) => {
-      // full datum pipeline cart -> helmert(7) -> cart^-1 on derived points
-      // (rows-only; kernel itself is gie-verified to 75um)
+      // full datum pipeline cart -> helmert(7) -> cart^-1 on derived points;
+      // oracle mirrors the closed-form chain in SQL at micro-degree (~0.1 m)
+      // quantization
       val pipeline = "proj=pipeline ellps=GRS80 step proj=cart step " +
         "proj=helmert convention=coordinate_frame x=0.06155 rx=-0.0394924 " +
         "y=-0.01087 ry=-0.0327221 z=-0.04019 rz=-0.0328979 s=-0.009994 " +
         "step proj=cart inv"
       custPoints(s, dir)
         .withColumn("gda2020", ProjFunctions.projTrans2(col("lon"), col("lat"), pipeline))
-        .select(col("point_id"), mm(col("gda2020.x")).as("lon_shift_mm"),
-          mm(col("gda2020.y")).as("lat_shift_mm"))
+        .select(col("point_id"),
+          round(col("gda2020.x") * 1e6).cast("long").as("lon_udeg"),
+          round(col("gda2020.y") * 1e6).cast("long").as("lat_udeg"))
+    }),
+
+    "geo_geodesic_meridian" -> ((s, dir) => {
+      // exact Karney inverse between same-meridian point pairs; the oracle
+      // is the closed-form Helmert meridian-arc series (error ~1e-10 m),
+      // so the geodesic kernel gets a driver-side hard signal at mm level
+      custPoints(s, dir)
+        .withColumn("lat1", ((col("point_id") * 37 % 140) - 70 + lit(0.25)).cast("double"))
+        .withColumn("lat2", col("lat1") + 5.5)
+        .select(col("point_id"),
+          round(GeoFunctions.geodesicDistance(lit(12.5), col("lat1"),
+            lit(12.5), col("lat2")) * 1000).cast("long").as("dist_mm"))
     }),
 
     // ---- training-data pipeline ops over documents/embeddings ----
@@ -271,34 +290,43 @@ object SparkEntry {
     }),
 
     "dedup_minhash" -> ((s, dir) => {
-      // MinHash+LSH near-dup pairs (rows-only; signatures are engine-
-      // specific). Verified against exact n-gram Jaccard in TrainingSpec.
-      TrainingOps.minhashDedup(t(s, dir, "documents"), numHashes = 32,
-        bands = 8, threshold = 0.5)
+      // MinHash+LSH near-dup pairs with the shared md5 hash family (DuckDB
+      // computes identical signatures); near-dups injected (every 11th doc
+      // re-appears with one word appended) so sub-1.0 Jaccard paths run.
+      // The xxhash64 engine path is separately verified vs exact n-gram
+      // Jaccard in TrainingSpec.
+      val d = t(s, dir, "documents")
+      val nearDups = d.where(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("text", concat(col("text"), lit(" extra")))
+      TrainingOps.minhashDedupShared(d.unionByName(nearDups),
+        numHashes = 16, bands = 4, threshold = 0.5)
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      // 64-bit SimHash + 16-bit-chunk candidate buckets (rows-only)
-      val d = t(s, dir, "documents")
-        .withColumn("sh", TrainingOps.simhash(col("text")))
-      d.groupBy(shiftright(col("sh"), 48).as("bucket"))
-        .agg(count(lit(1)).as("n"))
+      // 16-bit SimHash candidate buckets from the shared md5-derived hash
+      // (cross-engine identical); the xxhash64 64-bit engine path is
+      // sbt-verified in TrainingSpec
+      t(s, dir, "documents")
+        .withColumn("bucket", TrainingOps.simhashBucketShared(col("text")))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
     }),
 
     "ann_brute" -> ((s, dir) => {
-      // brute-force cosine top-3 for the first 10 vectors (rows-only;
-      // list_cosine parity with duckdb is brittle across versions)
+      // brute-force cosine top-3 for the first 10 vectors over double-cast
+      // embeddings, ranked on ppm-quantized similarity (cross-engine-stable)
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 10)
-      TrainingOps.annBruteForce(q, emb, k = 3).select("q_id", "c_id", "rnk")
+      TrainingOps.annBruteQuantized(q, emb, k = 3)
     }),
 
     "ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed ANN scale path (rows-only; recall vs brute force is
-      // asserted in TrainingSpec)
+      // LSH-bucketed ANN scale path with shared md5-derived hyperplanes
+      // (bucketing + scoring reproduced in the DuckDB oracle); the gaussian
+      // engine path keeps its recall-vs-brute assertion in TrainingSpec
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 10)
-      TrainingOps.annLsh(q, emb, k = 3, planes = 6, tables = 8).select("q_id", "c_id", "rnk")
+      TrainingOps.annLshShared(q, emb, k = 3, planes = 6, tables = 8)
     }),
 
     "lang_id" -> ((s, dir) => {
@@ -427,6 +455,18 @@ object SparkEntry {
            FROM (SELECT * FROM documents UNION ALL
                  SELECT doc_id + 1000000, text, lang, source, n_chars
                  FROM documents WHERE doc_id % 7 = 0))
-         WHERE rn > 1 GROUP BY 1 ORDER BY 1"""
+         WHERE rn > 1 GROUP BY 1 ORDER BY 1""",
+
+    // cross-engine mirrored formulas (see OracleSql for the conventions)
+    "lang_id" -> OracleSql.langId,
+    "dedup_simhash" -> OracleSql.dedupSimhash,
+    "dedup_minhash" -> OracleSql.dedupMinhash(numHashes = 16, bands = 4, thresholdPpm = 500000L),
+    "ann_brute" -> OracleSql.annBrute(k = 3),
+    "ann_lsh" -> OracleSql.annLsh(k = 3, planes = 6, tables = 8),
+    "geo_datum_shift" -> OracleSql.geoDatumShift,
+    "geo_s2_cells" -> OracleSql.geoS2Cells,
+    "geo_gridshift" -> OracleSql.geoGridshift,
+    "geo_geoid" -> OracleSql.geoGeoid,
+    "geo_geodesic_meridian" -> OracleSql.geoGeodesicMeridian
   )
 }

@@ -25,6 +25,29 @@ object GeoKernels {
   def geodesicDist(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =
     Geodesic.WGS84.distance(lat1, lon1, lat2, lon2)
 
+  /** S2 face + (u,v) face coordinates for a lon/lat degree pair — the
+    * closed-form part of the cell mapping (reference s2 projection math),
+    * exposed for the SQL-expressible driver oracle; the Hilbert-curve id
+    * itself is locked by ScalaCheck bijectivity tests. */
+  def s2FaceUv(lon: Double, lat: Double): InternalRow = {
+    val lam = math.toRadians(lon)
+    val phi = math.toRadians(lat)
+    val cosLat = math.cos(phi)
+    val x = cosLat * math.cos(lam)
+    val y = cosLat * math.sin(lam)
+    val z = math.sin(phi)
+    val f = graft.proj.ops.DggOps.faceOf(x, y, z)
+    val (u, v) = graft.proj.ops.DggOps.validFaceXyzToUv(f, x, y, z)
+    new GenericInternalRow(Array[Any](f, u, v))
+  }
+
+  /** cell + `rings` rings of neighbors at `level` around a lon/lat point —
+    * the kNN candidate expansion, as a codegen-able kernel (was a ScalaUDF,
+    * which broke whole-stage codegen on the query side of knnJoin). */
+  def ringCells(lon: Double, lat: Double, level: Int, rings: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      S2CellId.ringCells(S2CellId.cellId(lon, lat, level), rings))
+
   /** Exact even-odd ray cast in lon/lat space; rings as flat
     * [lon0, lat0, lon1, lat1, ...]. Matches the classic point-in-polygon
     * semantics used for the PIP verification pass. */
@@ -141,6 +164,38 @@ case class GeodesicDistExpr(lon1: Expression, lat1: Expression,
     copy(c(0), c(1), c(2), c(3))
 }
 
+case class S2FaceUvExpr(lon: Expression, lat: Expression) extends GeoStaticCall {
+  override def children: Seq[Expression] = Seq(lon, lat)
+  override def dataType: DataType = StructType(Seq(
+    StructField("face", IntegerType, nullable = false),
+    StructField("u", DoubleType, nullable = false),
+    StructField("v", DoubleType, nullable = false)))
+  override def staticCall: String = "s2FaceUv"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null
+    else GeoKernels.s2FaceUv(a(0).asInstanceOf[Double], a(1).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1))
+}
+
+case class RingCellsExpr(lon: Expression, lat: Expression,
+                         level: Expression, rings: Expression)
+    extends GeoStaticCall {
+  override def children: Seq[Expression] = Seq(lon, lat, level, rings)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def staticCall: String = "ringCells"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null
+    else GeoKernels.ringCells(a(0).asInstanceOf[Double], a(1).asInstanceOf[Double],
+      a(2).asInstanceOf[Int], a(3).asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1), c(2), c(3))
+}
+
 case class PointInRingExpr(lon: Expression, lat: Expression, ring: Expression)
     extends GeoStaticCall {
   override def children: Seq[Expression] = Seq(lon, lat, ring)
@@ -180,6 +235,14 @@ object GeoFunctions {
   /** exact even-odd point-in-polygon over a flat [lon,lat,...] ring array. */
   def pointInRing(lon: Column, lat: Column, ring: Column): Column =
     col(PointInRingExpr(ex(lon), ex(lat), ex(ring)))
+
+  /** S2 face + (u,v) face coordinates: struct(face, u, v). */
+  def s2FaceUv(lon: Column, lat: Column): Column =
+    col(S2FaceUvExpr(ex(lon), ex(lat)))
+
+  /** array of the point's cell and its `rings` neighbor rings at `level`. */
+  def ringCells(lon: Column, lat: Column, level: Column, rings: Column): Column =
+    col(RingCellsExpr(ex(lon), ex(lat), ex(level), ex(rings)))
 
   /** full proj pipeline transform — re-export for one-stop import. */
   def projTrans2(lon: Column, lat: Column, pipeline: String): Column =

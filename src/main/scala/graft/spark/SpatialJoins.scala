@@ -92,13 +92,11 @@ object SpatialJoins {
   def knnJoin(queries: DataFrame, points: DataFrame, k: Int,
               level: Int = 8, rings: Int = 2,
               broadcastQueries: Boolean = true): DataFrame = {
-    val spark = queries.sparkSession
     import org.apache.spark.sql.expressions.Window
 
-    val ringUdf = udf((lon: Double, lat: Double) =>
-      S2CellId.ringCells(S2CellId.cellId(lon, lat, level), rings))
     val q = queries
-      .withColumn("cell", explode(ringUdf(col("lon"), col("lat"))))
+      .withColumn("cell", explode(GeoFunctions.ringCells(
+        col("lon"), col("lat"), lit(level), lit(rings))))
       .withColumnRenamed("lon", "q_lon")
       .withColumnRenamed("lat", "q_lat")
     val p = points.withColumn("cell",

@@ -146,6 +146,149 @@ object TrainingOps {
     bits.reduce(_ + _)
   }
 
+  // ---------------- cross-engine-verifiable (shared-hash) variants ----------
+  //
+  // The engine paths above hash with xxhash64 (fastest codegen'd hash Spark
+  // has). For the driver's DuckDB oracle, both engines must compute the SAME
+  // hash bit-for-bit, so these variants derive every hash bit/value from
+  // md5 hex digits — md5 is identical everywhere. Semantics (banding,
+  // voting, thresholds) are the same as the engine paths.
+
+  private def normWords(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
+  /** 16-bit SimHash bucket (bits 48..63 of an md5-digit-derived 64-bit
+    * hash): bit k of the bucket is the majority vote over words of nibble
+    * bit (k%4) of md5 hex digit (13 + k/4). Mirrors the DuckDB oracle. */
+  def simhashBucketShared(text: Column): Column = {
+    val words = normWords(text)
+    val bits = (0 until 16).map { k =>
+      val pos = 13 + k / 4
+      val shift = k % 4
+      val vote = aggregate(words, lit(0), (acc, w) => {
+        val digit = conv(substring(md5(w), pos, 1), 16, 10).cast("int")
+        acc + when(shiftright(digit, shift).bitwiseAND(1) === 1, 1).otherwise(-1)
+      })
+      when(vote > 0, lit(1L << k)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** word 3-shingles of the normalized text (same shape as the engine
+    * minhashSignature grams). */
+  private def shingles3(text: Column): Column = {
+    val words = normWords(text)
+    when(size(words) < 3, array(concat_ws(" ", words)))
+      .otherwise(transform(sequence(lit(0), size(words) - 3),
+        i => concat_ws(" ", element_at(words, i + 1),
+          element_at(words, i + 2), element_at(words, i + 3))))
+  }
+
+  /** shared 60-bit hash: first 15 hex digits of md5("k:gram") as a long. */
+  private def sharedHash(k: Int, g: Column): Column =
+    conv(substring(md5(concat(lit(s"$k:"), g)), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signature with the shared md5-derived hash family. */
+  def minhashSignatureShared(text: Column, numHashes: Int): Column = {
+    val grams = shingles3(text)
+    array((0 until numHashes).map(k => array_min(transform(grams, g => sharedHash(k, g)))): _*)
+  }
+
+  /** MinHash+LSH near-dup pairs with the shared hash family; bands join on
+    * the md5 of the comma-joined signature slice, estimated Jaccard is
+    * quantized to ppm (exact multiples of 1/numHashes, so cross-engine
+    * stable). Returns (doc_a, doc_b, jacc_ppm). */
+  def minhashDedupShared(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         numHashes: Int = 16, bands: Int = 4,
+                         threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("sig", minhashSignatureShared(col("t"), numHashes))
+    val banded = withSig.withColumn("band",
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band_id"),
+          md5(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as("band_key")))))
+      .select(col("id"), col("sig"), col("band.band_id"), col("band.band_key"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val pairs = a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    pairs
+      .withColumn("jacc",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          e => e)).cast("double") / numHashes)
+      .where(col("jacc") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jacc") * 1e6).cast("long").as("jacc_ppm"))
+  }
+
+  /** brute-force cosine top-k over double-cast embeddings, ranked on the
+    * ppm-quantized similarity (cross-engine-stable ordering; ties break on
+    * c_id). Returns (q_id, c_id, cos_ppm, rnk). */
+  def annBruteQuantized(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    def d(c: Column): Column = transform(c, x => x.cast("double"))
+    val q = queries.select(col("vec_id").as("q_id"), d(col("embedding")).as("q_vec"))
+    val c = corpus.select(col("vec_id").as("c_id"), d(col("embedding")).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("c_id"))
+      .withColumn("cos_ppm",
+        round(cosine(col("q_vec"), col("c_vec")) * 1e6).cast("long"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_ppm").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("q_id", "c_id", "cos_ppm", "rnk")
+  }
+
+  /** md5-derived rational hyperplane component in [-1, 1]:
+    * (first8hex(md5("t,p,d")) % 2001 - 1000) / 1000 — computable identically
+    * in SQL, so the LSH bucketing is cross-engine-verifiable. */
+  private[spark] def sharedPlane(t: Int, p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$t,$p,$d".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
+  }
+
+  /** LSH-bucketed ANN with shared md5-derived hyperplanes and quantized
+    * ranking — same bucketing structure as annLsh (the scale path), but
+    * every number is reproducible in the DuckDB oracle. */
+  def annLshShared(queries: DataFrame, corpus: DataFrame, k: Int,
+                   planes: Int = 6, tables: Int = 8): DataFrame = {
+    def dd(c: Column): Column = transform(c, x => x.cast("double"))
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val hyper = Array.tabulate(tables, planes, dim)((t, p, d) => sharedPlane(t, p, d))
+    def buckets(vec: Column): Column = {
+      val perTable = (0 until tables).map { t =>
+        val bits = (0 until planes).map { p =>
+          val dot = aggregate(zip_with(vec,
+            typedLit(hyper(t)(p).toSeq), (x, h) => x * h), lit(0.0d), (s, v) => s + v)
+          when(dot >= 0, lit(1L << p)).otherwise(0L)
+        }
+        struct(lit(t).as("tbl"), bits.reduce(_ + _).as("b"))
+      }
+      array(perTable: _*)
+    }
+    val c = corpus.select(col("vec_id").as("c_id"), dd(col("embedding")).as("c_vec"))
+      .withColumn("bucket", explode(buckets(col("c_vec"))))
+    val q = queries.select(col("vec_id").as("q_id"), dd(col("embedding")).as("q_vec"))
+      .withColumn("bucket", explode(buckets(col("q_vec"))))
+    val cand = c.join(broadcast(q), Seq("bucket"))
+      .where(col("q_id") =!= col("c_id"))
+      .select("q_id", "q_vec", "c_id", "c_vec")
+      .dropDuplicates("q_id", "c_id")
+    val scored = cand.withColumn("cos_ppm",
+      round(cosine(col("q_vec"), col("c_vec")) * 1e6).cast("long"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_ppm").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("q_id", "c_id", "cos_ppm", "rnk")
+  }
+
   /** n-gram Jaccard similarity between two text columns (exact, for the
     * verify phase of near-dup candidates). */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
