@@ -43,20 +43,22 @@ object Bench {
     val docs = DocsTable.withAnchor(spark.read.parquet(docsPath))
       .where(col("lon").isNotNull)
     var enriched = docs
-      .withColumn("utm_zone", GeoFunctions.utmZone(col("lon")))
+      // per-row zone dispatch: every point lands in its OWN zone's CRS
+      .withColumn("utm", ProjFunctions.utmNative(col("lon"), col("lat")))
       .withColumn("gda", ProjFunctions.projTrans2(col("lon"), col("lat"), gdaPipe))
       .withColumn("cell", GeoFunctions.s2Cell(col("lon"), col("lat"), lit(12)))
       .withColumn("tile", GeoFunctions.tileKey(col("lon"), col("lat"), lit(12)))
-    // reproject into 8 UTM zone CRSs (typical multi-CRS tile fan-out)
+    // reproject into 8 fixed UTM zone CRSs (typical multi-CRS tile fan-out)
     for (z <- 1 to 8)
       enriched = enriched.withColumn(s"utm_$z",
         ProjFunctions.projTrans2(col("lon"), col("lat"),
           s"proj=utm zone=${z * 7} ellps=WGS84").getField("x"))
-    val checksum = (1 to 8).map(z => col(s"utm_$z")).reduce(_ + _)
+    val checksum = (1 to 8).map(z => col(s"utm_$z")).reduce(_ + _) +
+      col("utm.x") + col("utm.y")
     val joined = SpatialJoins.pipJoin(
       enriched.withColumn("utm_ck", checksum), DocsTable.zones(spark), level = 10)
-      .select(col("doc_id"), col("zone_id"), col("utm_zone"), col("cell"),
-        col("tile"), col("gda.x").as("gda_x"), col("utm_ck"))
+      .select(col("doc_id"), col("zone_id"), col("utm.zone").as("utm_zone"),
+        col("cell"), col("tile"), col("gda.x").as("gda_x"), col("utm_ck"))
     // checksum aggregate defeats count-only column pruning: every kernel runs
     joined.select(
       count(lit(1)).as("n"),

@@ -359,6 +359,60 @@ object OracleSql {
       CAST(round((nv * (-1.0)) * 1000) AS BIGINT) AS undulation_mm
     FROM interp ORDER BY point_id"""
 
+  // ------------------------------------------------------------ geo_utm_native
+
+  /** Per-row zone-native UTM easting/northing via the Karney order-6
+    * Krueger alpha-series (public TM formulation, agrees with the engine's
+    * Poder/Engsager exact kernel to ~nm inside a zone); sinh/cosh/asinh/
+    * atanh spelled with exp/ln since DuckDB lacks the hyperbolics. */
+  def geoUtmNative: String =
+    s"""WITH $ptsCte,
+    z AS (
+      SELECT point_id, lon, lat,
+        CAST(LEAST(GREATEST(floor((lon+180)/6),0),59)+1 AS INT) AS zone,
+        (CAST(LEAST(GREATEST(floor((lon+180)/6),0),59)+1 AS INT)*6 - 183)::DOUBLE AS lon0
+      FROM pts),
+    c AS (
+      SELECT 6378137.0 AS aa, 1.0/298.257223563 AS ff,
+        ff*(2-ff) AS es, sqrt(ff*(2-ff)) AS ee, ff/(2-ff) AS n,
+        aa/(1+n)*(1 + n*n/4 + n*n*n*n/64 + n*n*n*n*n*n/256) AS a1r,
+        n/2 - 2*n*n/3 + 5*n*n*n/16 + 41*n*n*n*n/180 - 127*n*n*n*n*n/288 + 7891*n*n*n*n*n*n/37800 AS k1,
+        13*n*n/48 - 3*n*n*n/5 + 557*n*n*n*n/1440 + 281*n*n*n*n*n/630 - 1983433*n*n*n*n*n*n/1935360 AS k2,
+        61*n*n*n/240 - 103*n*n*n*n/140 + 15061*n*n*n*n*n/26880 + 167603*n*n*n*n*n*n/181440 AS k3,
+        49561*n*n*n*n/161280 - 179*n*n*n*n*n/168 + 6601661*n*n*n*n*n*n/7257600 AS k4,
+        34729*n*n*n*n*n/80640 - 3418889*n*n*n*n*n*n/1995840 AS k5,
+        212378941*n*n*n*n*n*n/319334400 AS k6),
+    t AS (
+      SELECT point_id, zone, lat,
+        lat*(pi()/180) AS phi, (lon - lon0)*(pi()/180) AS dl,
+        tan(phi) AS tau,
+        ee*tau/sqrt(1+tau*tau) AS w,
+        0.5*ln((1+w)/(1-w)) AS aw,
+        (exp(ee*aw) - exp(-ee*aw))/2 AS sg,
+        tau*sqrt(1+sg*sg) - sg*sqrt(1+tau*tau) AS taup,
+        atan2(taup, cos(dl)) AS xip,
+        sin(dl)/sqrt(taup*taup + cos(dl)*cos(dl)) AS q,
+        ln(q + sqrt(q*q+1)) AS etap,
+        xip + k1*sin(2*xip)*(exp(2*etap)+exp(-2*etap))/2
+            + k2*sin(4*xip)*(exp(4*etap)+exp(-4*etap))/2
+            + k3*sin(6*xip)*(exp(6*etap)+exp(-6*etap))/2
+            + k4*sin(8*xip)*(exp(8*etap)+exp(-8*etap))/2
+            + k5*sin(10*xip)*(exp(10*etap)+exp(-10*etap))/2
+            + k6*sin(12*xip)*(exp(12*etap)+exp(-12*etap))/2 AS xi,
+        etap + k1*cos(2*xip)*(exp(2*etap)-exp(-2*etap))/2
+             + k2*cos(4*xip)*(exp(4*etap)-exp(-4*etap))/2
+             + k3*cos(6*xip)*(exp(6*etap)-exp(-6*etap))/2
+             + k4*cos(8*xip)*(exp(8*etap)-exp(-8*etap))/2
+             + k5*cos(10*xip)*(exp(10*etap)-exp(-10*etap))/2
+             + k6*cos(12*xip)*(exp(12*etap)-exp(-12*etap))/2 AS eta,
+        0.9996*a1r*eta + 500000 AS x,
+        0.9996*a1r*xi + (CASE WHEN lat < 0 THEN 10000000 ELSE 0 END) AS y
+      FROM z, c)
+    SELECT point_id, zone,
+      CAST(round(x*1000) AS BIGINT) AS x_mm,
+      CAST(round(y*1000) AS BIGINT) AS y_mm
+    FROM t ORDER BY point_id"""
+
   // ---------------------------------------------------- geo_geodesic_meridian
 
   /** Karney inverse along a meridian == Helmert meridian-arc series

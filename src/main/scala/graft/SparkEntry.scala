@@ -38,22 +38,22 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- entry
 
-  /** Flagship: reproject every doc's geo-anchor to UTM (inferred zone),
-    * assign S2 cells + web-mercator tiles, and join against the metro
-    * polygon set — the full north-star pipeline on sf0.001-sized docs. */
+  /** Flagship: reproject every doc's geo-anchor into its own inferred UTM
+    * zone CRS (per-row zone dispatch), assign S2 cells + web-mercator tiles,
+    * and join against the metro polygon set — the full north-star pipeline
+    * on sf0.001-sized docs. */
   def entry(spark: SparkSession): DataFrame = {
     val docs = DocsTable.withAnchor(DocsTable.docs(spark, 2000))
       .where(col("lon").isNotNull)
-    val zone = GeoFunctions.utmZone(col("lon"))
     val utm = docs
-      .withColumn("utm_zone", zone)
-      .withColumn("utm", ProjFunctions.projTrans2(col("lon"), col("lat"),
-        "proj=utm zone=32 ellps=WGS84"))
+      .withColumn("utm", ProjFunctions.utmNative(col("lon"), col("lat")))
     val cells = utm.withColumn("cell",
       GeoFunctions.s2Cell(col("lon"), col("lat"), lit(12)))
       .withColumn("tile", GeoFunctions.tileKey(col("lon"), col("lat"), lit(12)))
     SpatialJoins.pipJoin(cells, DocsTable.zones(spark), level = 10)
-      .select("doc_id", "zone_id", "utm_zone", "cell", "tile")
+      .select(col("doc_id"), col("zone_id"), col("utm.zone").as("utm_zone"),
+        col("utm.x").as("utm_x"), col("utm.y").as("utm_y"),
+        col("cell"), col("tile"))
   }
 
   // ---------------------------------------------------------------- queries
@@ -113,6 +113,16 @@ object SparkEntry {
         .withColumn("utm_zone", GeoFunctions.utmZone(col("lon")))
         .groupBy(col("utm_zone")).agg(count(lit(1)).as("n"))
         .orderBy("utm_zone")
+    }),
+
+    "geo_utm_native" -> ((s, dir) => {
+      // per-row zone inference driving the transform: each point lands in
+      // its OWN zone's CRS (120 precompiled pipelines, selected per row);
+      // oracle recomputes zone + Krueger series easting/northing in SQL
+      custPoints(s, dir)
+        .withColumn("utm", ProjFunctions.utmNative(col("lon"), col("lat")))
+        .select(col("point_id"), col("utm.zone").as("zone"),
+          mm(col("utm.x")).as("x_mm"), mm(col("utm.y")).as("y_mm"))
     }),
 
     "geo_webmerc" -> ((s, dir) => {
@@ -464,6 +474,7 @@ object SparkEntry {
     "ann_brute" -> OracleSql.annBrute(k = 3),
     "ann_lsh" -> OracleSql.annLsh(k = 3, planes = 6, tables = 8),
     "geo_datum_shift" -> OracleSql.geoDatumShift,
+    "geo_utm_native" -> OracleSql.geoUtmNative,
     "geo_s2_cells" -> OracleSql.geoS2Cells,
     "geo_gridshift" -> OracleSql.geoGridshift,
     "geo_geoid" -> OracleSql.geoGeoid,

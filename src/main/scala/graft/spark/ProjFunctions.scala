@@ -104,6 +104,83 @@ object FactorsKernels {
   }
 }
 
+/** Per-row UTM zone dispatch: 120 precompiled pipelines (zone 1..60 ×
+  * north/south), selected per row from the point's inferred zone — the
+  * north-star "per-row zone inference for scattered points" wired all the
+  * way to the transform (reference zone logic src/projections/tmerc.cpp:
+  * 630-672). Pipelines are plan-time constants; PJs build lazily once per
+  * executor JVM via the ProjPipeline cache. */
+final class UtmDispatch(val ellps: String) extends Serializable {
+  @transient private lazy val pipes: Array[ProjPipeline] = {
+    val arr = new Array[ProjPipeline](120)
+    var z = 1
+    while (z <= 60) {
+      arr(z - 1) = new ProjPipeline(s"proj=utm zone=$z ellps=$ellps")
+      arr(60 + z - 1) = new ProjPipeline(s"proj=utm zone=$z south ellps=$ellps")
+      z += 1
+    }
+    arr
+  }
+  def pipe(zone: Int, south: Boolean): ProjPipeline =
+    pipes(if (south) 60 + zone - 1 else zone - 1)
+}
+
+object UtmNativeKernels {
+  private val outType: StructType = StructType(Seq(
+    StructField("zone", IntegerType, nullable = false),
+    StructField("south", BooleanType, nullable = false),
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false)))
+
+  def resultType: StructType = outType
+
+  def eval(d: UtmDispatch, lonDeg: Double, latDeg: Double): InternalRow = {
+    val zone = graft.proj.ops.TmercOps.zoneFromLonLat(lonDeg)
+    val south = latDeg < 0
+    val c = new Coord
+    c.set(lonDeg * (math.Pi / 180), latDeg * (math.Pi / 180), 0.0, 0.0)
+    d.pipe(zone, south).trans(c, forward = true)
+    new GenericInternalRow(Array[Any](zone, south, c.x, c.y))
+  }
+}
+
+/** Catalyst expression: (lonDeg, latDeg) -> struct(zone, south, x, y) in the
+  * point's own inferred UTM zone CRS. */
+case class UtmNativeExpr(lonExpr: Expression, latExpr: Expression,
+                         ellps: String) extends Expression {
+  @transient private lazy val dispatch = new UtmDispatch(ellps)
+
+  override def children: Seq[Expression] = Seq(lonExpr, latExpr)
+  override def dataType: DataType = UtmNativeKernels.resultType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: InternalRow): Any = {
+    val lon = lonExpr.eval(input); val lat = latExpr.eval(input)
+    if (lon == null || lat == null) null
+    else UtmNativeKernels.eval(dispatch, lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dRef = ctx.addReferenceObj("utmDispatch", dispatch, classOf[UtmDispatch].getName)
+    val lonC = lonExpr.genCode(ctx); val latC = latExpr.genCode(ctx)
+    val kern = UtmNativeKernels.getClass.getName + ".MODULE$"
+    val code =
+      code"""
+        ${lonC.code}
+        ${latC.code}
+        boolean ${ev.isNull} = ${lonC.isNull} || ${latC.isNull};
+        InternalRow ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $kern.eval($dRef, ${lonC.value}, ${latC.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(lonExpr = newChildren(0), latExpr = newChildren(1))
+}
+
 /** Catalyst expression: (lonDeg, latDeg) -> struct(h,k,s,omega,conv). */
 case class ProjFactorsExpr(lonExpr: Expression, latExpr: Expression,
                            projString: String) extends Expression {
@@ -220,4 +297,9 @@ object ProjFunctions {
 
   def projTransInv2(x: Column, y: Column, pipeline: String): Column =
     projTrans(x, y, lit(0.0), lit(0.0), pipeline, forward = false)
+
+  /** Reproject a point into its own inferred UTM zone CRS (per-row zone
+    * dispatch over 120 precompiled pipelines): struct(zone, south, x, y). */
+  def utmNative(lon: Column, lat: Column, ellps: String = "WGS84"): Column =
+    col(UtmNativeExpr(expr(lon), expr(lat), ellps))
 }
