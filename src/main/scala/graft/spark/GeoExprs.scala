@@ -48,6 +48,28 @@ object GeoKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       S2CellId.ringCells(S2CellId.cellId(lon, lat, level), rings))
 
+  /** S2 cell cover of a polygon ring's bbox at `level` (executor-side; the
+    * distributed pipJoin path — no driver collect). Adaptive sampling + one
+    * neighbor ring guarantees completeness for bbox covers; cost scales
+    * with (bbox span / cell pitch)^2, so pick `level` near the polygon
+    * scale (cells ~ polygon size). */
+  def coverCells(ring: ArrayData, level: Int): ArrayData = {
+    val n = ring.numElements() / 2
+    var minLon = Double.MaxValue; var maxLon = Double.MinValue
+    var minLat = Double.MaxValue; var maxLat = Double.MinValue
+    var i = 0
+    while (i < n) {
+      val lon = ring.getDouble(2 * i); val lat = ring.getDouble(2 * i + 1)
+      if (lon < minLon) minLon = lon
+      if (lon > maxLon) maxLon = lon
+      if (lat < minLat) minLat = lat
+      if (lat > maxLat) maxLat = lat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      SpatialJoins.coverBBox(minLon, minLat, maxLon, maxLat, level).toArray)
+  }
+
   /** Exact even-odd ray cast in lon/lat space; rings as flat
     * [lon0, lat0, lon1, lat1, ...]. Matches the classic point-in-polygon
     * semantics used for the PIP verification pass. */
@@ -196,6 +218,20 @@ case class RingCellsExpr(lon: Expression, lat: Expression,
     copy(c(0), c(1), c(2), c(3))
 }
 
+case class CoverCellsExpr(ring: Expression, level: Expression)
+    extends GeoStaticCall {
+  override def children: Seq[Expression] = Seq(ring, level)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def staticCall: String = "coverCells"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null
+    else GeoKernels.coverCells(a(0).asInstanceOf[ArrayData], a(1).asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1))
+}
+
 case class PointInRingExpr(lon: Expression, lat: Expression, ring: Expression)
     extends GeoStaticCall {
   override def children: Seq[Expression] = Seq(lon, lat, ring)
@@ -243,6 +279,10 @@ object GeoFunctions {
   /** array of the point's cell and its `rings` neighbor rings at `level`. */
   def ringCells(lon: Column, lat: Column, level: Column, rings: Column): Column =
     col(RingCellsExpr(ex(lon), ex(lat), ex(level), ex(rings)))
+
+  /** S2 cover of a flat-ring polygon's bbox at `level` (executor-side). */
+  def coverCells(ring: Column, level: Column): Column =
+    col(CoverCellsExpr(ex(ring), ex(level)))
 
   /** full proj pipeline transform — re-export for one-stop import. */
   def projTrans2(lon: Column, lat: Column, pipeline: String): Column =

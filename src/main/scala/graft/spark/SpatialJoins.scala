@@ -55,29 +55,24 @@ object SpatialJoins {
   }
 
   /** Point-in-polygon join: points(lon, lat, …) × zones(zone_id, ring
-    * flat-array, plus a bbox) → points with matched zone_id (inner).
+    * flat-array) → points with matched zone_id (inner).
     *
-    * Two-phase: S2 cover pre-join on `cell` (broadcast — polygon sets are
-    * small relative to points), then the exact ray-cast expression.
+    * Two-phase: S2 cover pre-join on `cell`, then the exact ray-cast
+    * expression. Covers are built EXECUTOR-side (CoverCellsExpr explode —
+    * no driver collect, so a million-polygon zones table works), and the
+    * cover side rides as a broadcast when `broadcastZones` (the default:
+    * polygon sets are usually small relative to points); pass false to get
+    * a shuffle equi-join on `cell` for huge polygon tables — hot cells can
+    * then be salted with saltCells/replicateForSalt.
     */
-  def pipJoin(points: DataFrame, zones: DataFrame, level: Int = 12): DataFrame = {
-    val spark = points.sparkSession
-    import spark.implicits._
-    // build zone covers on the driver (zones are broadcast-sized by contract)
-    val zoneRows = zones.select("zone_id", "ring").collect()
-    val covers = zoneRows.flatMap { r =>
-      val zid = r.getInt(0)
-      val ring = r.getSeq[Double](1)
-      val lons = ring.indices.collect { case i if i % 2 == 0 => ring(i) }
-      val lats = ring.indices.collect { case i if i % 2 == 1 => ring(i) }
-      coverBBox(lons.min, lats.min, lons.max, lats.max, level).map(c => (c, zid))
-    }.toSeq.toDF("cell", "zone_id")
-
+  def pipJoin(points: DataFrame, zones: DataFrame, level: Int = 12,
+              broadcastZones: Boolean = true): DataFrame = {
+    val covers = zones.withColumn("cell",
+      explode(GeoFunctions.coverCells(col("ring"), lit(level))))
     val pts = points.withColumn("cell",
       GeoFunctions.s2Cell(col("lon"), col("lat"), lit(level)))
     pts
-      .join(broadcast(covers), Seq("cell"))
-      .join(broadcast(zones), Seq("zone_id"))
+      .join(if (broadcastZones) broadcast(covers) else covers, Seq("cell"))
       .where(GeoFunctions.pointInRing(col("lon"), col("lat"), col("ring")))
       .drop("ring")
   }

@@ -19,6 +19,7 @@ object PlanCheck {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
+    var misses = 0
     def check(name: String)(df: org.apache.spark.sql.DataFrame)(
         wants: (String, String => Boolean)*): Unit = {
       val finalPlan = df.queryExecution.executedPlan
@@ -31,9 +32,21 @@ object PlanCheck {
       (("whole-stage codegen active" -> ((_: String) => wsc > 0)) +: wants).foreach {
         case (label, pred) =>
           val ok = pred(plan)
+          if (!ok) misses += 1
           println(s"  [${if (ok) "OK" else "MISS"}] $label")
       }
     }
+
+    /** engine-wide anti-pattern gate: no ScalaUDF / python-eval anywhere in
+      * any driver query plan — every kernel must be a codegen-able
+      * Catalyst expression. */
+    def udfCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case n =>
+        n.expressions.flatMap(_.collect {
+          case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+          case p: org.apache.spark.sql.catalyst.expressions.PythonUDF => p
+        })
+      }.flatten.size
 
     val queries = graft.SparkEntry.queries
     def q(name: String) = queries(name)(spark, dir)
@@ -61,9 +74,22 @@ object PlanCheck {
       "bucket equi-join" -> (p => p.contains("Join")),
       "scan present" -> (_.contains("Scan")))
 
+    println("===== engine-wide UDF gate =====")
+    (queries.keys.toSeq.sorted :+ "entry").foreach { name =>
+      val df = if (name == "entry") graft.SparkEntry.entry(spark) else q(name)
+      val n = udfCount(df)
+      if (n > 0) misses += 1
+      println(s"  [${if (n == 0) "OK" else "MISS"}] $name: $n UDF node(s)")
+    }
+
     // one full formatted plan for the record
     println("===== geo_pip formatted =====")
     q("geo_pip").explain("formatted")
     spark.stop()
+    if (misses > 0) {
+      println(s"PLANCHECK FAILED: $misses miss(es)")
+      sys.exit(1)
+    }
+    println("PLANCHECK OK")
   }
 }

@@ -106,6 +106,43 @@ class SparkLayerSpec extends AnyFunSuite {
     inside
   }
 
+  test("pipJoin scales to 10k polygons without a driver collect (shuffle path)") {
+    // 10k small boxes generated distributively; covers built executor-side
+    val zones = spark.range(0, 10000).select(
+      $"id".cast("int").as("zone_id"),
+      (($"id" * 131 % 3000) / 10.0 - 150.0 + 0.05).as("zlon"),
+      (($"id" * 67 % 1400) / 10.0 - 70.0 + 0.03).as("zlat"),
+      (lit(0.1) + ($"id" % 9) * 0.1).as("half"))
+      .withColumn("ring", array(
+        $"zlon" - $"half", $"zlat" - $"half",
+        $"zlon" + $"half", $"zlat" - $"half",
+        $"zlon" + $"half", $"zlat" + $"half",
+        $"zlon" - $"half", $"zlat" + $"half"))
+      .drop("half")
+    val points = spark.range(0, 500).select(
+      $"id".as("point_id"),
+      (($"id" * 37 % 3600) / 10.0 - 180.0 + 0.021).as("lon"),
+      (($"id" * 53 % 1600) / 10.0 - 80.0 + 0.013).as("lat"))
+    val joined = SpatialJoins.pipJoin(points, zones, level = 8, broadcastZones = false)
+    // no collect happened on the driver: the plan has no LocalTableScan of
+    // covers; the join input is the exploded cover of the zones scan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      s"expected executor-side cover explode in plan:\n$plan")
+    val got = joined.select("point_id", "zone_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val zoneRows = zones.select("zone_id", "ring").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val pts = points.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val want = (for {
+      (pid, lon, lat) <- pts
+      (zid, ring) <- zoneRows
+      if rayCast(lon, lat, ring)
+    } yield (pid, zid)).toSet
+    assert(want.nonEmpty, "fixture produced no containments")
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("knnJoin (cell rings + Karney) matches brute force on dense data") {
     val docs = DocsTable.withAnchor(DocsTable.docs(spark, 3000))
       .where($"lon".isNotNull)
