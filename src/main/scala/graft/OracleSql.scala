@@ -413,6 +413,21 @@ object OracleSql {
       CAST(round(y*1000) AS BIGINT) AS y_mm
     FROM t ORDER BY point_id"""
 
+  // ------------------------------------------------------------ media_features
+
+  /** closed-form expectations for the round trip real-encode -> real-parse
+    * (MediaCodecs): the parameter derivation in MultimodalOps.encodeFor. */
+  def mediaFeatures: String =
+    s"""SELECT doc_id,
+      CASE doc_id % 3 WHEN 1 THEN 'audio' ELSE 'image' END AS media_kind,
+      CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id % 16)*4
+           WHEN 2 THEN 32 + (doc_id % 100) ELSE 0 END AS BIGINT) AS width,
+      CAST(CASE doc_id % 3 WHEN 0 THEN 16 + ((doc_id*7) % 16)*4
+           WHEN 2 THEN 32 + ((doc_id*13) % 100) ELSE 0 END AS BIGINT) AS height,
+      CAST(CASE doc_id % 3 WHEN 1 THEN 8000*(1 + doc_id % 6) ELSE 0 END AS BIGINT) AS sample_rate,
+      CAST(CASE doc_id % 3 WHEN 1 THEN 1 + doc_id % 2 ELSE 0 END AS BIGINT) AS channels
+    FROM documents ORDER BY doc_id"""
+
   // ---------------------------------------------------- geo_geodesic_meridian
 
   /** Karney inverse along a meridian == Helmert meridian-arc series

@@ -342,6 +342,25 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => {
       TrainingOps.withLangId(t(s, dir, "documents"))
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+    }),
+
+    "media_features" -> ((s, dir) => {
+      // multimodal: synthesize REAL PNG/WAV/JPEG byte streams per doc
+      // (parameters derived from doc_id), then parse them back with the
+      // real header decoders; the oracle recomputes the parameters in SQL,
+      // so a wrong byte layout or parser fails the hash
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(it => it.map(id =>
+          (id.toString, s"media://$id", graft.spark.MultimodalOps.encodeFor(id))))
+        .toDF("doc_id", "media_ref", "payload")
+      graft.spark.MultimodalOps.decodeAndFeaturize(media)
+        .select(col("doc_id").cast("long").as("doc_id"), col("media_kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"))
     })
   )
 
@@ -478,6 +497,7 @@ object SparkEntry {
     "geo_s2_cells" -> OracleSql.geoS2Cells,
     "geo_gridshift" -> OracleSql.geoGridshift,
     "geo_geoid" -> OracleSql.geoGeoid,
-    "geo_geodesic_meridian" -> OracleSql.geoGeodesicMeridian
+    "geo_geodesic_meridian" -> OracleSql.geoGeodesicMeridian,
+    "media_features" -> OracleSql.mediaFeatures
   )
 }

@@ -1,0 +1,189 @@
+package graft.spark
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{CRC32, Deflater}
+
+/** Real (library-free) media header codecs for the multimodal column path.
+  *
+  * The container formats are public specifications: PNG (RFC 2083 / W3C),
+  * WAV (RIFF, Microsoft/IBM spec), JPEG JFIF (ITU T.81 marker structure).
+  * Encoders produce structurally valid byte streams (PNG with correct CRCs
+  * and a deflate IDAT; WAV with RIFF/fmt/data chunks; JPEG with SOI/APP0/
+  * SOF0/EOI markers); decoders parse the real byte layout — byte order,
+  * chunk walking, marker scanning — so a wrong parser fails loudly against
+  * the driver oracle's closed-form expectations.
+  */
+object MediaCodecs {
+
+  final case class MediaInfo(kind: String, width: Int, height: Int,
+                             sampleRate: Int, channels: Int)
+
+  // ------------------------------------------------------------------ PNG
+
+  private val PNG_SIG = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+    val len = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(data.length).array()
+    out.write(len)
+    val typBytes = typ.getBytes("ASCII")
+    out.write(typBytes)
+    out.write(data)
+    val crc = new CRC32()
+    crc.update(typBytes); crc.update(data)
+    out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+      .putInt(crc.getValue.toInt).array())
+  }
+
+  /** grayscale 8-bit PNG with deterministic pixel data. */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PNG_SIG)
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte) // bit depth
+    ihdr.put(0.toByte) // color type: grayscale
+    ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+    pngChunk(out, "IHDR", ihdr.array())
+    // scanlines: filter byte 0 + width gray bytes, deterministic
+    val raw = new Array[Byte](height * (1 + width))
+    var i = 0; var s = seed
+    while (i < raw.length) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      raw(i) = (s >>> 56).toByte
+      i += 1
+    }
+    var r = 0
+    while (r < height) { raw(r * (1 + width)) = 0; r += 1 }
+    val defl = new Deflater()
+    defl.setInput(raw); defl.finish()
+    val comp = new Array[Byte](raw.length + 64)
+    val n = defl.deflate(comp)
+    defl.end()
+    pngChunk(out, "IDAT", java.util.Arrays.copyOf(comp, n))
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** parse a PNG's IHDR: walks the chunk chain for real. */
+  def decodePng(bytes: Array[Byte]): Option[MediaInfo] = {
+    if (bytes.length < 33) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != PNG_SIG(i)) return None; i += 1 }
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var pos = 8
+    while (pos + 8 <= bytes.length) {
+      val len = bb.getInt(pos)
+      val typ = new String(bytes, pos + 4, 4, "ASCII")
+      if (typ == "IHDR") {
+        if (len < 13 || pos + 8 + 13 > bytes.length) return None
+        return Some(MediaInfo("image", bb.getInt(pos + 8), bb.getInt(pos + 12), 0, 0))
+      }
+      pos += 8 + len + 4
+    }
+    None
+  }
+
+  // ------------------------------------------------------------------ WAV
+
+  /** 16-bit PCM WAV with deterministic samples. */
+  def encodeWav(sampleRate: Int, channels: Int, nSamples: Int, seed: Long): Array[Byte] = {
+    val dataLen = nSamples * channels * 2
+    val total = 44 + dataLen
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")); bb.putInt(total - 8)
+    bb.put("WAVE".getBytes("ASCII"))
+    bb.put("fmt ".getBytes("ASCII")); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * 2) // byte rate
+    bb.putShort((channels * 2).toShort) // block align
+    bb.putShort(16) // bits per sample
+    bb.put("data".getBytes("ASCII")); bb.putInt(dataLen)
+    var s = seed; var i = 0
+    while (i < nSamples * channels) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      bb.putShort((s >>> 48).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** parse RIFF/WAVE: walks chunks to fmt . */
+  def decodeWav(bytes: Array[Byte]): Option[MediaInfo] = {
+    if (bytes.length < 44) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (new String(bytes, 0, 4, "ASCII") != "RIFF") return None
+    if (new String(bytes, 8, 4, "ASCII") != "WAVE") return None
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "ASCII")
+      val len = bb.getInt(pos + 4)
+      if (id == "fmt ") {
+        if (len < 16 || pos + 8 + 16 > bytes.length) return None
+        val channels = bb.getShort(pos + 10).toInt
+        val rate = bb.getInt(pos + 12)
+        return Some(MediaInfo("audio", 0, 0, rate, channels))
+      }
+      pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    None
+  }
+
+  // ----------------------------------------------------------------- JPEG
+
+  /** minimal JFIF byte stream: SOI + APP0 + SOF0 (with dims) + EOI —
+    * structurally valid marker chain (no entropy-coded data). */
+  def encodeJpegHeader(width: Int, height: Int): Array[Byte] = {
+    val out = ByteBuffer.allocate(2 + 18 + 19 + 2).order(ByteOrder.BIG_ENDIAN)
+    out.putShort(0xFFD8.toShort) // SOI
+    out.putShort(0xFFE0.toShort); out.putShort(16) // APP0 len
+    out.put("JFIF".getBytes("ASCII")); out.put(0.toByte)
+    out.putShort(0x0101.toShort) // version
+    out.put(0.toByte) // aspect units
+    out.putShort(1.toShort); out.putShort(1.toShort) // aspect
+    out.put(0.toByte); out.put(0.toByte) // no thumbnail
+    out.putShort(0xFFC0.toShort); out.putShort(17) // SOF0, len (8 + 3*3)
+    out.put(8.toByte) // precision
+    out.putShort(height.toShort); out.putShort(width.toShort)
+    out.put(3.toByte) // components
+    for (c <- 1 to 3) { out.put(c.toByte); out.put(0x11.toByte); out.put(0.toByte) }
+    out.putShort(0xFFD9.toShort) // EOI
+    out.array()
+  }
+
+  /** scan JPEG markers for a SOFn frame header (excluding DHT/JPG/DAC). */
+  def decodeJpeg(bytes: Array[Byte]): Option[MediaInfo] = {
+    if (bytes.length < 4) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    if ((bb.getShort(0) & 0xffff) != 0xFFD8) return None
+    var pos = 2
+    while (pos + 4 <= bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xff) return None
+      val marker = bytes(pos + 1) & 0xff
+      if (marker == 0xD9) return None // EOI before any SOF
+      val isSof = marker >= 0xC0 && marker <= 0xCF &&
+        marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+      val len = bb.getShort(pos + 2) & 0xffff
+      if (isSof) {
+        if (pos + 2 + 7 > bytes.length) return None
+        val height = bb.getShort(pos + 5) & 0xffff
+        val width = bb.getShort(pos + 7) & 0xffff
+        return Some(MediaInfo("image", width, height, 0, 0))
+      }
+      pos += 2 + len
+    }
+    None
+  }
+
+  // ------------------------------------------------------------- dispatch
+
+  /** decode by magic number; None for unknown formats. */
+  def decode(bytes: Array[Byte]): Option[MediaInfo] = {
+    if (bytes.length < 4) None
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') decodePng(bytes)
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F') decodeWav(bytes)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) decodeJpeg(bytes)
+    else None
+  }
+}

@@ -59,7 +59,7 @@ class SnapshotSpec extends AnyFunSuite {
     val again = MultimodalOps.decodeAndFeaturize(media).collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
     // features are unit-norm
-    val f = rows.head.getSeq[Float](7)
+    val f = rows.head.getAs[scala.collection.Seq[Float]]("feature")
     assert(math.abs(f.map(x => x * x).sum - 1.0) < 1e-4)
     val frames = MultimodalOps.sampleFrames(decoded)
     if (frames.count() > 0)
