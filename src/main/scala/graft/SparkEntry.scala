@@ -344,6 +344,28 @@ object SparkEntry {
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
     }),
 
+    "zone_area" -> ((s, dir) => {
+      // geodesic polygon perimeter/area (Karney planimeter) on the polygon
+      // set GeographicLib publishes results for — the oracle is those
+      // independent published values (geodtest.c Planimeter0/5/12/13),
+      // covering pole-encircling, pole-crossing and double-encircling rings
+      import s.implicits._
+      Seq(
+        ("pa", Seq(0.0, 89, 90, 89, 180, 89, 270, 89).map(_.toDouble)),
+        ("pb", Seq(0.0, -89, 90, -89, 180, -89, 270, -89).map(_.toDouble)),
+        ("pc", Seq(-1.0, 0, 0, -1, 1, 0, 0, 1).map(_.toDouble)),
+        ("pd", Seq(0.0, 90, 0, 0, 90, 0).map(_.toDouble)),
+        ("p5", Seq(0.1, 89, 90.1, 89, -179.9, 89).map(_.toDouble)),
+        ("p12", Seq(0.0, 66.562222222, 180, 66.562222222, 360, 66.562222222).map(_.toDouble)),
+        ("p13", Seq(-360.0, 89, -240, 89, -120, 89, 0, 89, 120, 89, 240, 89).map(_.toDouble)))
+        .toDF("poly_id", "ring")
+        .withColumn("m", GeoFunctions.polygonMetrics(col("ring")))
+        .select(col("poly_id"),
+          round(col("m.perimeter_m") / 100).cast("long").as("per_hm"),
+          round(col("m.area_m2") / 100).cast("long").as("area_dam2"))
+        .orderBy("poly_id")
+    }),
+
     "media_features" -> ((s, dir) => {
       // multimodal: synthesize REAL PNG/WAV/JPEG byte streams per doc
       // (parameters derived from doc_id), then parse them back with the
@@ -498,6 +520,22 @@ object SparkEntry {
     "geo_gridshift" -> OracleSql.geoGridshift,
     "geo_geoid" -> OracleSql.geoGeoid,
     "geo_geodesic_meridian" -> OracleSql.geoGeodesicMeridian,
-    "media_features" -> OracleSql.mediaFeatures
+    "media_features" -> OracleSql.mediaFeatures,
+
+    // independent published values (GeographicLib geodtest.c planimeter
+    // cases) — not a mirrored formula: a genuine cross-implementation check
+    "zone_area" ->
+      """SELECT poly_id,
+         CAST(round(CAST(per AS DOUBLE)/100) AS BIGINT) AS per_hm,
+         CAST(round(CAST(area AS DOUBLE)/100) AS BIGINT) AS area_dam2
+         FROM (VALUES
+           ('pa', 631819.8745, 24952305678.0),
+           ('pb', 631819.8745, -24952305678.0),
+           ('pc', 627598.2731, 24619419146.0),
+           ('pd', 30022685.0, 63758202715511.0),
+           ('p5', 539297.0, 12476152838.5),
+           ('p12', 10465729.0, 0.0),
+           ('p13', 1160741.0, 32415230256.0)) t(poly_id, per, area)
+         ORDER BY poly_id"""
   )
 }

@@ -6,8 +6,9 @@ package graft.core
   * Algorithms from C.F.F. Karney, "Algorithms for geodesics", J. Geodesy
   * 87, 43-55 (2013), and the public GeographicLib formulation (the same
   * algorithm the reference embeds at src/geodesic.c:302-1085; series order
-  * src/geodesic.c:38). Distance/azimuth outputs only — area and geodesic
-  * scale are out of corpus scope.
+  * src/geodesic.c:38). Outputs: distance, azimuths, reduced length,
+  * geodesic scale, and the area term S12 (Danielsen integral + spherical
+  * excess) consumed by PolygonArea.
   *
   * Instances are immutable after construction and safe to share across
   * executor threads.
@@ -20,6 +21,13 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
   val ep2: Double = e2 / (f1 * f1)
   val n: Double = f / (2 - f)
   val b: Double = a * f1
+  /** authalic radius squared — the area unit (reference geodesic.c geod_init). */
+  val c2: Double = (a * a + b * b *
+    (if (e2 == 0) 1.0
+     else (if (e2 > 0) atanh(math.sqrt(e2)) else math.atan(math.sqrt(-e2))) /
+       math.sqrt(math.abs(e2)))) / 2
+  /** total area of the ellipsoid. */
+  val area0: Double = 4 * math.Pi * c2
   private val etol2: Double =
     0.1 * tol2 / math.sqrt(math.max(0.001, math.abs(f)) * math.min(1.0, 1 - f / 2) / 2)
 
@@ -54,6 +62,49 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
         k += 1; o += m + 2
         j2 -= 1
       }
+      l += 1
+    }
+  }
+
+  // C4 coefficients for the area integral I4 (Karney 2013 eq. 65, order 6) —
+  // polynomial in n, evaluated once per ellipsoid
+  private val c4x = new Array[Double](21)
+  locally {
+    val coC4 = Array[Double](
+      97, 15015, 1088, 156, 45045, -224, -4784, 1573, 45045,
+      -10656, 14144, -4576, -858, 45045, 64, 624, -4576, 6864, -3003, 15015,
+      100, 208, 572, 3432, -12012, 30030, 45045,
+      1, 9009, -2944, 468, 135135, 5792, 1040, -1287, 135135,
+      5952, -11648, 9152, -2574, 135135, -64, -624, 4576, -6864, 3003, 135135,
+      8, 10725, 1856, -936, 225225, -8448, 4992, -1144, 225225,
+      -1440, 4160, -4576, 1716, 225225,
+      -136, 63063, 1024, -208, 105105, 3584, -3328, 1144, 315315,
+      -128, 135135, -2560, 832, 405405,
+      128, 99099)
+    var o = 0; var k = 0
+    var l = 0
+    while (l < 6) {
+      var j = 5
+      while (j >= l) {
+        val m = 6 - j - 1
+        c4x(k) = polyval(m, coC4, o, n) / coC4(o + m + 1)
+        k += 1; o += m + 2
+        j -= 1
+      }
+      l += 1
+    }
+  }
+
+  /** C4 Fourier coefficients at the given eps (reference C4f). */
+  private def c4f(eps: Double, c: Array[Double]): Unit = {
+    var mult = 1.0
+    var o = 0
+    var l = 0
+    while (l < 6) {
+      val m = 6 - l - 1
+      c(l) = mult * polyval(m, c4x, o, eps)
+      o += m + 1
+      mult *= eps
       l += 1
     }
   }
@@ -172,6 +223,9 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
     var bigM12 = 0.0; var bigM21 = 0.0
     var sig12 = 0.0
     var salp1 = 0.0; var calp1 = 0.0; var salp2 = 0.0; var calp2 = 0.0
+    // longitude difference on the auxiliary sphere (for the area term);
+    // somg12 = 2 is the "compute from omg12 later" sentinel
+    var omg12 = 0.0; var somg12 = 2.0; var comg12 = 0.0
     val lenOut = new Array[Double](5)
     var meridian = lat1 == -90 || slam12 == 0
 
@@ -199,6 +253,7 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
       calp1 = 0; calp2 = 0; salp1 = 1; salp2 = 1
       s12x = a * lam12
       sig12 = lam12 / f1
+      omg12 = sig12
       m12x = b * math.sin(sig12)
       bigM12 = math.cos(sig12); bigM21 = bigM12
     } else if (!meridian) {
@@ -212,6 +267,7 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
         s12x = sig12 * b * dnm
         m12x = dnm * dnm * b * math.sin(sig12 / dnm)
         bigM12 = math.cos(sig12 / dnm); bigM21 = bigM12
+        omg12 = lam12 / (f1 * dnm)
       } else {
         var ssig1 = 0.0; var csig1 = 0.0; var ssig2 = 0.0; var csig2 = 0.0
         var eps = 0.0
@@ -268,7 +324,50 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
         m12x = lenOut(1) * b
         bigM12 = lenOut(3); bigM21 = lenOut(4)
         s12x *= b
+        // omg12 = lam12 - domg12 (for the area spherical-excess term)
+        val domg12 = lmOut(8)
+        val sd = math.sin(domg12); val cd = math.cos(domg12)
+        somg12 = slam12 * cd - clam12 * sd
+        comg12 = clam12 * cd + slam12 * sd
       }
+    }
+
+    // area S12: Danielsen integral between the points + spherical excess
+    // (reference geodesic.c geninverse GEOD_AREA block :961-1022)
+    var s12area = 0.0
+    locally {
+      val salp0 = salp1 * cbet1
+      val calp0 = math.hypot(calp1, salp1 * sbet1)
+      if (calp0 != 0 && salp0 != 0) {
+        var ssig1 = sbet1; var csig1 = calp1 * cbet1
+        var ssig2 = sbet2; var csig2 = calp2 * cbet2
+        val k2 = calp0 * calp0 * ep2
+        val eps = k2 / (2 * (1 + math.sqrt(1 + k2)) + k2)
+        val a4 = a * a * calp0 * salp0 * e2
+        locally { val r = math.hypot(ssig1, csig1); ssig1 /= r; csig1 /= r }
+        locally { val r = math.hypot(ssig2, csig2); ssig2 /= r; csig2 /= r }
+        val c4a = new Array[Double](6)
+        c4f(eps, c4a)
+        val b41 = sinCosSeries(sinp = false, ssig1, csig1, c4a, 6)
+        val b42 = sinCosSeries(sinp = false, ssig2, csig2, c4a, 6)
+        s12area = a4 * (b42 - b41)
+      }
+      if (!meridian && somg12 == 2) { somg12 = math.sin(omg12); comg12 = math.cos(omg12) }
+      val alp12 =
+        if (!meridian && comg12 > -0.7071 && sbet2 - sbet1 < 1.75) {
+          // tan(Gamma/2) form: accurate for small spherical excess
+          val domg = 1 + comg12; val dbet1 = 1 + cbet1; val dbet2 = 1 + cbet2
+          2 * math.atan2(somg12 * (sbet1 * dbet2 + sbet2 * dbet1),
+            domg * (sbet1 * sbet2 + dbet1 * dbet2))
+        } else {
+          var salp12 = salp2 * calp1 - calp2 * salp1
+          var calp12 = calp2 * calp1 + salp2 * salp1
+          if (salp12 == 0 && calp12 < 0) { salp12 = TINY * calp1; calp12 = -1 }
+          math.atan2(salp12, calp12)
+        }
+      s12area += c2 * alp12
+      s12area *= swapp * lonsign * latsign
+      s12area += 0
     }
 
     if (swapp < 0) {
@@ -282,7 +381,7 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
     val s12 = 0 + s12x
     val azi1 = atan2dx(salp1, calp1)
     val azi2 = atan2dx(salp2, calp2)
-    Array(s12, azi1, azi2, 0 + m12x, bigM12, bigM21)
+    Array(s12, azi1, azi2, 0 + m12x, bigM12, bigM21, s12area)
   }
 
   /** Just the distance in metres. */
@@ -646,6 +745,11 @@ object Geodesic {
     ang
   }
 
+  @inline def atanh(x: Double): Double = {
+    val y = math.abs(x)
+    java.lang.Math.copySign(math.log1p(2 * y / (1 - y)) / 2, x)
+  }
+
   @inline def polyval(n: Int, p: Array[Double], off: Int, x: Double): Double = {
     var y = if (n < 0) 0.0 else p(off)
     var i = 1
@@ -759,5 +863,77 @@ object Geodesic {
       val w = (uv - q) / (2 * v)
       uv / (math.sqrt(uv + w * w) + w)
     } else 0.0
+  }
+}
+
+/** Planimeter: geodesic polygon perimeter + area over an ellipsoid
+  * (reference geodesic.c geod_polygon_init/addpoint/compute :1509+).
+  * Vertices are added in traversal order; compute() closes the ring.
+  * Counter-clockwise traversal gives positive area (the reverse=false,
+  * sign=true convention); the result lies in (-area0/2, area0/2], so
+  * pole-encircling polygons reduce correctly. Neumaier-compensated sums
+  * keep many-vertex accumulations exact. */
+final class PolygonArea(g: Geodesic) {
+  private var num = 0
+  private var lat0 = 0.0; private var lon0 = 0.0
+  private var latLast = 0.0; private var lonLast = 0.0
+  private val perim = new Array[Double](2)
+  private val area = new Array[Double](2)
+  private var crossings = 0
+
+  @inline private def add(s: Array[Double], y: Double): Unit = {
+    val t = s(0) + y
+    s(1) += (if (math.abs(s(0)) >= math.abs(y)) (s(0) - t) + y else (y - t) + s(0))
+    s(0) = t
+  }
+
+  /** +-1 when the edge crosses the prime meridian east/west, else 0
+    * (reference transit). */
+  private def transit(lon1: Double, lon2: Double): Int = {
+    val lon12 = Geodesic.angDiff(lon1, lon2)._1
+    val l1 = Geodesic.angNormalize(lon1)
+    val l2 = Geodesic.angNormalize(lon2)
+    if (lon12 > 0 && ((l1 < 0 && l2 >= 0) || (l1 > 0 && l2 == 0))) 1
+    else if (lon12 < 0 && l1 >= 0 && l2 < 0) -1
+    else 0
+  }
+
+  def addPoint(lat: Double, lon: Double): Unit = {
+    if (num == 0) { lat0 = lat; lon0 = lon }
+    else {
+      val r = g.inverseAll(latLast, lonLast, lat, lon)
+      add(perim, r(0))
+      add(area, r(6))
+      crossings += transit(lonLast, lon)
+    }
+    latLast = lat; lonLast = lon
+    num += 1
+  }
+
+  /** (perimeter metres, area m^2); closes the ring back to the first
+    * vertex. */
+  def compute(): (Double, Double) = {
+    if (num < 2) return (0.0, 0.0)
+    val r = g.inverseAll(latLast, lonLast, lat0, lon0)
+    val p = perim(0) + perim(1) + r(0)
+    var aSum = area(0) + area(1) + r(6)
+    val cr = crossings + transit(lonLast, lon0)
+    val a0 = g.area0
+    aSum = java.lang.Math.IEEEremainder(aSum, a0)
+    if ((cr & 1) != 0) aSum += (if (aSum < 0) 1 else -1) * a0 / 2
+    // internal sum carries the clockwise sense; flip to counter-clockwise
+    aSum = -aSum
+    if (aSum > a0 / 2) aSum -= a0
+    else if (aSum <= -a0 / 2) aSum += a0
+    (p, 0 + aSum)
+  }
+}
+
+object PolygonArea {
+  /** one-shot: ring as (lat, lon) vertices in traversal order. */
+  def compute(g: Geodesic, ring: Seq[(Double, Double)]): (Double, Double) = {
+    val p = new PolygonArea(g)
+    ring.foreach { case (lat, lon) => p.addPoint(lat, lon) }
+    p.compute()
   }
 }

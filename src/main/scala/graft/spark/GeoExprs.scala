@@ -70,6 +70,20 @@ object GeoKernels {
       SpatialJoins.coverBBox(minLon, minLat, maxLon, maxLat, level).toArray)
   }
 
+  /** Geodesic perimeter + area of a flat [lon, lat, ...] ring on WGS84
+    * (Karney planimeter; counter-clockwise positive). */
+  def polygonMetrics(ring: ArrayData): InternalRow = {
+    val p = new graft.core.PolygonArea(Geodesic.WGS84)
+    val n = ring.numElements() / 2
+    var i = 0
+    while (i < n) {
+      p.addPoint(ring.getDouble(2 * i + 1), ring.getDouble(2 * i))
+      i += 1
+    }
+    val (per, area) = p.compute()
+    new GenericInternalRow(Array[Any](per, area))
+  }
+
   /** Exact even-odd ray cast in lon/lat space; rings as flat
     * [lon0, lat0, lon1, lat1, ...]. Matches the classic point-in-polygon
     * semantics used for the PIP verification pass. */
@@ -218,6 +232,21 @@ case class RingCellsExpr(lon: Expression, lat: Expression,
     copy(c(0), c(1), c(2), c(3))
 }
 
+case class PolygonMetricsExpr(ring: Expression) extends GeoStaticCall {
+  override def children: Seq[Expression] = Seq(ring)
+  override def dataType: DataType = StructType(Seq(
+    StructField("perimeter_m", DoubleType, nullable = false),
+    StructField("area_m2", DoubleType, nullable = false)))
+  override def staticCall: String = "polygonMetrics"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null
+    else GeoKernels.polygonMetrics(a(0).asInstanceOf[ArrayData])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0))
+}
+
 case class CoverCellsExpr(ring: Expression, level: Expression)
     extends GeoStaticCall {
   override def children: Seq[Expression] = Seq(ring, level)
@@ -283,6 +312,10 @@ object GeoFunctions {
   /** S2 cover of a flat-ring polygon's bbox at `level` (executor-side). */
   def coverCells(ring: Column, level: Column): Column =
     col(CoverCellsExpr(ex(ring), ex(level)))
+
+  /** geodesic perimeter + area of a flat [lon,lat,...] ring on WGS84:
+    * struct(perimeter_m, area_m2); counter-clockwise area is positive. */
+  def polygonMetrics(ring: Column): Column = col(PolygonMetricsExpr(ex(ring)))
 
   /** full proj pipeline transform — re-export for one-stop import. */
   def projTrans2(lon: Column, lat: Column, pipeline: String): Column =

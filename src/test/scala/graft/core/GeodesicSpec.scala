@@ -74,4 +74,53 @@ class GeodesicSpec extends AnyFunSuite {
     assert(math.abs(a1m) < 1e-12)
     assert(math.abs(sm - 1105854.83323437) < 1e-4) // 10 deg of meridian arc
   }
+
+  // ---- planimeter: published GeographicLib/geodtest values ----
+  // (reference src/tests/geodtest.c Planimeter0/5/12/13/15)
+
+  private def plan(pts: Seq[(Double, Double)]): (Double, Double) =
+    PolygonArea.compute(Geodesic.WGS84, pts)
+
+  test("planimeter: pole-encircling polygons (Planimeter0)") {
+    val (pA, aA) = plan(Seq((89, 0.0), (89, 90.0), (89, 180.0), (89, 270.0)))
+    assert(math.abs(pA - 631819.8745) < 1e-4, s"perimeter $pA")
+    assert(math.abs(aA - 24952305678.0) < 1, s"area $aA")
+    val (pB, aB) = plan(Seq((-89, 0.0), (-89, 90.0), (-89, 180.0), (-89, 270.0)))
+    assert(math.abs(pB - 631819.8745) < 1e-4)
+    assert(math.abs(aB + 24952305678.0) < 1, s"area $aB")
+    val (pC, aC) = plan(Seq((0, -1.0), (-1, 0.0), (0, 1.0), (1, 0.0)))
+    assert(math.abs(pC - 627598.2731) < 1e-4)
+    assert(math.abs(aC - 24619419146.0) < 1, s"area $aC")
+    val (pD, aD) = plan(Seq((90, 0.0), (0, 0.0), (0, 90.0)))
+    assert(math.abs(pD - 30022685) < 1)
+    assert(math.abs(aD - 63758202715511.0) < 1, s"area $aD")
+  }
+
+  test("planimeter: pole crossing (Planimeter5)") {
+    val (p, a) = plan(Seq((89, 0.1), (89, 90.1), (89, -179.9)))
+    assert(math.abs(p - 539297) < 1)
+    assert(math.abs(a - 12476152838.5) < 1, s"area $a")
+  }
+
+  test("planimeter: lon rounding at the arctic circle (Planimeter12)") {
+    val (p, a) = plan(Seq((66.562222222, 0.0), (66.562222222, 180.0), (66.562222222, 360.0)))
+    assert(math.abs(p - 10465729) < 1)
+    assert(math.abs(a) < 1, s"area $a")
+  }
+
+  test("planimeter: encircling the pole twice (Planimeter13)") {
+    val (p, a) = plan(Seq((89, -360.0), (89, -240.0), (89, -120.0), (89, 0.0), (89, 120.0), (89, 240.0)))
+    assert(math.abs(p - 1160741) < 1)
+    assert(math.abs(a - 32415230256.0) < 1, s"area $a")
+  }
+
+  test("planimeter: small mid-lat triangle (Planimeter15)") {
+    val (_, a) = plan(Seq((2, 1.0), (1, 2.0), (3, 3.0)))
+    assert(math.abs(a - 18454562325.45119) < 0.5, s"area $a")
+  }
+
+  test("planimeter: degenerate inputs") {
+    assert(plan(Seq()) == (0.0, 0.0))
+    assert(plan(Seq((1, 1.0))) == (0.0, 0.0))
+  }
 }
