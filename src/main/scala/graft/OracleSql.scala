@@ -413,6 +413,34 @@ object OracleSql {
       CAST(round(y*1000) AS BIGINT) AS y_mm
     FROM t ORDER BY point_id"""
 
+  // ---------------------------------------------------------------- geo_epsg
+
+  /** EPSG alias dispatch: EPSG:3857 (spherical web-mercator on the WGS84
+    * ellipsoid) + EPSG:4978 (geocentric cart fwd), both closed-form. */
+  def geoEpsg: String =
+    s"""WITH $ptsCte,
+    c AS (SELECT 6378137.0 AS aa, 1.0/298.257223563 AS ff, 2*ff - ff*ff AS es),
+    t AS (
+      SELECT point_id,
+        lon*(pi()/180) AS lam, lat*(pi()/180) AS phi,
+        aa/sqrt(1 - es*sin(phi)*sin(phi)) AS nr
+      FROM pts, c),
+    o AS (
+      SELECT point_id,
+        6378137.0*lam AS wm_x,
+        6378137.0*ln(tan(pi()/4 + phi/2)) AS wm_y,
+        nr*cos(phi)*cos(lam) AS gc_x,
+        nr*cos(phi)*sin(lam) AS gc_y,
+        (nr*(1-(SELECT es FROM c)))*sin(phi) AS gc_z
+      FROM t)
+    SELECT point_id,
+      CAST(round(wm_x*1000) AS BIGINT) AS wm_x_mm,
+      CAST(round(wm_y*1000) AS BIGINT) AS wm_y_mm,
+      CAST(round(gc_x*1000) AS BIGINT) AS gc_x_mm,
+      CAST(round(gc_y*1000) AS BIGINT) AS gc_y_mm,
+      CAST(round(gc_z*1000) AS BIGINT) AS gc_z_mm
+    FROM o ORDER BY point_id"""
+
   // ------------------------------------------------------------ media_features
 
   /** closed-form expectations for the round trip real-encode -> real-parse

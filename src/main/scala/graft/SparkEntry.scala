@@ -344,6 +344,18 @@ object SparkEntry {
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
     }),
 
+    "geo_epsg" -> ((s, dir) => {
+      // EPSG:xxxx alias front-end driving the transforms (web mercator +
+      // geocentric); oracle recomputes both closed-form
+      custPoints(s, dir)
+        .withColumn("wm", ProjFunctions.projTrans2(col("lon"), col("lat"), "EPSG:3857"))
+        .withColumn("gc", ProjFunctions.projTrans2(col("lon"), col("lat"), "EPSG:4978"))
+        .select(col("point_id"),
+          mm(col("wm.x")).as("wm_x_mm"), mm(col("wm.y")).as("wm_y_mm"),
+          mm(col("gc.x")).as("gc_x_mm"), mm(col("gc.y")).as("gc_y_mm"),
+          mm(col("gc.z")).as("gc_z_mm"))
+    }),
+
     "zone_area" -> ((s, dir) => {
       // geodesic polygon perimeter/area (Karney planimeter) on the polygon
       // set GeographicLib publishes results for — the oracle is those
@@ -521,6 +533,7 @@ object SparkEntry {
     "geo_geoid" -> OracleSql.geoGeoid,
     "geo_geodesic_meridian" -> OracleSql.geoGeodesicMeridian,
     "media_features" -> OracleSql.mediaFeatures,
+    "geo_epsg" -> OracleSql.geoEpsg,
 
     // independent published values (GeographicLib geodtest.c planimeter
     // cases) — not a mirrored formula: a genuine cross-implementation check

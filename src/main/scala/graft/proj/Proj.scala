@@ -127,7 +127,13 @@ object PrimeMeridians {
   * (plan time); mirrors pj_init_ctx (reference src/init.cpp:436-713). */
 object Proj {
 
-  def create(projString: String): PJ = create(ParamList.parse(projString))
+  def create(projString: String): PJ = {
+    val s = projString.trim
+    EpsgAliases.resolve(s) match {
+      case Some(expanded) => create(ParamList.parse(expanded))
+      case None => create(ParamList.parse(s))
+    }
+  }
 
   /** Legacy proj4 +init=file:key expansion (reference src/init.cpp get_init
     * :214-306): look the key up in an init file and append its parameters
