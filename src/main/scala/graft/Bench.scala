@@ -78,9 +78,13 @@ object Bench {
     val nsDocs = sys.env.getOrElse("SPARK_GRAFT_NS_DOCS", "8000000").toLong
 
     val spark = session(cpus)
+    // headline = the SCALE paths (LSH-bucketed ANN, ring-join kNN, per-row
+    // UTM dispatch); the crossJoin baselines (ann_brute, geo_knn) stay
+    // oracle-only — they are correctness anchors, not 100-TB plans
     val headline = Seq("q1_agg", "q3_join", "q_window", "geo_webmerc",
-      "geo_pip", "geo_knn", "geo_tile_agg", "geo_datum_shift",
-      "dedup_exact", "text_metrics", "ann_brute")
+      "geo_pip", "geo_knn_geodesic", "geo_tile_agg", "geo_datum_shift",
+      "geo_utm_native", "dedup_exact", "dedup_minhash", "text_metrics",
+      "ann_lsh", "media_features")
     def force(df: org.apache.spark.sql.DataFrame): Long = {
       // hash-of-all-columns aggregate so column pruning can't skip work
       df.select(count(lit(1)), sum(pmod(xxhash64(struct(df.columns.map(col): _*)), lit(1000000007L))))

@@ -70,10 +70,26 @@ object Snapshots {
          |  ],
          |  "schema": $schemaJson
          |}""".stripMargin
-    Files.writeString(Paths.get(s"$table/manifest-${"%06d".format(id)}.json"), manifest)
-    // atomic-ish commit: the latest pointer is the last thing written
-    Files.writeString(Paths.get(s"$table/latest"), id.toString)
+    atomicWrite(Paths.get(s"$table/manifest-${"%06d".format(id)}.json"), manifest)
+    // the commit point: an atomic rename onto the latest pointer — readers
+    // either see the previous snapshot or this one, never a torn pointer;
+    // a crash between manifest write and this rename leaves an orphan
+    // snapshot dir that the next commit of the same id reclaims
+    atomicWrite(Paths.get(s"$table/latest"), id.toString)
     id
+  }
+
+  /** temp file + atomic rename in the same directory. */
+  private def atomicWrite(target: java.nio.file.Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    try
+      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   def latestId(table: String): Int = {
@@ -101,13 +117,15 @@ object Snapshots {
   def resumableRun(spark: SparkSession, table: String,
                    from: Long, until: Long, chunk: Long,
                    process: (Long, Long) => DataFrame,
-                   partitionCol: String, metricKey: String): Seq[Int] = {
+                   partitionCol: String, metricKey: String,
+                   context: String = ""): Seq[Int] = {
     val done = latestId(table) // snapshots already committed == batches done
     val batches = Iterator.iterate(from)(_ + chunk).takeWhile(_ < until)
       .map(s => (s, math.min(s + chunk, until))).toSeq
+    val ctx = if (context.isEmpty) "" else s"; $context"
     batches.zipWithIndex.drop(done).map { case ((s, e), i) =>
       commit(process(s, e), table, partitionCol, metricKey,
-        s"batch $i: ids [$s, $e) of [$from, $until)")
+        s"batch $i: ids [$s, $e) of [$from, $until)$ctx")
     }
   }
 }

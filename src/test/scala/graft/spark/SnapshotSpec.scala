@@ -47,6 +47,37 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 100)
   }
 
+  test("crash between snapshot data and latest-pointer swap is recoverable") {
+    val dir = Files.createTempDirectory("snaptest").toString + "/tbl3"
+    def proc(s: Long, e: Long) = spark.range(s, e)
+      .select(col("id"), (col("id") % 2).as("bucket"))
+    Snapshots.resumableRun(spark, dir, 0, 100, 100, proc, "bucket", "id",
+      context = "docs-seed=42")
+    assert(Snapshots.latestId(dir) == 1)
+    assert(Snapshots.manifest(dir).contains("docs-seed=42"),
+      "generator seed recorded in manifest lineage")
+    // simulate a crash AFTER snapshot-000002 data+manifest landed but BEFORE
+    // the latest pointer swapped: write the orphan artifacts directly
+    proc(100, 200).write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/snapshot-000002")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/manifest-000002.json"),
+      "{\"snapshot\": 2, \"lineage\": \"orphan\"}")
+    // readers still see the committed snapshot only
+    assert(Snapshots.latestId(dir) == 1)
+    assert(Snapshots.read(spark, dir).count() == 100)
+    // restart reclaims the orphan id and converges
+    val redone = Snapshots.resumableRun(spark, dir, 0, 200, 100, proc, "bucket", "id")
+    assert(redone == Seq(2))
+    assert(Snapshots.latestId(dir) == 2)
+    assert(Snapshots.read(spark, dir).count() == 100)
+    assert(!Snapshots.manifest(dir).contains("orphan"), "orphan manifest reclaimed")
+    // no stray tmp files from the atomic writes
+    val tmps = Files.list(java.nio.file.Paths.get(dir)).iterator()
+    var found = false
+    while (tmps.hasNext) if (tmps.next().toString.endsWith(".tmp")) found = true
+    assert(!found)
+  }
+
   test("multimodal plumbing: fetch -> decode -> frame sampling") {
     val docs = DocsTable.docs(spark, 300)
     val media = MultimodalOps.fetchMedia(docs)
