@@ -136,6 +136,9 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","northstar":{"docs":$nsDocs,"rows":$nRows,"sec":$nsSec%.3f,"docs_per_sec":$rowsPerSec%.0f},"scaling":{"localN_docs_per_sec":$thr8%.0f,"local4N_docs_per_sec":$thr32%.0f,"efficiency":$efficiency%.3f}}"""
     println(json)
+    // clean artifact for machine parsing (sbt prefixes stdout lines, which
+    // broke the round-1 driver parse: BENCH_r01.json "parsed": null)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
 
     // BENCH.md — the consolidated report the judge reads with BASELINE.md
     val md =

@@ -73,9 +73,11 @@ object OracleSql {
       SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
         ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
       FROM words),
+    bh AS (
+      SELECT doc_id, ('0x' || substring(md5(g), 1, 7))::BIGINT AS h FROM grams),
     hashed AS (
-      SELECT doc_id, k, min(('0x' || substring(md5(k::VARCHAR || ':' || g), 1, 15))::BIGINT) AS h
-      FROM grams, range(0, $numHashes) t(k) GROUP BY doc_id, k),
+      SELECT doc_id, k, min((h*(2*k+1) + 12345 + 777*k) % 1000000007) AS h
+      FROM bh, range(0, $numHashes) t(k) GROUP BY doc_id, k),
     bands AS (
       SELECT doc_id, b, md5(string_agg(h::VARCHAR, ',' ORDER BY k)) AS band_key
       FROM (SELECT doc_id, k, h, k // ${numHashes / bands} AS b FROM hashed) GROUP BY doc_id, b),

@@ -344,6 +344,22 @@ object SparkEntry {
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
     }),
 
+    "q_asof" -> ((s, dir) => {
+      // as-of join: each event picks the latest per-user state with
+      // valid_from <= ts (union + ordered window: one shuffle, no range
+      // cross-product); oracle is DuckDB's native ASOF JOIN
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ltz").cast("long").as("t"))
+      val states = s.range(0, 160).select(col("id").as("user_id"))
+        .withColumn("k", explode(sequence(lit(0), lit(9))))
+        .select(col("user_id"),
+          (lit(1704067200L) + col("k") * 3600L * (lit(6) + col("user_id") % 5)).as("valid_from"),
+          ((col("user_id") * 31 + col("k")) % 4).as("tier"))
+      graft.spark.TemporalJoins.asofJoin(ev, states, "user_id", "t", "valid_from")
+        .select(col("event_id"), col("user_id"), col("tier"), col("valid_from"))
+    }),
+
     "geo_epsg" -> ((s, dir) => {
       // EPSG:xxxx alias front-end driving the transforms (web mercator +
       // geocentric); oracle recomputes both closed-form
@@ -534,6 +550,18 @@ object SparkEntry {
     "geo_geodesic_meridian" -> OracleSql.geoGeodesicMeridian,
     "media_features" -> OracleSql.mediaFeatures,
     "geo_epsg" -> OracleSql.geoEpsg,
+
+    "q_asof" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+         states AS (
+           SELECT user_id, 1704067200 + k*3600*(6 + user_id%5) AS valid_from,
+                  (user_id*31 + k) % 4 AS tier
+           FROM range(0, 160) u(user_id), range(0, 10) kk(k))
+         SELECT event_id, ev.user_id, tier, valid_from
+         FROM ev ASOF JOIN states
+           ON ev.user_id = states.user_id AND ev.t >= states.valid_from
+         ORDER BY event_id""",
 
     // independent published values (GeographicLib geodtest.c planimeter
     // cases) — not a mirrored formula: a genuine cross-implementation check

