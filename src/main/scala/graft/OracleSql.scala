@@ -141,6 +141,83 @@ object OracleSql {
       FROM scored)
     SELECT q_id, c_id, cos_ppm, rnk FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
 
+  // ----------------------------------------------------------------- ann_ivf
+
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, 65), i -> $a[i]*$b[i]))
+        / (sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x)))))"""
+
+  /** IVF with fixed seed centroids (the first nlist corpus vectors,
+    * re-keyed 0..nlist-1): assignment = argmax cosine, probes = top-nprobe
+    * lists, exact ppm-ranked scoring — mirrors TrainingOps.annIvf(iters=0). */
+  def annIvf(k: Int, nlist: Int, nprobe: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      FROM e WHERE vec_id < $nlist),
+    cs AS (
+      SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cv")} AS s,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+      FROM e, cent c),
+    asg AS (SELECT vec_id, cid FROM cs WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, cid FROM cs WHERE rn <= $nprobe AND vec_id < 10),
+    cand AS (
+      SELECT DISTINCT p.q_id, a.vec_id AS c_id
+      FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.vec_id <> p.q_id),
+    scored AS (
+      SELECT cand.q_id, cand.c_id,
+        CAST(round(1000000.0 * ${cosSql("eq.v", "ec.v")}) AS BIGINT) AS cos_ppm
+      FROM cand JOIN e eq ON eq.vec_id = cand.q_id JOIN e ec ON ec.vec_id = cand.c_id),
+    ranked AS (
+      SELECT q_id, c_id, cos_ppm,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_ppm DESC, c_id) AS rnk
+      FROM scored)
+    SELECT q_id, c_id, cos_ppm, rnk FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
+
+  // ----------------------------------------------------------- dedup_embedding
+
+  /** embedding near-dup via shared-hyperplane LSH buckets + exact cosine
+    * threshold; perturbed copies injected like the Spark query. */
+  def dedupEmbedding(thresholdPpm: Long, planes: Int, tables: Int): String =
+    s"""WITH b0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (
+      SELECT * FROM b0
+      UNION ALL
+      SELECT vec_id + 5000, [v[1] + 0.01] || v[2:64] FROM b0 WHERE vec_id % 13 = 0),
+    hv AS (
+      SELECT t, p, list_transform(range(1, 65), d ->
+        (((('0x' || substring(md5(t::VARCHAR || ',' || p::VARCHAR || ',' || (d-1)::VARCHAR), 1, 8))::BIGINT) % 2001) - 1000) / 1000.0) AS h
+      FROM range(0, $tables) r1(t), range(0, $planes) r2(p)),
+    dots AS (
+      SELECT vec_id, t, p,
+        list_sum(list_transform(range(1, 65), i -> v[i]*h[i])) AS dot
+      FROM e, hv),
+    buckets AS (
+      SELECT vec_id, t, sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
+      FROM dots GROUP BY 1, 2),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+        AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT pairs.vec_a, pairs.vec_b,
+        CAST(round(1000000.0 * ${cosSql("ea.v", "eb.v")}) AS BIGINT) AS cos_ppm
+      FROM pairs JOIN e ea ON ea.vec_id = pairs.vec_a JOIN e eb ON eb.vec_id = pairs.vec_b)
+    SELECT vec_a, vec_b, cos_ppm FROM scored WHERE cos_ppm >= $thresholdPpm
+    ORDER BY vec_a, vec_b"""
+
+  // ----------------------------------------------------------- doc_fingerprint
+
+  def docFingerprint: String =
+    s"""SELECT source, count(*) AS n_docs,
+      count(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_unique
+    FROM (SELECT * FROM documents
+          UNION ALL
+          SELECT doc_id + 3000000, text, lang, source, n_chars
+          FROM documents WHERE doc_id % 9 = 0)
+    GROUP BY source ORDER BY source"""
+
   // ---------------------------------------------------------- geo_datum_shift
 
   /** cart fwd -> helmert(coordinate_frame, small-angle) -> Bowring inverse,

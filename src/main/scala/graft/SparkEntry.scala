@@ -344,6 +344,41 @@ object SparkEntry {
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      // IVF scale path: fixed seed centroids (iters = 0 so the list
+      // assignment is closed-form and replicated by the DuckDB oracle);
+      // k-means-refined centroids are exercised in TrainingSpec
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      TrainingOps.annIvf(q, emb, k = 3, nlist = 16, nprobe = 4, iters = 0)
+    }),
+
+    "dedup_embedding" -> ((s, dir) => {
+      // embedding-cosine near-dup: perturbed copies injected (every 13th
+      // vector re-appears with +0.01 on its first component), candidates
+      // from shared-hyperplane LSH buckets, exact cosine >= 0.9 confirm
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val pert = emb.where(col("vec_id") % 13 === 0)
+        .select((col("vec_id") + 5000).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + 0.01),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      TrainingOps.embeddingDedupShared(emb.unionByName(pert), thresholdPpm = 900000L)
+    }),
+
+    "doc_fingerprint" -> ((s, dir) => {
+      // whole-doc fingerprinting with injected exact dups: per-source doc
+      // and distinct-fingerprint counts
+      val d = t(s, dir, "documents")
+      val dups = d.where(col("doc_id") % 9 === 0)
+        .withColumn("doc_id", col("doc_id") + 3000000)
+      d.unionByName(dups)
+        .withColumn("fp", TrainingOps.fingerprintShared(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique"))
+        .orderBy("source")
+    }),
+
     "q_asof" -> ((s, dir) => {
       // as-of join: each event picks the latest per-user state with
       // valid_from <= ts (union + ordered window: one shuffle, no range
@@ -542,6 +577,9 @@ object SparkEntry {
     "dedup_minhash" -> OracleSql.dedupMinhash(numHashes = 16, bands = 4, thresholdPpm = 500000L),
     "ann_brute" -> OracleSql.annBrute(k = 3),
     "ann_lsh" -> OracleSql.annLsh(k = 3, planes = 6, tables = 8),
+    "ann_ivf" -> OracleSql.annIvf(k = 3, nlist = 16, nprobe = 4),
+    "dedup_embedding" -> OracleSql.dedupEmbedding(thresholdPpm = 900000L, planes = 6, tables = 8),
+    "doc_fingerprint" -> OracleSql.docFingerprint,
     "geo_datum_shift" -> OracleSql.geoDatumShift,
     "geo_utm_native" -> OracleSql.geoUtmNative,
     "geo_s2_cells" -> OracleSql.geoS2Cells,

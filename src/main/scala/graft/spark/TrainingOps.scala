@@ -107,9 +107,16 @@ object TrainingOps {
                    textCol: String = "text",
                    numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.7): DataFrame = {
-    val rows = bands; val rowsPerBand = numHashes / bands
+    val rowsPerBand = numHashes / bands
     val withSig = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-      .withColumn("sig", minhashSignature(col("t"), numHashes))
+      .withColumn("w", split(regexp_replace(lower(trim(col("t"))), "\\s+", " "), " "))
+      .withColumn("grams", when(size(col("w")) < 3, array(concat_ws(" ", col("w"))))
+        .otherwise(transform(sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ", element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2), element_at(col("w"), i + 3)))))
+      .withColumn("sig", array((0 until numHashes).map(k =>
+        array_min(transform(col("grams"), g => xxhash64(g, lit(k))))): _*))
+      .select(col("id"), col("t"), col("sig"))
     val banded = withSig.withColumn("band",
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band_id"),
@@ -174,22 +181,18 @@ object TrainingOps {
     bits.reduce(_ + _)
   }
 
-  /** word 3-shingles of the normalized text (same shape as the engine
-    * minhashSignature grams). */
-  private def shingles3(text: Column): Column = {
-    val words = normWords(text)
+  /** word 3-shingles from a WORDS COLUMN (hoist the split into a real
+    * column first: referencing the split subexpression inside the per-gram
+    * lambda makes codegen re-run the regex per gram — measured 6x slower). */
+  private def shinglesFromWords(words: Column): Column =
     when(size(words) < 3, array(concat_ws(" ", words)))
       .otherwise(transform(sequence(lit(0), size(words) - 3),
         i => concat_ws(" ", element_at(words, i + 1),
           element_at(words, i + 2), element_at(words, i + 3))))
-  }
 
-  /** shared base hash per gram: first 7 hex digits of md5 (28 bits — ONE
-    * md5 per gram; the k hash functions are affine rehashes of it, the
-    * standard universal-family trick, so both engines stay bit-identical
-    * without k md5 evaluations per gram). */
-  private def sharedBaseHashes(text: Column): Column =
-    transform(shingles3(text), g => conv(substring(md5(g), 1, 7), 16, 10).cast("long"))
+  /** word 3-shingles of the normalized text (column-expression form for
+    * small inputs; prefer hoisting via shinglesFromWords in hot paths). */
+  private def shingles3(text: Column): Column = shinglesFromWords(normWords(text))
 
   /** k-th affine rehash of a base hash (mirrored in the DuckDB oracle). */
   private def affine(h: Column, k: Int): Column =
@@ -209,10 +212,15 @@ object TrainingOps {
                          numHashes: Int = 16, bands: Int = 4,
                          threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // each stage lands in a real column so codegen never re-evaluates the
+    // regex/split/md5 chain inside downstream lambdas
     val withSig = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-      .withColumn("hs", sharedBaseHashes(col("t")))
+      .withColumn("w", normWords(col("t")))
+      .withColumn("grams", shinglesFromWords(col("w")))
+      .withColumn("hs", transform(col("grams"),
+        g => conv(substring(md5(g), 1, 7), 16, 10).cast("long")))
       .withColumn("sig", minhashSigFromBase(col("hs"), numHashes))
-      .drop("hs")
+      .select(col("id"), col("t"), col("sig"))
     val banded = withSig.withColumn("band",
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band_id"),
@@ -294,6 +302,110 @@ object TrainingOps {
       round(cosine(col("q_vec"), col("c_vec")) * 1e6).cast("long"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_ppm").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("q_id", "c_id", "cos_ppm", "rnk")
+  }
+
+  /** whole-document md5 fingerprint over whitespace-normalized text —
+    * cross-engine identical (the xxhash64 `fingerprint` stays the fast
+    * engine path). */
+  def fingerprintShared(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** embedding-cosine near-dup pairs: LSH-bucketed candidates (shared
+    * md5-derived hyperplanes — same family as annLshShared) verified by
+    * exact double cosine >= threshold. Returns (vec_a, vec_b, cos_ppm).
+    * Scale: candidates come from bucket equi-joins, never all-pairs. */
+  def embeddingDedupShared(vectors: DataFrame, thresholdPpm: Long,
+                           planes: Int = 6, tables: Int = 8): DataFrame = {
+    def dd(c: Column): Column = transform(c, x => x.cast("double"))
+    val dim = vectors.select(size(col("embedding"))).head().getInt(0)
+    val hyper = Array.tabulate(tables, planes, dim)((t, p, d) => sharedPlane(t, p, d))
+    def buckets(vec: Column): Column = {
+      val perTable = (0 until tables).map { t =>
+        val bits = (0 until planes).map { p =>
+          val dot = aggregate(zip_with(vec,
+            typedLit(hyper(t)(p).toSeq), (x, h) => x * h), lit(0.0d), (s, v) => s + v)
+          when(dot >= 0, lit(1L << p)).otherwise(0L)
+        }
+        struct(lit(t).as("tbl"), bits.reduce(_ + _).as("b"))
+      }
+      array(perTable: _*)
+    }
+    val v = vectors.select(col("vec_id"), dd(col("embedding")).as("v"))
+      .withColumn("bucket", explode(buckets(col("v"))))
+    val a = v.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
+    val b = v.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "va", "vb")
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos_ppm", round(cosine(col("va"), col("vb")) * 1e6).cast("long"))
+      .where(col("cos_ppm") >= thresholdPpm)
+      .select("vec_a", "vec_b", "cos_ppm")
+  }
+
+  /** IVF (inverted-file) ANN: centroids trained by `iters` rounds of
+    * DataFrame k-means (deterministic init: the first `nlist` corpus
+    * vectors), corpus assigned to its nearest centroid ONCE, queries probe
+    * the `nprobe` nearest lists and score candidates exactly. The model
+    * (nlist x dim doubles) lives on the driver/broadcast — the data never
+    * leaves the cluster; candidate generation is a cluster-id equi-join.
+    * With iters = 0 the assignment is closed-form over the fixed seed
+    * centroids, which is what the driver oracle replicates. */
+  def annIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+             nlist: Int = 16, nprobe: Int = 4, iters: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def dd(c: Column): Column = transform(c, x => x.cast("double"))
+    val corp = corpus.select(col("vec_id").as("c_id"), dd(col("embedding")).as("cv"))
+
+    var centroids: Seq[(Int, Seq[Double])] = corp.where(col("c_id") < nlist)
+      .orderBy("c_id").collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getAs[scala.collection.Seq[Double]]("cv").toSeq) }
+      .toSeq
+
+    def centDF(cs: Seq[(Int, Seq[Double])]): DataFrame =
+      cs.toDF("cid", "centv")
+
+    def assign(df: DataFrame, vecCol: String, cs: Seq[(Int, Seq[Double])],
+               topN: Int): DataFrame = {
+      val w = Window.partitionBy(col(vecCol + "_id"))
+        .orderBy(col("cs").desc, col("cid"))
+      df.crossJoin(broadcast(centDF(cs)))
+        .withColumn("cs", cosine(col(vecCol), col("centv")))
+        .withColumn("crnk", row_number().over(w))
+        .where(col("crnk") <= topN)
+        .drop("centv", "crnk")
+    }
+
+    var it = 0
+    while (it < iters) {
+      // one k-means round: assign, then elementwise mean per cluster
+      val asg = assign(corp.withColumnRenamed("c_id", "cv_id"), "cv", centroids, 1)
+      val means = asg.select(col("cid"), posexplode(col("cv")))
+        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .groupBy("cid").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .select(col("cid"), transform(col("ms"), s => s.getField("m")).as("centv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getAs[scala.collection.Seq[Double]]("centv").toSeq))
+        .toSeq.sortBy(_._1)
+      centroids = means
+      it += 1
+    }
+
+    val assigned = assign(corp.withColumnRenamed("c_id", "cv_id"), "cv", centroids, 1)
+      .select(col("cv_id").as("c_id"), col("cv"), col("cid"))
+    val q = queries.select(col("vec_id").as("q_id"), dd(col("embedding")).as("qv"))
+    val probes = assign(q.withColumnRenamed("q_id", "qv_id"), "qv", centroids, nprobe)
+      .select(col("qv_id").as("q_id"), col("qv"), col("cid"))
+    val cand = assigned.join(broadcast(probes), Seq("cid"))
+      .where(col("q_id") =!= col("c_id"))
+      .select("q_id", "qv", "c_id", "cv")
+      .dropDuplicates("q_id", "c_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos_ppm").desc, col("c_id"))
+    cand.withColumn("cos_ppm", round(cosine(col("qv"), col("cv")) * 1e6).cast("long"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select("q_id", "c_id", "cos_ppm", "rnk")
   }
 

@@ -227,6 +227,18 @@ class SparkLayerSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("ANN IVF (k-means refined) recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" < 5)
+    val brute = TrainingOps.annBruteForce(q, emb, k = 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = TrainingOps.annIvf(q, emb, k = 5, nlist = 8, nprobe = 4, iters = 2)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall") // probing half the lists
+    assert(ivf.nonEmpty)
+  }
+
   test("entry smoke: north-star pipeline yields rows") {
     val n = graft.SparkEntry.entry(spark).count()
     assert(n > 0)
