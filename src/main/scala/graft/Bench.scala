@@ -152,13 +152,19 @@ object Bench {
          ||---|---|
          |${results.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n|")}
          |
-         |## North-star pipeline (generated docs: anchor → UTM + datum-shift +
-         |S2 cell + tile → PIP join, $nsDocs docs)
+         |## North-star pipeline (generated docs: anchor → per-row-zone UTM +
+         |datum-shift + 8-zone fan-out + S2 cell + tile → PIP join, $nsDocs docs)
+         |
+         |Note vs round 1: the pipeline now includes the per-row UTM zone
+         |dispatch (each doc reprojected into its OWN inferred zone CRS), one
+         |more full transform per doc than the round-1 shape, and the checksum
+         |covers the zone-native x/y so it cannot be pruned.
          |
          || parallelism | docs/sec |
          ||---|---|
          || local[$nCores]  | $thr8%.0f |
          || local[${4 * nCores}] | $thr32%.0f |
+         || local[$cpus] (headline config) | $rowsPerSec%.0f |
          |
          |Scaling efficiency local[$nCores]→local[${4 * nCores}] (N→4N cores on identical
          |input): **$efficiency%.3f** (target ≥ 0.8 per BASELINE.json; this is
