@@ -366,6 +366,19 @@ object SparkEntry {
       TrainingOps.embeddingDedupShared(emb.unionByName(pert), thresholdPpm = 900000L)
     }),
 
+    "text_tokens" -> ((s, dir) => {
+      // BPE-ish pre-tokenizer counts (letter runs / digit runs / marks)
+      // next to whitespace tokens, per source
+      val d = t(s, dir, "documents")
+      d.withColumn("n_ws", TrainingOps.tokenCount(col("text")))
+        .withColumn("n_bpe", TrainingOps.tokenCountBpe(col("text")))
+        .groupBy("source")
+        .agg(sum(col("n_ws")).as("sum_ws_tokens"),
+          sum(col("n_bpe")).as("sum_bpe_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
     "doc_fingerprint" -> ((s, dir) => {
       // whole-doc fingerprinting with injected exact dups: per-source doc
       // and distinct-fingerprint counts
@@ -580,6 +593,14 @@ object SparkEntry {
     "ann_ivf" -> OracleSql.annIvf(k = 3, nlist = 16, nprobe = 4),
     "dedup_embedding" -> OracleSql.dedupEmbedding(thresholdPpm = 900000L, planes = 6, tables = 8),
     "doc_fingerprint" -> OracleSql.docFingerprint,
+
+    "text_tokens" ->
+      """SELECT source,
+         sum(CASE WHEN length(trim(text))=0 THEN 0
+             ELSE length(trim(text)) - length(replace(trim(text),' ','')) + 1 END)::BIGINT AS sum_ws_tokens,
+         sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS sum_bpe_tokens,
+         count(*) AS n_docs
+         FROM documents GROUP BY source ORDER BY source""",
     "geo_datum_shift" -> OracleSql.geoDatumShift,
     "geo_utm_native" -> OracleSql.geoUtmNative,
     "geo_s2_cells" -> OracleSql.geoS2Cells,

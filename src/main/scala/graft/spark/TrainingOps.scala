@@ -25,6 +25,13 @@ object TrainingOps {
     when(length(trim(text)) === 0, 0)
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** BPE-ish subword-shaped token count: runs of letters, runs of digits,
+    * and single non-alphanumeric marks (the pre-tokenizer split most BPE
+    * vocabularies assume). Same regex semantics in Java regex and RE2, so
+    * the DuckDB oracle reproduces it exactly. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
   /** quality metrics: length, token count, punctuation/stopword ratios. */
   def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

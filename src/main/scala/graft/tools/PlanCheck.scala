@@ -73,6 +73,19 @@ object PlanCheck {
     check("ann_lsh")(q("ann_lsh"))(
       "bucket equi-join" -> (p => p.contains("Join")),
       "scan present" -> (_.contains("Scan")))
+    check("ann_ivf")(q("ann_ivf"))(
+      "cluster-id equi-join (no cross product on corpus)" -> (p => p.contains("Join")),
+      "windowed top-k" -> (_.contains("Window")))
+    check("geo_utm_native")(q("geo_utm_native"))(
+      "no shuffle for per-row zone dispatch" -> (p => !p.contains("Exchange") || p.contains("TakeOrdered")))
+    check("q_asof")(q("q_asof"))(
+      "single window carry-forward (no range join)" -> (p =>
+        p.contains("Window") && !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    check("media_features")(q("media_features"))(
+      "scan present" -> (_.contains("Scan")))
+    check("dedup_embedding")(q("dedup_embedding"))(
+      "bucket equi-join" -> (p => p.contains("Join")),
+      "no cross product" -> (p => !p.contains("CartesianProduct")))
 
     println("===== engine-wide UDF gate =====")
     (queries.keys.toSeq.sorted :+ "entry").foreach { name =>
