@@ -77,14 +77,27 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nsDocs = sys.env.getOrElse("SPARK_GRAFT_NS_DOCS", "8000000").toLong
 
+    // SPARK_GRAFT_SCALING_ONLY=1: re-measure just the N-vs-4N scaling pair
+    // (used when a co-tenant burst corrupted the scaling phase of a full
+    // run; the shared host carries external load at times). In this mode
+    // BENCH.md is NOT overwritten.
+    val scalingOnly = sys.env.get("SPARK_GRAFT_SCALING_ONLY").contains("1")
+    // best-of-N per measurement: host noise is one-sided (slowdowns), so
+    // min over repeats is the honest estimator of the machine's capability;
+    // co-tenant bursts on this shared host hit the short 4N-thread runs
+    // hardest, hence 5 repeats by default
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "5").toInt
+
     val spark = session(cpus)
     // headline = the SCALE paths (LSH-bucketed ANN, ring-join kNN, per-row
     // UTM dispatch); the crossJoin baselines (ann_brute, geo_knn) stay
     // oracle-only — they are correctness anchors, not 100-TB plans
-    val headline = Seq("q1_agg", "q3_join", "q_window", "geo_webmerc",
-      "geo_pip", "geo_knn_geodesic", "geo_tile_agg", "geo_datum_shift",
-      "geo_utm_native", "dedup_exact", "dedup_minhash", "text_metrics",
-      "ann_lsh", "media_features")
+    val headline =
+      if (scalingOnly) Seq.empty[String]
+      else Seq("q1_agg", "q3_join", "q_window", "geo_webmerc",
+        "geo_pip", "geo_knn_geodesic", "geo_tile_agg", "geo_datum_shift",
+        "geo_utm_native", "dedup_exact", "dedup_minhash", "text_metrics",
+        "ann_lsh", "media_features")
     def force(df: org.apache.spark.sql.DataFrame): Long = {
       // hash-of-all-columns aggregate so column pruning can't skip work
       df.select(count(lit(1)), sum(pmod(xxhash64(struct(df.columns.map(col): _*)), lit(1000000007L))))
@@ -107,8 +120,8 @@ object Bench {
     prepDocs(spark, nsDocs, docsPath)
     prepDocs(spark, math.max(nsDocs / 8, 100000), warmPath)
     val (_, nsWarm) = time { northstar(spark, warmPath) } // JIT warm
-    // best-of-3: the sandbox host is shared, so single runs are noisy
-    val nsRuns = (1 to 3).map(_ => time { northstar(spark, docsPath) })
+    // best-of-N: the sandbox host is shared, so single runs are noisy
+    val nsRuns = (1 to repeats).map(_ => time { northstar(spark, docsPath) })
     val nRows = nsRuns.head._1
     val nsSec = nsRuns.map(_._2).min
     val rowsPerSec = nsDocs / nsSec
@@ -122,12 +135,12 @@ object Bench {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     val sN = session(nCores)
     val (_, warmN) = time { northstar(sN, warmPath) } // JIT warm
-    val tN = (1 to 3).map(_ => time { northstar(sN, docsPath) }._2).min
+    val tN = (1 to repeats).map(_ => time { northstar(sN, docsPath) }._2).min
     sN.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     val s4N = session(4 * nCores)
     val (_, warm4N) = time { northstar(s4N, warmPath) }
-    val t4N = (1 to 3).map(_ => time { northstar(s4N, docsPath) }._2).min
+    val t4N = (1 to repeats).map(_ => time { northstar(s4N, docsPath) }._2).min
     s4N.stop()
 
     val thr8 = nsDocs / tN
@@ -140,6 +153,7 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","northstar":{"docs":$nsDocs,"rows":$nRows,"sec":$nsSec%.3f,"docs_per_sec":$rowsPerSec%.0f},"scaling":{"localN_docs_per_sec":$thr8%.0f,"local4N_docs_per_sec":$thr32%.0f,"efficiency":$efficiency%.3f}}"""
     println(json)
+    if (scalingOnly) return
     // clean artifact for machine parsing (sbt prefixes stdout lines, which
     // broke the round-1 driver parse: BENCH_r01.json "parsed": null)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")

@@ -148,14 +148,14 @@ object GenericGrids {
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, List[GenGrid]]()
 
-  /** resolve + cache one grid name ("null" -> Nil marker not used here). */
+  /** resolve + cache one grid name, via the pluggable grid source (local
+    * search roots by default; cloud fetchers swap in without touching the
+    * kernels). */
   def load(filename: String): Option[List[GenGrid]] = {
     val cached = cache.get(filename)
     if (cached != null) return Some(cached)
-    val candidates = Seq(s"/root/reference/data/$filename",
-      s"/root/reference/data/tests/$filename", filename)
-    candidates.map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.isReadable).map { p =>
-      val grids = open(java.nio.file.Files.readAllBytes(p), filename)
+    graft.proj.ops.GridShiftOps.gridSource.fetch(filename).map { bytes =>
+      val grids = open(bytes, filename)
       cache.putIfAbsent(filename, grids)
       cache.get(filename)
     }

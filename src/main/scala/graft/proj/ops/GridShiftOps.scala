@@ -25,22 +25,40 @@ import scala.collection.mutable
 object GridShiftOps {
   private final val RELTOL = 1e-5 // REL_TOLERANCE_HGRIDSHIFT
 
-  /** Search roots mirroring the reference test layout: the data dir, its
-    * tests/ subdir, and the CI aliases (for_tests/ copies). */
-  private val DATA_DIRS = Seq("/root/reference/data", "/root/reference/data/tests")
-  private val ALIASES = Map(
-    "egm96_15.gtx" -> "egm96_15_downsampled.gtx",
-    "ntv2_0.gsb" -> "ntv2_0_downsampled.gsb")
-
-  private def resolve(name: String): Option[Array[Byte]] = {
-    val candidates =
-      DATA_DIRS.map(d => s"$d/$name") ++ Seq(name) ++
-        ALIASES.get(name.split('/').last).toSeq.flatMap(a => DATA_DIRS.map(d => s"$d/$a"))
-    candidates.iterator
-      .map(Paths.get(_))
-      .find(Files.isReadable)
-      .map(Files.readAllBytes)
+  /** Pluggable grid byte source: default is the local filesystem over the
+    * configured search roots; a cloud deployment swaps in an
+    * object-store/HTTP fetcher (the reference's networkfilemanager role)
+    * without touching the kernels — grids are fetched once per executor JVM
+    * and cached by the op layer. */
+  trait GridSource {
+    def fetch(name: String): Option[Array[Byte]]
   }
+
+  /** Search roots mirroring the reference test layout: the data dir, its
+    * tests/ subdir, and the CI aliases (for_tests/ copies). Extra roots via
+    * -Dgraft.grid.paths=dir1,dir2. */
+  final class FileGridSource(roots: Seq[String]) extends GridSource {
+    private val ALIASES = Map(
+      "egm96_15.gtx" -> "egm96_15_downsampled.gtx",
+      "ntv2_0.gsb" -> "ntv2_0_downsampled.gsb")
+    def fetch(name: String): Option[Array[Byte]] = {
+      val candidates =
+        roots.map(d => s"$d/$name") ++ Seq(name) ++
+          ALIASES.get(name.split('/').last).toSeq.flatMap(a => roots.map(d => s"$d/$a"))
+      candidates.iterator
+        .map(Paths.get(_))
+        .find(Files.isReadable)
+        .map(Files.readAllBytes)
+    }
+  }
+
+  private def defaultRoots: Seq[String] =
+    sys.props.get("graft.grid.paths").toSeq.flatMap(_.split(',').toSeq.map(_.trim)) ++
+      Seq("/root/reference/data", "/root/reference/data/tests")
+
+  @volatile var gridSource: GridSource = new FileGridSource(defaultRoots)
+
+  private def resolve(name: String): Option[Array[Byte]] = gridSource.fetch(name)
 
   private def isTiff(bytes: Array[Byte]): Boolean =
     bytes.length > 4 &&
