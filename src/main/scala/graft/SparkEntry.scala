@@ -408,6 +408,20 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("tier"), col("valid_from"))
     }),
 
+    "geo_trans_bounds" -> ((s, dir) => {
+      // per-row tile-extent reprojection (partition-pruning primitive):
+      // webmerc is monotone in both axes, so the densified-edge envelope is
+      // closed-form (the corners) — SQL-checkable
+      custPoints(s, dir)
+        .withColumn("lon0", ((col("point_id") * 73 % 300) - 150 + lit(0.5)).cast("double"))
+        .withColumn("lat0", ((col("point_id") * 37 % 130) - 65 + lit(0.25)).cast("double"))
+        .withColumn("b", ProjFunctions.projTransBounds(col("lon0"), col("lat0"),
+          col("lon0") + 6.0, col("lat0") + 10.0, "proj=webmerc ellps=WGS84"))
+        .select(col("point_id"),
+          mm(col("b.xmin")).as("xmin_mm"), mm(col("b.ymin")).as("ymin_mm"),
+          mm(col("b.xmax")).as("xmax_mm"), mm(col("b.ymax")).as("ymax_mm"))
+    }),
+
     "geo_epsg" -> ((s, dir) => {
       // EPSG:xxxx alias front-end driving the transforms (web mercator +
       // geocentric); oracle recomputes both closed-form
@@ -609,6 +623,19 @@ object SparkEntry {
     "geo_geodesic_meridian" -> OracleSql.geoGeodesicMeridian,
     "media_features" -> OracleSql.mediaFeatures,
     "geo_epsg" -> OracleSql.geoEpsg,
+
+    "geo_trans_bounds" ->
+      """WITH pts AS (
+           SELECT c_custkey AS point_id,
+             ((((c_custkey*73)%300)-150+0.5))::DOUBLE AS lon0,
+             ((((c_custkey*37)%130)-65+0.25))::DOUBLE AS lat0
+           FROM customer)
+         SELECT point_id,
+           CAST(round(6378137.0*(lon0*(pi()/180))*1000) AS BIGINT) AS xmin_mm,
+           CAST(round(6378137.0*ln(tan(pi()/4 + (lat0*(pi()/180))/2))*1000) AS BIGINT) AS ymin_mm,
+           CAST(round(6378137.0*((lon0+6.0)*(pi()/180))*1000) AS BIGINT) AS xmax_mm,
+           CAST(round(6378137.0*ln(tan(pi()/4 + ((lat0+10.0)*(pi()/180))/2))*1000) AS BIGINT) AS ymax_mm
+         FROM pts ORDER BY point_id""",
 
     "q_asof" ->
       """WITH ev AS (

@@ -104,6 +104,72 @@ object FactorsKernels {
   }
 }
 
+/** Row-level proj_trans_bounds: densified-edge bbox transformation
+  * (reference src/trans_bounds.cpp via graft.proj.Factors.transBounds) —
+  * the partition-pruning primitive: map a lon/lat tile extent into a target
+  * CRS envelope. */
+object TransBoundsKernels {
+  private val outType: StructType = StructType(Seq(
+    StructField("xmin", DoubleType, nullable = false),
+    StructField("ymin", DoubleType, nullable = false),
+    StructField("xmax", DoubleType, nullable = false),
+    StructField("ymax", DoubleType, nullable = false)))
+
+  def resultType: StructType = outType
+
+  def eval(p: ProjPipeline, lonMin: Double, latMin: Double,
+           lonMax: Double, latMax: Double): InternalRow = {
+    val d = math.Pi / 180
+    try {
+      val (x0, y0, x1, y1) = graft.proj.Factors.transBounds(p.pjForFactors,
+        forward = true, lonMin * d, latMin * d, lonMax * d, latMax * d)
+      new GenericInternalRow(Array[Any](x0, y0, x1, y1))
+    } catch {
+      case _: graft.core.ProjError =>
+        new GenericInternalRow(Array[Any](Double.NaN, Double.NaN, Double.NaN, Double.NaN))
+    }
+  }
+}
+
+case class TransBoundsExpr(lonMin: Expression, latMin: Expression,
+                           lonMax: Expression, latMax: Expression,
+                           projString: String) extends Expression {
+  @transient private lazy val pipeline = new ProjPipeline(projString)
+
+  override def children: Seq[Expression] = Seq(lonMin, latMin, lonMax, latMax)
+  override def dataType: DataType = TransBoundsKernels.resultType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else TransBoundsKernels.eval(pipeline, vs(0).asInstanceOf[Double],
+      vs(1).asInstanceOf[Double], vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pipeRef = ctx.addReferenceObj("projPipeline", pipeline, classOf[ProjPipeline].getName)
+    val cs = children.map(_.genCode(ctx))
+    val kern = TransBoundsKernels.getClass.getName + ".MODULE$"
+    val anyNull = cs.map(_.isNull).mkString(" || ")
+    val childCode = cs.map(_.code).reduce(_ + _)
+    val code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        InternalRow ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $kern.eval($pipeRef, ${cs(0).value}, ${cs(1).value},
+            ${cs(2).value}, ${cs(3).value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1), c(2), c(3))
+}
+
 /** Per-row UTM zone dispatch: 120 precompiled pipelines (zone 1..60 ×
   * north/south), selected per row from the point's inferred zone — the
   * north-star "per-row zone inference for scattered points" wired all the
@@ -302,4 +368,10 @@ object ProjFunctions {
     * dispatch over 120 precompiled pipelines): struct(zone, south, x, y). */
   def utmNative(lon: Column, lat: Column, ellps: String = "WGS84"): Column =
     col(UtmNativeExpr(expr(lon), expr(lat), ellps))
+
+  /** proj_trans_bounds: lon/lat degree extent -> target-CRS envelope
+    * struct(xmin, ymin, xmax, ymax), densified-edge semantics. */
+  def projTransBounds(lonMin: Column, latMin: Column,
+                      lonMax: Column, latMax: Column, pipeline: String): Column =
+    col(TransBoundsExpr(expr(lonMin), expr(latMin), expr(lonMax), expr(latMax), pipeline))
 }
