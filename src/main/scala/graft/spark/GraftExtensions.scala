@@ -1,0 +1,91 @@
+package graft.spark
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
+
+/** SQL surface for the engine's Catalyst expressions — so `spark.sql` users
+  * (and thriftserver-style clients) reach the kernels without the Scala
+  * column API:
+  *
+  *   spark.sql.extensions=graft.spark.GraftExtensions      (spark-submit)
+  *   GraftExtensions.register(spark)                       (existing session)
+  *
+  *   SELECT graft_s2_cell(lon, lat, 12), graft_utm_native(lon, lat).x,
+  *          graft_proj_trans(lon, lat, 'proj=webmerc ellps=WGS84').y, ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def strArg(e: Expression, fn: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn: the proj-string argument must be a string literal")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.spark.GraftExtensions", null, name, usage, "")
+
+  /** (name, info, builder) triples for every SQL-exposed kernel. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_s2_cell",
+      info("graft_s2_cell", "graft_s2_cell(lon, lat, level) - S2 cell id"),
+      (c: Seq[Expression]) => S2CellExpr(c(0), c(1), c(2))),
+    ("graft_tile_key",
+      info("graft_tile_key", "graft_tile_key(lon, lat, z) - packed web-mercator tile key"),
+      (c: Seq[Expression]) => TileKeyExpr(c(0), c(1), c(2))),
+    ("graft_utm_zone",
+      info("graft_utm_zone", "graft_utm_zone(lon) - UTM zone 1..60"),
+      (c: Seq[Expression]) => UtmZoneExpr(c(0))),
+    ("graft_geodesic_distance",
+      info("graft_geodesic_distance",
+        "graft_geodesic_distance(lon1, lat1, lon2, lat2) - Karney WGS84 metres"),
+      (c: Seq[Expression]) => GeodesicDistExpr(c(0), c(1), c(2), c(3))),
+    ("graft_point_in_ring",
+      info("graft_point_in_ring",
+        "graft_point_in_ring(lon, lat, ring) - even-odd PIP over flat [lon,lat,...]"),
+      (c: Seq[Expression]) => PointInRingExpr(c(0), c(1), c(2))),
+    ("graft_ring_cells",
+      info("graft_ring_cells",
+        "graft_ring_cells(lon, lat, level, rings) - cell + neighbor rings"),
+      (c: Seq[Expression]) => RingCellsExpr(c(0), c(1), c(2), c(3))),
+    ("graft_cover_cells",
+      info("graft_cover_cells", "graft_cover_cells(ring, level) - bbox cell cover"),
+      (c: Seq[Expression]) => CoverCellsExpr(c(0), c(1))),
+    ("graft_s2_face_uv",
+      info("graft_s2_face_uv", "graft_s2_face_uv(lon, lat) - struct(face, u, v)"),
+      (c: Seq[Expression]) => S2FaceUvExpr(c(0), c(1))),
+    ("graft_polygon_metrics",
+      info("graft_polygon_metrics",
+        "graft_polygon_metrics(ring) - struct(perimeter_m, area_m2), Karney planimeter"),
+      (c: Seq[Expression]) => PolygonMetricsExpr(c(0))),
+    ("graft_utm_native",
+      info("graft_utm_native",
+        "graft_utm_native(lon, lat) - struct(zone, south, x, y) in the point's own zone CRS"),
+      (c: Seq[Expression]) => UtmNativeExpr(c(0), c(1), "WGS84")),
+    ("graft_proj_trans",
+      info("graft_proj_trans",
+        "graft_proj_trans(lon, lat, 'proj-string or EPSG:code') - struct(x,y,z,t,err)"),
+      (c: Seq[Expression]) => ProjTransformExpr(c(0), c(1),
+        Literal(0.0), Literal(0.0), strArg(c(2), "graft_proj_trans"),
+        forward = true, degIO = true)),
+    ("graft_proj_factors",
+      info("graft_proj_factors",
+        "graft_proj_factors(lon, lat, 'proj-string') - struct(h,k,s,omega,conv)"),
+      (c: Seq[Expression]) => ProjFactorsExpr(c(0), c(1),
+        strArg(c(2), "graft_proj_factors"))))
+
+  /** imperative registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), inf, builder)
+    }
+}

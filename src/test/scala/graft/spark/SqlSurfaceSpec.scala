@@ -1,0 +1,75 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL function surface (GraftExtensions) + skew-salting equivalence. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftExtensions.register(s)
+    s
+  }
+
+  import spark.implicits._
+
+  test("SQL functions match the column API") {
+    Seq((12.5, 55.25)).toDF("lon", "lat").createOrReplaceTempView("pts")
+    val row = spark.sql(
+      """SELECT graft_s2_cell(lon, lat, 12) AS cell,
+                graft_tile_key(lon, lat, 10) AS tile,
+                graft_utm_zone(lon) AS zone,
+                graft_utm_native(lon, lat).x AS ux,
+                graft_proj_trans(lon, lat, 'proj=webmerc ellps=WGS84').x AS wx,
+                graft_proj_trans(lon, lat, 'EPSG:3857').x AS wx2,
+                graft_geodesic_distance(lon, lat, lon, lat + 1.0) AS d,
+                graft_proj_factors(lon, lat, 'proj=webmerc ellps=WGS84').k AS k
+         FROM pts""").head()
+    assert(row.getAs[Long]("cell") == graft.index.S2CellId.cellId(12.5, 55.25, 12))
+    assert(row.getAs[Long]("tile") == graft.index.SlippyTile.tileKey(12.5, 55.25, 10))
+    assert(row.getAs[Int]("zone") == 33)
+    assert(math.abs(row.getAs[Double]("wx") - 6378137.0 * math.toRadians(12.5)) < 1e-6)
+    assert(row.getAs[Double]("wx2") == row.getAs[Double]("wx"), "EPSG alias in SQL")
+    assert(math.abs(row.getAs[Double]("d") -
+      graft.core.Geodesic.WGS84.distance(55.25, 12.5, 56.25, 12.5)) < 1e-9)
+    assert(row.getAs[Double]("k") > 1.0)
+    // utm native x matches the column API
+    val ux = Seq((12.5, 55.25)).toDF("lon", "lat")
+      .select(ProjFunctions.utmNative(col("lon"), col("lat")).getField("x")).head().getDouble(0)
+    assert(row.getAs[Double]("ux") == ux)
+  }
+
+  test("graft_polygon_metrics in SQL reproduces the planimeter value") {
+    val a = spark.sql(
+      "SELECT graft_polygon_metrics(array(0D,89D, 90D,89D, 180D,89D, 270D,89D)).area_m2 AS a")
+      .head().getDouble(0)
+    assert(math.abs(a - 24952305678.0) < 1)
+  }
+
+  test("graft_proj_trans rejects a non-literal proj string") {
+    Seq(("proj=webmerc ellps=WGS84", 1.0)).toDF("p", "lon").createOrReplaceTempView("bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_proj_trans(lon, lon, p) FROM bad").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+
+  test("salted hot-cell join equals the unsalted join") {
+    // one hot cell (90% of rows) joined against a per-cell dimension
+    val pts = spark.range(0, 20000).select(
+      $"id".as("point_id"),
+      when($"id" % 10 < 9, lit(42L)).otherwise($"id" % 100).as("cell"))
+    val dim = spark.range(0, 100).select($"id".as("cell"), ($"id" * 7).as("w"))
+    val direct = pts.join(dim, "cell").agg(sum($"w"), count(lit(1))).head()
+    val salted = SpatialJoins.saltCells(pts, $"point_id", salt = 8)
+    val dimRep = SpatialJoins.replicateForSalt(dim, salt = 8)
+    val viaSalt = salted.join(dimRep, Seq("cell", "salt_id"))
+      .agg(sum($"w"), count(lit(1))).head()
+    assert(direct == viaSalt, s"direct=$direct salted=$viaSalt")
+  }
+}
