@@ -70,6 +70,30 @@ object GeoKernels {
       SpatialJoins.coverBBox(minLon, minLat, maxLon, maxLat, level).toArray)
   }
 
+  /** `n+1` waypoints (including both endpoints) along the WGS84 geodesic
+    * from point 1 to point 2, equally spaced in distance — the line-walking
+    * primitive (geodesic densification for edge sampling / antimeridian-
+    * safe interpolation). Returns a flat [lon0, lat0, lon1, lat1, ...]. */
+  def geodesicWaypoints(lon1: Double, lat1: Double,
+                        lon2: Double, lat2: Double, n: Int): ArrayData = {
+    val g = Geodesic.WGS84
+    val inv = g.inverse(lat1, lon1, lat2, lon2)
+    val line = new graft.core.Line(g, lat1, lon1, inv._2)
+    val out = new Array[Double](2 * (n + 1))
+    val pos = new Array[Double](10)
+    var k = 0
+    while (k <= n) {
+      if (k == 0) { out(0) = lon1; out(1) = lat1 }
+      else if (k == n) { out(2 * n) = lon2; out(2 * n + 1) = lat2 }
+      else {
+        line.position(arcMode = false, inv._1 * k / n, pos)
+        out(2 * k) = pos(1); out(2 * k + 1) = pos(0)
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Geodesic perimeter + area of a flat [lon, lat, ...] ring on WGS84
     * (Karney planimeter; counter-clockwise positive). */
   def polygonMetrics(ring: ArrayData): InternalRow = {
@@ -232,6 +256,22 @@ case class RingCellsExpr(lon: Expression, lat: Expression,
     copy(c(0), c(1), c(2), c(3))
 }
 
+case class GeodesicWaypointsExpr(lon1: Expression, lat1: Expression,
+                                 lon2: Expression, lat2: Expression,
+                                 n: Expression) extends GeoStaticCall {
+  override def children: Seq[Expression] = Seq(lon1, lat1, lon2, lat2, n)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def staticCall: String = "geodesicWaypoints"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null
+    else GeoKernels.geodesicWaypoints(a(0).asInstanceOf[Double], a(1).asInstanceOf[Double],
+      a(2).asInstanceOf[Double], a(3).asInstanceOf[Double], a(4).asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1), c(2), c(3), c(4))
+}
+
 case class PolygonMetricsExpr(ring: Expression) extends GeoStaticCall {
   override def children: Seq[Expression] = Seq(ring)
   override def dataType: DataType = StructType(Seq(
@@ -316,6 +356,12 @@ object GeoFunctions {
   /** geodesic perimeter + area of a flat [lon,lat,...] ring on WGS84:
     * struct(perimeter_m, area_m2); counter-clockwise area is positive. */
   def polygonMetrics(ring: Column): Column = col(PolygonMetricsExpr(ex(ring)))
+
+  /** n+1 equally-spaced waypoints along the WGS84 geodesic between two
+    * lon/lat points, as a flat [lon,lat,...] array. */
+  def geodesicWaypoints(lon1: Column, lat1: Column,
+                        lon2: Column, lat2: Column, n: Column): Column =
+    col(GeodesicWaypointsExpr(ex(lon1), ex(lat1), ex(lon2), ex(lat2), ex(n)))
 
   /** full proj pipeline transform — re-export for one-stop import. */
   def projTrans2(lon: Column, lat: Column, pipeline: String): Column =

@@ -239,6 +239,22 @@ class SparkLayerSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
   }
 
+  test("geodesicWaypoints densifies the line at equal distance steps") {
+    val df = Seq((2.0, 1.0, 100.0, 60.0)).toDF("lon1", "lat1", "lon2", "lat2")
+      .select(GeoFunctions.geodesicWaypoints(
+        $"lon1", $"lat1", $"lon2", $"lat2", lit(8)).as("wps"))
+    val wps = df.head().getAs[scala.collection.Seq[Double]]("wps")
+    assert(wps.length == 18)
+    assert(wps(0) == 2.0 && wps(1) == 1.0 && wps(16) == 100.0 && wps(17) == 60.0)
+    val g = graft.core.Geodesic.WGS84
+    val total = g.distance(1.0, 2.0, 60.0, 100.0)
+    for (k <- 1 until 8) {
+      val d = g.distance(1.0, 2.0, wps(2 * k + 1), wps(2 * k))
+      assert(math.abs(d - total * k / 8) < 1e-6 * total,
+        s"waypoint $k at $d, want ${total * k / 8}")
+    }
+  }
+
   test("entry smoke: north-star pipeline yields rows") {
     val n = graft.SparkEntry.entry(spark).count()
     assert(n > 0)
