@@ -415,6 +415,7 @@ object GieRunner {
   def main(args: Array[String]): Unit = {
     val files = if (args.nonEmpty) args.toSeq else Seq(
       "builtins", "more_builtins", "gridshift", "geotiff_grids", "tinshift",
+      "tinshift_gpkg",
       "defmodel", "deformation", "DHDN_ETRS89", "GDA", "4D-API_cs2cs-style",
       "ellipsoid", "axisswap", "unitconvert", "adams_hemi", "adams_ws1",
       "adams_ws2", "guyou", "peirce_q", "spilhaus"

@@ -380,7 +380,18 @@ object TinshiftOps {
           .find(java.nio.file.Files.isReadable)
           .getOrElse(throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID,
             s"tinshift: non existing file $filename"))
-        val text = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        val raw = java.nio.file.Files.readAllBytes(path)
+        // GeoPackage container: reassemble the triangulation JSON from its
+        // tables (reference tinshift.cpp:103 dispatches on the extension)
+        val text =
+          if (filename.endsWith(".gpkg"))
+            try graft.proj.grids.TinshiftGpkg.toTriangulationJson(raw)
+            catch {
+              case e: Exception =>
+                throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID,
+                  s"tinshift: invalid GeoPackage: ${e.getMessage}")
+            }
+          else new String(raw, "UTF-8")
         val m =
           try new TinModel(text)
           catch {
