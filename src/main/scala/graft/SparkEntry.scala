@@ -317,8 +317,7 @@ object SparkEntry {
       // 16-bit SimHash candidate buckets from the shared md5-derived hash
       // (cross-engine identical); the xxhash64 64-bit engine path is
       // sbt-verified in TrainingSpec
-      t(s, dir, "documents")
-        .withColumn("bucket", TrainingOps.simhashBucketShared(col("text")))
+      TrainingOps.withSimhashBucketShared(t(s, dir, "documents"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
     }),
 

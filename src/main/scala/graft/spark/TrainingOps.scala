@@ -172,10 +172,11 @@ object TrainingOps {
     split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
 
   /** 16-bit SimHash bucket (bits 48..63 of an md5-digit-derived 64-bit
-    * hash): bit k of the bucket is the majority vote over words of nibble
-    * bit (k%4) of md5 hex digit (13 + k/4). Mirrors the DuckDB oracle. */
-  def simhashBucketShared(text: Column): Column = {
-    val words = normWords(text)
+    * hash) from a WORDS COLUMN: bit k of the bucket is the majority vote
+    * over words of nibble bit (k%4) of md5 hex digit (13 + k/4). Mirrors
+    * the DuckDB oracle. Takes a column (not an inline split expression) so
+    * the 16 per-bit aggregates don't each re-run the tokenization. */
+  def simhashBucketSharedFromWords(words: Column): Column = {
     val bits = (0 until 16).map { k =>
       val pos = 13 + k / 4
       val shift = k % 4
@@ -187,6 +188,14 @@ object TrainingOps {
     }
     bits.reduce(_ + _)
   }
+
+  /** simhash bucket over a docs frame, with the tokenization hoisted into a
+    * real column (see simhashBucketSharedFromWords). */
+  def withSimhashBucketShared(docs: DataFrame, textCol: String = "text",
+                              out: String = "bucket"): DataFrame =
+    docs.withColumn("__w", normWords(col(textCol)))
+      .withColumn(out, simhashBucketSharedFromWords(col("__w")))
+      .drop("__w")
 
   /** word 3-shingles from a WORDS COLUMN (hoist the split into a real
     * column first: referencing the split subexpression inside the per-gram
