@@ -198,6 +198,9 @@ object GieRunner {
     var fileSkip = false
     val a = new Array[Double](4)
     var dimsGiven = 0
+    var crsSrc = ""
+    var crsDst = ""
+    var crsDstLatLon = false
 
     def ok(): Unit = stats.ok += 1
     def skip(): Unit = stats.skipped += 1
@@ -311,15 +314,19 @@ object GieRunner {
     val co = Array(c.x, c.y, c.z, c.t)
     if (expectDims < 4) co(3) = 0
     if (expectDims < 3) co(2) = 0
+    // lat-lon / northing-easting destination CRSs compare with swapped
+    // axes (reference gie.cpp:1147-1160, crs_dst_is_lat_lon_or_y_x)
+    def axisFix(v: Array[Double]): Array[Double] =
+      if (st.crsDstLatLon) Array(v(1), v(0), v(2), v(3)) else v.clone()
     val d =
       if (co(0).isNaN && ce(0).isNaN) 0.0
       else if (angOut) lpzDist(st.P, ce, co)
       else if (degOut) {
-        val co2 = co.clone(); val ce2 = ce.clone()
+        val co2 = axisFix(co); val ce2 = axisFix(ce)
         co2(0) *= GeoMath.DEG2RAD; co2(1) *= GeoMath.DEG2RAD
         ce2(0) *= GeoMath.DEG2RAD; ce2(1) *= GeoMath.DEG2RAD
         lpzDist(st.P, ce2, co2)
-      } else xyzDist(ce, co)
+      } else xyzDist(axisFix(ce), axisFix(co))
     if (!(d <= st.tolerance)) {
       st.ko(lineno, f"deviation ${d * 1000}%.6f mm > tol ${st.tolerance * 1000}%.6f mm " +
         f"(got ${co(0)}%.12g ${co(1)}%.12g ${co(2)}%.9g, want $args)")
@@ -376,10 +383,23 @@ object GieRunner {
     while (i < cmds.length && !st.fileSkip) {
       val cmd = cmds(i)
       cmd.tag match {
-        case "operation" => doOperation(st, cmd.args)
-        case "crs_src" | "crs_dst" =>
-          // CRS database path is out of scope; treat as un-creatable op
-          st.P = null; st.opErr = 9999; st.opName = "crs_to_crs"
+        case "operation" =>
+          st.crsDstLatLon = false
+          doOperation(st, cmd.args)
+        case "crs_src" =>
+          st.crsSrc = cmd.args.split('#')(0).trim
+        case "crs_dst" =>
+          // the mini planner covers the corpus' well-known pairs; the full
+          // EPSG database (reference iso19111/factory.cpp) stays out of scope
+          st.crsDst = cmd.args.split('#')(0).trim
+          graft.proj.CrsToCrs.pipeline(st.crsSrc, st.crsDst) match {
+            case Some((p, latLon)) =>
+              doOperation(st, p)
+              st.crsDstLatLon = latLon
+            case None =>
+              st.P = null; st.opErr = 9999; st.opName = "crs_to_crs"
+              st.crsDstLatLon = false
+          }
         case _ if st.skipTest =>
           if (cmd.tag == "expect") st.skip()
         case "accept" =>
@@ -415,7 +435,7 @@ object GieRunner {
   def main(args: Array[String]): Unit = {
     val files = if (args.nonEmpty) args.toSeq else Seq(
       "builtins", "more_builtins", "gridshift", "geotiff_grids", "tinshift",
-      "tinshift_gpkg",
+      "tinshift_gpkg", "epsg_no_grid",
       "defmodel", "deformation", "DHDN_ETRS89", "GDA", "4D-API_cs2cs-style",
       "ellipsoid", "axisswap", "unitconvert", "adams_hemi", "adams_ws1",
       "adams_ws2", "guyou", "peirce_q", "spilhaus"

@@ -11,6 +11,7 @@ class GieCorpusSpec extends AnyFunSuite {
   private val files = Seq(
     "builtins" -> 2544, "more_builtins" -> 183, "gridshift" -> 59,
     "geotiff_grids" -> 51, "tinshift" -> 15, "tinshift_gpkg" -> 14,
+    "epsg_no_grid" -> 6,
     "defmodel" -> 34,
     "deformation" -> 43, "DHDN_ETRS89" -> 64, "GDA" -> 3,
     "4D-API_cs2cs-style" -> 78, "ellipsoid" -> 37, "axisswap" -> 27,
