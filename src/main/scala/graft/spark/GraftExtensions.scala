@@ -70,6 +70,15 @@ object GraftExtensions {
       info("graft_utm_native",
         "graft_utm_native(lon, lat) - struct(zone, south, x, y) in the point's own zone CRS"),
       (c: Seq[Expression]) => UtmNativeExpr(c(0), c(1), "WGS84")),
+    ("graft_geodesic_waypoints",
+      info("graft_geodesic_waypoints",
+        "graft_geodesic_waypoints(lon1, lat1, lon2, lat2, n) - n+1 equally spaced points on the geodesic"),
+      (c: Seq[Expression]) => GeodesicWaypointsExpr(c(0), c(1), c(2), c(3), c(4))),
+    ("graft_trans_bounds",
+      info("graft_trans_bounds",
+        "graft_trans_bounds(lonmin, latmin, lonmax, latmax, 'proj-string') - densified-edge CRS envelope"),
+      (c: Seq[Expression]) => TransBoundsExpr(c(0), c(1), c(2), c(3),
+        strArg(c(4), "graft_trans_bounds"))),
     ("graft_proj_trans",
       info("graft_proj_trans",
         "graft_proj_trans(lon, lat, 'proj-string or EPSG:code') - struct(x,y,z,t,err)"),

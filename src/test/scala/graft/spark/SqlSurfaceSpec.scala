@@ -44,6 +44,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getAs[Double]("ux") == ux)
   }
 
+  test("graft_geodesic_waypoints and graft_trans_bounds in SQL") {
+    val w = spark.sql(
+      "SELECT graft_geodesic_waypoints(2D, 1D, 100D, 60D, 4) AS wps").head()
+      .getAs[scala.collection.Seq[Double]]("wps")
+    assert(w.length == 10 && w(0) == 2.0 && w(9) == 60.0)
+    val b = spark.sql(
+      "SELECT graft_trans_bounds(10D, 50D, 11D, 51D, 'proj=webmerc ellps=WGS84') AS b")
+      .select("b.xmin", "b.xmax").head()
+    assert(math.abs(b.getDouble(0) - 6378137.0 * math.toRadians(10.0)) < 1e-6)
+    assert(b.getDouble(1) > b.getDouble(0))
+  }
+
   test("graft_polygon_metrics in SQL reproduces the planimeter value") {
     val a = spark.sql(
       "SELECT graft_polygon_metrics(array(0D,89D, 90D,89D, 180D,89D, 270D,89D)).area_m2 AS a")
