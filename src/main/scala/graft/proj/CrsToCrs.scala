@@ -66,7 +66,7 @@ object CrsToCrs {
 
   private def code(s: String): Option[Int] = {
     val t = s.trim
-    if (t.length > 5 && t.regionMatches(true, 0, "EPSG:", 0, 5) &&
+    if (t.length > 5 && t.length <= 14 && t.regionMatches(true, 0, "EPSG:", 0, 5) &&
         t.substring(5).forall(_.isDigit)) Some(t.substring(5).toInt)
     else None
   }

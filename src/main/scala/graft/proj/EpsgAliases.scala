@@ -47,7 +47,7 @@ object EpsgAliases {
   def resolve(s: String): Option[String] = {
     if (s.length < 6 || !(s.regionMatches(true, 0, "EPSG:", 0, 5))) return None
     val codeStr = s.substring(5).trim
-    if (!codeStr.forall(_.isDigit)) return None
+    if (codeStr.isEmpty || codeStr.length > 9 || !codeStr.forall(_.isDigit)) return None
     val code = codeStr.toInt
     fixed.get(code).orElse {
       if (code >= 32601 && code <= 32660)

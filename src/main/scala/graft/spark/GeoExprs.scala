@@ -76,6 +76,7 @@ object GeoKernels {
     * safe interpolation). Returns a flat [lon0, lat0, lon1, lat1, ...]. */
   def geodesicWaypoints(lon1: Double, lat1: Double,
                         lon2: Double, lat2: Double, n: Int): ArrayData = {
+    require(n >= 1, s"geodesicWaypoints: n must be >= 1 (got $n)")
     val g = Geodesic.WGS84
     val inv = g.inverse(lat1, lon1, lat2, lon2)
     val line = new graft.core.Line(g, lat1, lon1, inv._2)
@@ -129,8 +130,11 @@ object GeoKernels {
 }
 
 /** Shared base for codegen-able scalar geo expressions: children evaluated,
-  * then one static call into GeoKernels. */
-abstract class GeoStaticCall extends Expression {
+  * then one static call into GeoKernels. Declares input types so the
+  * analyzer coerces SQL arguments (e.g. a BIGINT level literal) instead of
+  * crashing codegen / interpreted eval with a ClassCastException. */
+abstract class GeoStaticCall extends Expression
+    with org.apache.spark.sql.graftbridge.PublicInputTypes {
   def staticCall: String // e.g. "s2Cell"
   override def nullable: Boolean = children.exists(_.nullable)
 
@@ -169,6 +173,7 @@ abstract class GeoStaticCall extends Expression {
 case class S2CellExpr(lon: Expression, lat: Expression, level: Expression)
     extends GeoStaticCall {
   override def children: Seq[Expression] = Seq(lon, lat, level)
+  override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType)
   override def dataType: DataType = LongType
   override def staticCall: String = "s2Cell"
   override def eval(input: InternalRow): Any = {
@@ -184,6 +189,7 @@ case class S2CellExpr(lon: Expression, lat: Expression, level: Expression)
 case class TileKeyExpr(lon: Expression, lat: Expression, z: Expression)
     extends GeoStaticCall {
   override def children: Seq[Expression] = Seq(lon, lat, z)
+  override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType)
   override def dataType: DataType = LongType
   override def staticCall: String = "tileKey"
   override def eval(input: InternalRow): Any = {
@@ -198,6 +204,7 @@ case class TileKeyExpr(lon: Expression, lat: Expression, z: Expression)
 
 case class UtmZoneExpr(lon: Expression) extends GeoStaticCall {
   override def children: Seq[Expression] = Seq(lon)
+  override def inputSpec: Seq[DataType] = Seq(DoubleType)
   override def dataType: DataType = IntegerType
   override def staticCall: String = "utmZone"
   override def eval(input: InternalRow): Any = {
@@ -212,6 +219,7 @@ case class GeodesicDistExpr(lon1: Expression, lat1: Expression,
                             lon2: Expression, lat2: Expression)
     extends GeoStaticCall {
   override def children: Seq[Expression] = Seq(lon1, lat1, lon2, lat2)
+  override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType, DoubleType, DoubleType)
   override def dataType: DataType = DoubleType
   override def staticCall: String = "geodesicDist"
   override def eval(input: InternalRow): Any = {
@@ -226,6 +234,7 @@ case class GeodesicDistExpr(lon1: Expression, lat1: Expression,
 
 case class S2FaceUvExpr(lon: Expression, lat: Expression) extends GeoStaticCall {
   override def children: Seq[Expression] = Seq(lon, lat)
+  override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType)
   override def dataType: DataType = StructType(Seq(
     StructField("face", IntegerType, nullable = false),
     StructField("u", DoubleType, nullable = false),
@@ -244,6 +253,7 @@ case class RingCellsExpr(lon: Expression, lat: Expression,
                          level: Expression, rings: Expression)
     extends GeoStaticCall {
   override def children: Seq[Expression] = Seq(lon, lat, level, rings)
+  override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def staticCall: String = "ringCells"
   override def eval(input: InternalRow): Any = {
@@ -260,6 +270,7 @@ case class GeodesicWaypointsExpr(lon1: Expression, lat1: Expression,
                                  lon2: Expression, lat2: Expression,
                                  n: Expression) extends GeoStaticCall {
   override def children: Seq[Expression] = Seq(lon1, lat1, lon2, lat2, n)
+  override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType, DoubleType, DoubleType, IntegerType)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def staticCall: String = "geodesicWaypoints"
   override def eval(input: InternalRow): Any = {
@@ -274,6 +285,7 @@ case class GeodesicWaypointsExpr(lon1: Expression, lat1: Expression,
 
 case class PolygonMetricsExpr(ring: Expression) extends GeoStaticCall {
   override def children: Seq[Expression] = Seq(ring)
+  override def inputSpec: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = StructType(Seq(
     StructField("perimeter_m", DoubleType, nullable = false),
     StructField("area_m2", DoubleType, nullable = false)))
@@ -290,6 +302,7 @@ case class PolygonMetricsExpr(ring: Expression) extends GeoStaticCall {
 case class CoverCellsExpr(ring: Expression, level: Expression)
     extends GeoStaticCall {
   override def children: Seq[Expression] = Seq(ring, level)
+  override def inputSpec: Seq[DataType] = Seq(ArrayType(DoubleType), IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def staticCall: String = "coverCells"
   override def eval(input: InternalRow): Any = {
@@ -304,6 +317,7 @@ case class CoverCellsExpr(ring: Expression, level: Expression)
 case class PointInRingExpr(lon: Expression, lat: Expression, ring: Expression)
     extends GeoStaticCall {
   override def children: Seq[Expression] = Seq(lon, lat, ring)
+  override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType, ArrayType(DoubleType))
   override def dataType: DataType = BooleanType
   override def staticCall: String = "pointInRing"
   override def eval(input: InternalRow): Any = {

@@ -56,10 +56,12 @@ object MediaCodecs {
     while (r < height) { raw(r * (1 + width)) = 0; r += 1 }
     val defl = new Deflater()
     defl.setInput(raw); defl.finish()
-    val comp = new Array[Byte](raw.length + 64)
-    val n = defl.deflate(comp)
+    // drain fully: incompressible data can exceed the input size
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
     defl.end()
-    pngChunk(out, "IDAT", java.util.Arrays.copyOf(comp, n))
+    pngChunk(out, "IDAT", comp.toByteArray)
     pngChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
@@ -73,6 +75,7 @@ object MediaCodecs {
     var pos = 8
     while (pos + 8 <= bytes.length) {
       val len = bb.getInt(pos)
+      if (len < 0) return None // hostile chunk length: never loop in place
       val typ = new String(bytes, pos + 4, 4, "ASCII")
       if (typ == "IHDR") {
         if (len < 13 || pos + 8 + 13 > bytes.length) return None
@@ -119,6 +122,7 @@ object MediaCodecs {
     while (pos + 8 <= bytes.length) {
       val id = new String(bytes, pos, 4, "ASCII")
       val len = bb.getInt(pos + 4)
+      if (len < 0) return None // hostile chunk length: never loop in place
       if (id == "fmt ") {
         if (len < 16 || pos + 8 + 16 > bytes.length) return None
         val channels = bb.getShort(pos + 10).toInt
@@ -165,6 +169,7 @@ object MediaCodecs {
       val isSof = marker >= 0xC0 && marker <= 0xCF &&
         marker != 0xC4 && marker != 0xC8 && marker != 0xCC
       val len = bb.getShort(pos + 2) & 0xffff
+      if (len < 2) return None // marker length includes itself: never loop
       if (isSof) {
         if (pos + 2 + 7 > bytes.length) return None
         val height = bb.getShort(pos + 5) & 0xffff

@@ -34,8 +34,17 @@ object SpatialJoins {
     val maxAbsLat = math.min(89.9, math.max(math.abs(minLat), math.abs(maxLat)))
     val pitchLat = 90.0 / (1L << math.min(level, 28)) / 1.7
     val pitchLon = pitchLat * math.max(0.05, math.cos(maxAbsLat.toRadians))
-    def stepsFor(span: Double, pitch: Double): Int =
-      math.min(4096, math.max(8, math.ceil(2.0 * span / pitch).toInt))
+    def stepsFor(span: Double, pitch: Double): Int = {
+      val need = math.max(8, math.ceil(2.0 * span / pitch).toInt)
+      // fail LOUD instead of silently under-covering: a bbox needing more
+      // than 4096 cells per axis means `level` is far too fine for the
+      // polygon scale (16M+ cover cells per polygon would also be the
+      // wrong plan) — the caller must choose a coarser level
+      require(need <= 4096,
+        f"coverBBox: bbox span $span%.3f deg needs $need sample steps at this " +
+          "S2 level (max 4096) — use a coarser level for polygons this large")
+      need
+    }
     val stepsI = stepsFor(maxLon - minLon, pitchLon)
     val stepsJ = stepsFor(maxLat - minLat, pitchLat)
     var i = 0
