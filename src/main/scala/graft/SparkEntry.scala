@@ -182,18 +182,29 @@ object SparkEntry {
     }),
 
     "geo_knn_geodesic" -> ((s, dir) => {
-      // exact Karney scoring through the cell-ring join (rows-only check;
-      // correctness vs brute force asserted in SpatialJoinSpec)
-      val docs = DocsTable.withAnchor(DocsTable.docs(s, 5000))
-        .where(col("lon").isNotNull)
-        .withColumn("point_id", col("doc_id"))
+      // exact Karney scoring through the cell-ring join, against an
+      // INDEPENDENT ellipsoidal oracle: DuckDB re-solves every pair's WGS84
+      // inverse problem with fully converged Vincenty (recursive CTE) —
+      // a cross-implementation check, not a mirrored formula. Both engines
+      // rank on metre-quantized distance (the two solutions agree to
+      // ~1e-5 m at this <60 km range, so a 1 m bucket cannot flip), ties
+      // by point_id. Points: a dense
+      // customer-derived lattice near Tokyo (16 per customer, integer
+      // arithmetic DuckDB replicates bit-for-bit); queries sit off-lattice
+      // so no pair is coincident.
+      val pts = t(s, dir, "customer")
+        .select(col("c_custkey"), explode(sequence(lit(0), lit(15))).as("j"))
+        .select((col("c_custkey") * 16 + col("j")).as("point_id"))
+        .select(col("point_id"),
+          (lit(139.49) + (col("point_id") * 193 % 4000) * 0.0001).as("lon"),
+          (lit(35.49) + (col("point_id") * 149 % 4000) * 0.0001).as("lat"))
       val q = s.range(0, 20).select(
         col("id").as("q_id"),
-        (lit(DocsTable.metros(0)._2) + (col("id") % 10) * 0.01).as("lon"),
-        (lit(DocsTable.metros(0)._3) + (col("id") % 7) * 0.01).as("lat"))
-      SpatialJoins.knnJoin(q, docs.select("point_id", "lon", "lat"), k = 5,
-        level = 10, rings = 2)
-        .select("q_id", "point_id", "dist_m", "rnk")
+        (lit(139.59005) + (col("id") * 37 % 100) * 0.001031).as("lon"),
+        (lit(35.59005) + (col("id") * 59 % 100) * 0.001073).as("lat"))
+      SpatialJoins.knnJoin(q, pts, k = 5, level = 10, rings = 2,
+        distQuantM = 1.0)
+        .select("q_id", "point_id", "dist_q", "rnk")
     }),
 
     "geo_s2_cells" -> ((s, dir) => {
@@ -620,6 +631,7 @@ object SparkEntry {
     "geo_gridshift" -> OracleSql.geoGridshift,
     "geo_geoid" -> OracleSql.geoGeoid,
     "geo_geodesic_meridian" -> OracleSql.geoGeodesicMeridian,
+    "geo_knn_geodesic" -> OracleSql.geoKnnGeodesic,
     "media_features" -> OracleSql.mediaFeatures,
     "geo_epsg" -> OracleSql.geoEpsg,
 

@@ -93,9 +93,14 @@ object SpatialJoins {
     * points are bucketed once by the same level. The expansion is a
     * broadcast when queries are small, a shuffle equi-join otherwise.
     */
+  /** `distQuantM` > 0 ranks on the distance quantized to that many metres
+    * (emitted as `dist_q` = round(dist_m / distQuantM), ties broken by
+    * point_id) — a deterministic ordering that an independent engine can
+    * reproduce despite libm ulp differences; 0 ranks on the raw double. */
   def knnJoin(queries: DataFrame, points: DataFrame, k: Int,
               level: Int = 8, rings: Int = 2,
-              broadcastQueries: Boolean = true): DataFrame = {
+              broadcastQueries: Boolean = true,
+              distQuantM: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     val q = queries
@@ -110,8 +115,14 @@ object SpatialJoins {
                   else p.join(q, Seq("cell")))
       .withColumn("dist_m", GeoFunctions.geodesicDistance(
         col("q_lon"), col("q_lat"), col("lon"), col("lat")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("dist_m"), col("point_id"))
-    joined
+    val (ranked, order) =
+      if (distQuantM > 0) {
+        val d = joined.withColumn("dist_q",
+          round(col("dist_m") / distQuantM).cast("long"))
+        (d, Seq(col("dist_q"), col("point_id")))
+      } else (joined, Seq(col("dist_m"), col("point_id")))
+    val w = Window.partitionBy(col("q_id")).orderBy(order: _*)
+    ranked
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .drop("cell")
