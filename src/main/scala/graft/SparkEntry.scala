@@ -466,6 +466,38 @@ object SparkEntry {
         .orderBy("poly_id")
     }),
 
+    "geo_hot_salted" -> ((s, dir) => {
+      // salted-key skew mitigation on a hot cell, end-to-end: 80% of points
+      // land in ONE z6 web-mercator tile (Tokyo); the dense side salts its
+      // tile key 16 ways (saltCells) while the per-tile weight table
+      // replicates (replicateForSalt), and the join is pinned to a shuffled
+      // hash join — the one hot reducer becomes 16 balanced ones. salt_id
+      // cancels in the output, so the oracle is the plain unsalted join.
+      val salt = 16
+      val hot = col("c_custkey") % 5 =!= 0
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey").as("point_id"),
+        when(hot, lit(139.69) + (col("c_custkey") * 193 % 1000) * 0.0001)
+          .otherwise((col("c_custkey") * 73 % 360) - 180 + lit(0.5))
+          .cast("double").as("lon"),
+        when(hot, lit(35.69) + (col("c_custkey") * 149 % 1000) * 0.0001)
+          .otherwise((col("c_custkey") * 37 % 160) - 80 + lit(0.25))
+          .cast("double").as("lat"))
+      val tiled = SpatialJoins.tileAssign(pts, z = 6)
+        .withColumn("tile_x",
+          shiftright(col("tile_key"), 29).bitwiseAND(lit((1L << 29) - 1)))
+        .withColumn("tile_y", col("tile_key").bitwiseAND(lit((1L << 29) - 1)))
+      val weights = s.range(0, 64).select(col("id").as("tile_x"))
+        .crossJoin(s.range(0, 64).select(col("id").as("tile_y")))
+        .withColumn("weight", (col("tile_x") * 64 + col("tile_y")) % 97)
+      val salted = SpatialJoins.saltCells(tiled, col("point_id"), salt)
+      val rep = SpatialJoins.replicateForSalt(weights, salt)
+      salted.join(rep.hint("shuffle_hash"), Seq("tile_x", "tile_y", "salt_id"))
+        .groupBy(col("tile_x"), col("tile_y"))
+        .agg(count(lit(1)).as("n"), sum(col("weight")).cast("long").as("wsum"))
+        .orderBy("tile_x", "tile_y")
+    }),
+
     "media_features" -> ((s, dir) => {
       // multimodal: synthesize REAL PNG/WAV/JPEG byte streams per doc
       // (parameters derived from doc_id), then parse them back with the
@@ -632,6 +664,29 @@ object SparkEntry {
     "geo_geoid" -> OracleSql.geoGeoid,
     "geo_geodesic_meridian" -> OracleSql.geoGeodesicMeridian,
     "geo_knn_geodesic" -> OracleSql.geoKnnGeodesic,
+
+    "geo_hot_salted" ->
+      """WITH pts AS (
+           SELECT c_custkey AS point_id,
+             CASE WHEN c_custkey % 5 <> 0
+                  THEN 139.69 + ((c_custkey*193) % 1000)*0.0001
+                  ELSE (((c_custkey*73)%360)-180+0.5)::DOUBLE END AS lon,
+             CASE WHEN c_custkey % 5 <> 0
+                  THEN 35.69 + ((c_custkey*149) % 1000)*0.0001
+                  ELSE (((c_custkey*37)%160)-80+0.25)::DOUBLE END AS lat
+           FROM customer),
+         tiled AS (
+           SELECT point_id,
+             CAST(LEAST(GREATEST(floor((lon+180)/360*64),0),63) AS BIGINT) AS tile_x,
+             CAST(LEAST(GREATEST(floor((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2*64),0),63) AS BIGINT) AS tile_y
+           FROM pts),
+         w AS (
+           SELECT x AS tile_x, y AS tile_y, (x*64 + y) % 97 AS weight
+           FROM range(0,64) t1(x), range(0,64) t2(y))
+         SELECT tile_x, tile_y, count(*) AS n,
+           CAST(sum(weight) AS BIGINT) AS wsum
+         FROM tiled JOIN w USING (tile_x, tile_y)
+         GROUP BY 1,2 ORDER BY 1,2""",
     "media_features" -> OracleSql.mediaFeatures,
     "geo_epsg" -> OracleSql.geoEpsg,
 

@@ -83,6 +83,11 @@ object PlanCheck {
         p.contains("Window") && !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     check("media_features")(q("media_features"))(
       "scan present" -> (_.contains("Scan")))
+    check("geo_hot_salted")(q("geo_hot_salted"))(
+      "shuffled hash join (not broadcast: salting must spread reducers)" ->
+        (_.contains("ShuffledHashJoin")),
+      "salt_id participates in the join keys" -> (_.contains("salt_id")),
+      "no cross product" -> (p => !p.contains("CartesianProduct")))
     check("dedup_embedding")(q("dedup_embedding"))(
       "bucket equi-join" -> (p => p.contains("Join")),
       "no cross product" -> (p => !p.contains("CartesianProduct")))
