@@ -466,6 +466,26 @@ object SparkEntry {
         .orderBy("poly_id")
     }),
 
+    "geo_hexbin" -> ((s, dir) => {
+      // hexagonal tiling (flat-top axial grid with cube rounding over
+      // web-mercator metres — the published hex-grid algebra, not an H3
+      // bit-clone): points -> webmerc -> hex(q, r) at 250 km -> per-hex
+      // counts + hex centers. Closed-form end to end, mirrored op-for-op
+      // in the oracle.
+      val size = 250000.0
+      custPoints(s, dir)
+        .withColumn("wm", ProjFunctions.projTrans2(col("lon"), col("lat"),
+          "proj=webmerc ellps=WGS84"))
+        .withColumn("hex", GeoFunctions.hexBin(col("wm.x"), col("wm.y"), lit(size)))
+        .select(col("hex.q").cast("long").as("q"), col("hex.r").cast("long").as("r"))
+        .groupBy("q", "r").agg(count(lit(1)).as("n"))
+        .withColumn("c", GeoFunctions.hexCenter(col("q").cast("int"),
+          col("r").cast("int"), lit(size)))
+        .select(col("q"), col("r"), col("n"),
+          mm(col("c.x")).as("cx_mm"), mm(col("c.y")).as("cy_mm"))
+        .orderBy("q", "r")
+    }),
+
     "geo_hot_salted" -> ((s, dir) => {
       // salted-key skew mitigation on a hot cell, end-to-end: 80% of points
       // land in ONE z6 web-mercator tile (Tokyo); the dense side salts its
@@ -664,6 +684,30 @@ object SparkEntry {
     "geo_geoid" -> OracleSql.geoGeoid,
     "geo_geodesic_meridian" -> OracleSql.geoGeodesicMeridian,
     "geo_knn_geodesic" -> OracleSql.geoKnnGeodesic,
+
+    "geo_hexbin" ->
+      """WITH pts AS (
+           SELECT c_custkey AS point_id,
+             6378137.0*radians((((c_custkey*73)%360)-180+0.5)) AS x,
+             6378137.0*ln(tan(pi()/4+radians((((c_custkey*37)%160)-80+0.25))/2)) AS y
+           FROM customer),
+         frac AS (
+           SELECT point_id,
+             (2.0/3.0*x)/250000.0 AS fq,
+             (-1.0/3.0*x + sqrt(3.0)/3.0*y)/250000.0 AS fr,
+             -fq - fr AS fs,
+             floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr, floor(fs + 0.5) AS rs,
+             abs(rq - fq) AS dq, abs(rr - fr) AS dr, abs(rs - fs) AS ds
+           FROM pts),
+         hexed AS (
+           SELECT point_id,
+             CASE WHEN dq > dr AND dq > ds THEN -rr - rs ELSE rq END AS q,
+             CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -rq - rs ELSE rr END AS r
+           FROM frac)
+         SELECT CAST(q AS BIGINT) AS q, CAST(r AS BIGINT) AS r, count(*) AS n,
+           CAST(round(250000.0*1.5*q*1000) AS BIGINT) AS cx_mm,
+           CAST(round(250000.0*sqrt(3.0)*(r + q/2.0)*1000) AS BIGINT) AS cy_mm
+         FROM hexed GROUP BY q, r ORDER BY q, r""",
 
     "geo_hot_salted" ->
       """WITH pts AS (

@@ -127,6 +127,55 @@ object GeoKernels {
     }
     inside
   }
+
+  /** Flat-top hexagonal binning over plane coordinates (e.g. web-mercator
+    * metres) → axial (q, r). The H3-style hierarchical hex index family is
+    * represented honestly: an axial hex grid with cube rounding (the
+    * published hex-grid algebra), NOT a bit-compatible H3 clone — H3's 122
+    * base-cell tables are library data, not derivable math. Rounding uses
+    * floor(v + 0.5) explicitly so an independent SQL engine reproduces the
+    * assignment bit-for-bit. */
+  def hexBin(x: Double, y: Double, size: Double): InternalRow = {
+    val fq = (2.0 / 3.0 * x) / size
+    val fr = (-1.0 / 3.0 * x + math.sqrt(3.0) / 3.0 * y) / size
+    val fs = -fq - fr
+    var rq = math.floor(fq + 0.5)
+    var rr = math.floor(fr + 0.5)
+    var rs = math.floor(fs + 0.5)
+    val dq = math.abs(rq - fq); val dr = math.abs(rr - fr); val ds = math.abs(rs - fs)
+    if (dq > dr && dq > ds) rq = -rr - rs
+    else if (dr > ds) rr = -rq - rs
+    else rs = -rq - rr
+    new GenericInternalRow(Array[Any](rq.toInt, rr.toInt))
+  }
+
+  /** Center (x, y) of axial hex (q, r) at `size` (circumradius) — the
+    * inverse anchor of hexBin: hexBin(hexCenter(q, r)) == (q, r). */
+  def hexCenter(q: Int, r: Int, size: Double): InternalRow = {
+    val x = size * 1.5 * q
+    val y = size * math.sqrt(3.0) * (r + q / 2.0)
+    new GenericInternalRow(Array[Any](x, y))
+  }
+
+  /** All axial hexes within `rings` grid steps of (q, r) — 3n(n+1)+1 cells,
+    * the hex analogue of S2 ringCells for kNN candidate expansion. Returns
+    * array<struct<q, r>>. */
+  def hexRing(q: Int, r: Int, rings: Int): ArrayData = {
+    val out = new Array[Any]((3 * rings * (rings + 1)) + 1)
+    var i = 0
+    var dq = -rings
+    while (dq <= rings) {
+      var dr = math.max(-rings, -dq - rings)
+      val hi = math.min(rings, -dq + rings)
+      while (dr <= hi) {
+        out(i) = new GenericInternalRow(Array[Any](q + dq, r + dr))
+        i += 1
+        dr += 1
+      }
+      dq += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Shared base for codegen-able scalar geo expressions: children evaluated,
@@ -330,6 +379,60 @@ case class PointInRingExpr(lon: Expression, lat: Expression, ring: Expression)
     copy(c(0), c(1), c(2))
 }
 
+case class HexBinExpr(x: Expression, y: Expression, size: Expression)
+    extends GeoStaticCall {
+  override def children: Seq[Expression] = Seq(x, y, size)
+  override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("q", IntegerType, nullable = false),
+    StructField("r", IntegerType, nullable = false)))
+  override def staticCall: String = "hexBin"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null
+    else GeoKernels.hexBin(a(0).asInstanceOf[Double], a(1).asInstanceOf[Double],
+      a(2).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1), c(2))
+}
+
+case class HexCenterExpr(q: Expression, r: Expression, size: Expression)
+    extends GeoStaticCall {
+  override def children: Seq[Expression] = Seq(q, r, size)
+  override def inputSpec: Seq[DataType] = Seq(IntegerType, IntegerType, DoubleType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false)))
+  override def staticCall: String = "hexCenter"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null
+    else GeoKernels.hexCenter(a(0).asInstanceOf[Int], a(1).asInstanceOf[Int],
+      a(2).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1), c(2))
+}
+
+case class HexRingExpr(q: Expression, r: Expression, rings: Expression)
+    extends GeoStaticCall {
+  override def children: Seq[Expression] = Seq(q, r, rings)
+  override def inputSpec: Seq[DataType] = Seq(IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("q", IntegerType, nullable = false),
+    StructField("r", IntegerType, nullable = false))), containsNull = false)
+  override def staticCall: String = "hexRing"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null
+    else GeoKernels.hexRing(a(0).asInstanceOf[Int], a(1).asInstanceOf[Int],
+      a(2).asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1), c(2))
+}
+
 /** Column API for the geo expressions. */
 object GeoFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -376,6 +479,18 @@ object GeoFunctions {
   def geodesicWaypoints(lon1: Column, lat1: Column,
                         lon2: Column, lat2: Column, n: Column): Column =
     col(GeodesicWaypointsExpr(ex(lon1), ex(lat1), ex(lon2), ex(lat2), ex(n)))
+
+  /** flat-top axial hex bin of plane (x, y) at `size`: struct(q, r). */
+  def hexBin(x: Column, y: Column, size: Column): Column =
+    col(HexBinExpr(ex(x), ex(y), ex(size)))
+
+  /** center (x, y) of axial hex (q, r) at `size`: struct(x, y). */
+  def hexCenter(q: Column, r: Column, size: Column): Column =
+    col(HexCenterExpr(ex(q), ex(r), ex(size)))
+
+  /** all hexes within `rings` grid steps of (q, r): array<struct<q, r>>. */
+  def hexRing(q: Column, r: Column, rings: Column): Column =
+    col(HexRingExpr(ex(q), ex(r), ex(rings)))
 
   /** full proj pipeline transform — re-export for one-stop import. */
   def projTrans2(lon: Column, lat: Column, pipeline: String): Column =

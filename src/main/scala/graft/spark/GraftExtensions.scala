@@ -85,6 +85,18 @@ object GraftExtensions {
       (c: Seq[Expression]) => ProjTransformExpr(c(0), c(1),
         Literal(0.0), Literal(0.0), strArg(c(2), "graft_proj_trans"),
         forward = true, degIO = true)),
+    ("graft_hex_bin",
+      info("graft_hex_bin",
+        "graft_hex_bin(x, y, size) - flat-top axial hex bin of plane coords: struct(q, r)"),
+      (c: Seq[Expression]) => HexBinExpr(c(0), c(1), c(2))),
+    ("graft_hex_center",
+      info("graft_hex_center",
+        "graft_hex_center(q, r, size) - center of axial hex: struct(x, y)"),
+      (c: Seq[Expression]) => HexCenterExpr(c(0), c(1), c(2))),
+    ("graft_hex_ring",
+      info("graft_hex_ring",
+        "graft_hex_ring(q, r, rings) - hexes within rings grid steps: array<struct<q, r>>"),
+      (c: Seq[Expression]) => HexRingExpr(c(0), c(1), c(2))),
     ("graft_proj_factors",
       info("graft_proj_factors",
         "graft_proj_factors(lon, lat, 'proj-string') - struct(h,k,s,omega,conv)"),

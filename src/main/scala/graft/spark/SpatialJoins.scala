@@ -128,6 +128,41 @@ object SpatialJoins {
       .drop("cell")
   }
 
+  /** Hex-grid kNN: the hex analogue of knnJoin. Both sides bin into the
+    * flat-top axial hex grid over web-mercator metres (plane x/y columns);
+    * queries expand hexRing(rings), points bucket once, candidates meet in
+    * an equi-join on (hq, hr), exact Karney distance ranks. Pick `sizeM`
+    * so the expected k-th neighbor sits inside `rings` grid steps. */
+  def hexKnnJoin(queries: DataFrame, points: DataFrame, k: Int,
+                 sizeM: Double, rings: Int = 2,
+                 broadcastQueries: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    def webmerc(df: DataFrame): DataFrame = df
+      .withColumn("wm", ProjFunctions.projTrans2(col("lon"), col("lat"),
+        "proj=webmerc ellps=WGS84"))
+    val q = webmerc(queries)
+      .withColumn("hex0", GeoFunctions.hexBin(col("wm.x"), col("wm.y"), lit(sizeM)))
+      .withColumn("hex", explode(GeoFunctions.hexRing(
+        col("hex0.q"), col("hex0.r"), lit(rings))))
+      .select(col("q_id"), col("lon").as("q_lon"), col("lat").as("q_lat"),
+        col("hex.q").as("hq"), col("hex.r").as("hr"))
+    val p = webmerc(points)
+      .withColumn("hex", GeoFunctions.hexBin(col("wm.x"), col("wm.y"), lit(sizeM)))
+      .select(col("point_id"), col("lon"), col("lat"),
+        col("hex.q").as("hq"), col("hex.r").as("hr"))
+
+    val joined = (if (broadcastQueries) p.join(broadcast(q), Seq("hq", "hr"))
+                  else p.join(q, Seq("hq", "hr")))
+      .withColumn("dist_m", GeoFunctions.geodesicDistance(
+        col("q_lon"), col("q_lat"), col("lon"), col("lat")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist_m"), col("point_id"))
+    joined
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .drop("hq", "hr")
+  }
+
   /** Raster-tile ↔ vector assignment: tag each point with its z/x/y tile and
     * aggregate per tile (tile-id equi-join / groupBy — pure hash shuffle,
     * no geometry at runtime). */

@@ -83,6 +83,9 @@ object PlanCheck {
         p.contains("Window") && !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     check("media_features")(q("media_features"))(
       "scan present" -> (_.contains("Scan")))
+    check("geo_hexbin")(q("geo_hexbin"))(
+      "partial aggregation (map-side combine)" -> (_.contains("HashAggregate")),
+      "scan present" -> (_.contains("Scan")))
     check("geo_hot_salted")(q("geo_hot_salted"))(
       "shuffled hash join (not broadcast: salting must spread reducers)" ->
         (_.contains("ShuffledHashJoin")),
