@@ -466,6 +466,38 @@ object SparkEntry {
         .orderBy("poly_id")
     }),
 
+    "docs_spans" -> ((s, dir) => {
+      // the interleaved-document contract as a hard driver signal: build a
+      // spans array per doc (text span carries the REAL document text, geo
+      // span an integer-rendered anchor, media span a derived ref), push it
+      // through anchor extraction + webmerc reprojection, then explode the
+      // spans back out — kind, text, media_ref and ORDER must survive
+      // bit-for-bit (the span-sequence invariant) next to the transform
+      // output. md5 keeps the text column compact and engine-comparable.
+      val d = t(s, dir, "documents")
+      val lonI = (col("doc_id") * 73 % 360) - 180
+      val latI = (col("doc_id") * 37 % 160) - 80
+      val docs = d.select(col("doc_id"), array(
+        struct(lit("text").as("kind"), col("text").as("text"),
+          lit("").as("media_ref"), lit(0).as("offset")),
+        struct(lit("geo").as("kind"),
+          concat(lonI.cast("string"), lit(" "), latI.cast("string")).as("text"),
+          lit("").as("media_ref"), lit(7).as("offset")),
+        struct(lit("media").as("kind"), lit("").as("text"),
+          concat(lit("media://"), (col("doc_id") * 31).cast("string")).as("media_ref"),
+          (col("doc_id") % 100).cast("int").as("offset"))).as("spans"))
+      DocsTable.withAnchor(docs)
+        .withColumn("wm", ProjFunctions.projTrans2(col("lon"), col("lat"),
+          "proj=webmerc ellps=WGS84"))
+        .select(col("doc_id"), mm(col("wm.x")).as("x_mm"),
+          mm(col("wm.y")).as("y_mm"), posexplode(col("spans")))
+        .select(col("doc_id"), col("pos"), col("col.kind").as("kind"),
+          md5(col("col.text")).as("text_md5"),
+          col("col.media_ref").as("media_ref"),
+          col("col.offset").as("offset"), col("x_mm"), col("y_mm"))
+        .orderBy("doc_id", "pos")
+    }),
+
     "geo_hexbin" -> ((s, dir) => {
       // hexagonal tiling (flat-top axial grid with cube rounding over
       // web-mercator metres — the published hex-grid algebra, not an H3
@@ -684,6 +716,30 @@ object SparkEntry {
     "geo_geoid" -> OracleSql.geoGeoid,
     "geo_geodesic_meridian" -> OracleSql.geoGeodesicMeridian,
     "geo_knn_geodesic" -> OracleSql.geoKnnGeodesic,
+
+    "docs_spans" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             (doc_id*73)%360-180 AS lon_i, (doc_id*37)%160-80 AS lat_i
+           FROM documents),
+         sp AS (
+           SELECT doc_id, 0 AS pos, 'text' AS kind, md5(text) AS text_md5,
+                  '' AS media_ref, CAST(0 AS INT) AS "offset", lon_i, lat_i
+           FROM base
+           UNION ALL
+           SELECT doc_id, 1, 'geo',
+                  md5(CAST(lon_i AS VARCHAR) || ' ' || CAST(lat_i AS VARCHAR)),
+                  '', CAST(7 AS INT), lon_i, lat_i
+           FROM base
+           UNION ALL
+           SELECT doc_id, 2, 'media', md5(''),
+                  'media://' || CAST(doc_id*31 AS VARCHAR),
+                  CAST(doc_id%100 AS INT), lon_i, lat_i
+           FROM base)
+         SELECT doc_id, pos, kind, text_md5, media_ref, "offset",
+           CAST(round(6378137.0*radians(CAST(lon_i AS DOUBLE))*1000) AS BIGINT) AS x_mm,
+           CAST(round(6378137.0*ln(tan(pi()/4+radians(CAST(lat_i AS DOUBLE))/2))*1000) AS BIGINT) AS y_mm
+         FROM sp ORDER BY doc_id, pos""",
 
     "geo_hexbin" ->
       """WITH pts AS (

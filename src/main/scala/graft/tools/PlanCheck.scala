@@ -83,6 +83,9 @@ object PlanCheck {
         p.contains("Window") && !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     check("media_features")(q("media_features"))(
       "scan present" -> (_.contains("Scan")))
+    check("docs_spans")(q("docs_spans"))(
+      "generate (span explode) stays in the plan" -> (_.contains("Generate")),
+      "scan present" -> (_.contains("Scan")))
     check("geo_hexbin")(q("geo_hexbin"))(
       "partial aggregation (map-side combine)" -> (_.contains("HashAggregate")),
       "scan present" -> (_.contains("Scan")))
