@@ -349,6 +349,20 @@ object SparkEntry {
       TrainingOps.annLshShared(q, emb, k = 3, planes = 6, tables = 8)
     }),
 
+    "ann_index" -> ((s, dir) => {
+      // persisted ANN: hash the corpus once into a (tbl, bucket)-partitioned
+      // on-disk index, then answer the query batch off the PRUNED index
+      // scan (static partition filters from the batch's bucket set).
+      // Bucketing is byte-identical to ann_lsh, so the rows — and the
+      // oracle — are the same; what changes is that the corpus is no
+      // longer re-hashed per query batch.
+      val emb = t(s, dir, "embeddings")
+      val path = sys.props("java.io.tmpdir") + "/graft_ann_idx_" +
+        math.abs(dir.hashCode).toString
+      graft.spark.AnnIndex.build(emb, path, planes = 6, tables = 8)
+      graft.spark.AnnIndex.query(s, path, emb.where(col("vec_id") < 10), k = 3)
+    }),
+
     "lang_id" -> ((s, dir) => {
       TrainingOps.withLangId(t(s, dir, "documents"))
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
@@ -698,6 +712,9 @@ object SparkEntry {
     "dedup_minhash" -> OracleSql.dedupMinhash(numHashes = 16, bands = 4, thresholdPpm = 500000L),
     "ann_brute" -> OracleSql.annBrute(k = 3),
     "ann_lsh" -> OracleSql.annLsh(k = 3, planes = 6, tables = 8),
+    // same bucketing family + scoring as ann_lsh — the persisted index must
+    // reproduce the in-memory path's rows exactly
+    "ann_index" -> OracleSql.annLsh(k = 3, planes = 6, tables = 8),
     "ann_ivf" -> OracleSql.annIvf(k = 3, nlist = 16, nprobe = 4),
     "dedup_embedding" -> OracleSql.dedupEmbedding(thresholdPpm = 900000L, planes = 6, tables = 8),
     "doc_fingerprint" -> OracleSql.docFingerprint,

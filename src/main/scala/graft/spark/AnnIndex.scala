@@ -1,0 +1,112 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted LSH ANN index: the corpus is hashed ONCE into (tbl, bucket)
+  * parquet partitions on disk; query batches prune partitions instead of
+  * re-hashing the corpus per call.
+  *
+  * Scale story (the 10^12-doc path): `build` is a single linear pass over
+  * the corpus followed by a partitioned write — after that, a query batch
+  * computes its own buckets, ships the (small, by the same broadcast
+  * contract as annLsh) distinct bucket set to the driver, and turns it
+  * into a STATIC partition filter on the index scan. The scan cost is
+  * proportional to the candidate partitions touched (tables x distinct
+  * query buckets), never to the corpus. Bucketing is byte-identical to
+  * annLshShared / annLsh (TrainingOps.bucketsFor), so the persisted path
+  * inherits their oracles and recall characteristics.
+  */
+object AnnIndex {
+
+  case class Meta(dim: Int, planes: Int, tables: Int, family: String, seed: Long)
+
+  private def fs(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_ann_meta.json")
+
+  private def hyperFor(m: Meta): Array[Array[Array[Double]]] =
+    m.family match {
+      case "shared" => TrainingOps.sharedHyper(m.dim, m.planes, m.tables)
+      case "gaussian" => TrainingOps.gaussianHyper(m.dim, m.planes, m.tables, m.seed)
+      case other => throw new IllegalArgumentException(
+        s"AnnIndex: unknown hyperplane family '$other'")
+    }
+
+  /** Hash the corpus (vec_id, embedding) into the on-disk index at `path`:
+    * one row per (vector, table), partitioned by tbl/bucket. `family` is
+    * "shared" (md5-derived planes, cross-engine verifiable) or "gaussian"
+    * (seeded, engine-only). */
+  def build(corpus: DataFrame, path: String,
+            planes: Int = 6, tables: Int = 8,
+            family: String = "shared", seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val meta = Meta(dim, planes, tables, family, seed)
+    corpus
+      .select(col("vec_id").as("c_id"),
+        transform(col("embedding"), x => x.cast("double")).as("c_vec"))
+      .withColumn("bk", explode(TrainingOps.bucketsFor(col("c_vec"), hyperFor(meta))))
+      .select(col("c_id"), col("c_vec"),
+        col("bk.tbl").as("tbl"), col("bk.b").as("bucket"))
+      .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
+    val out = fs(spark, path).create(metaPath(path), true)
+    out.write(
+      s"""{"dim": $dim, "planes": $planes, "tables": $tables, "family": "$family", "seed": $seed}"""
+        .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Read the build parameters back from the index directory. */
+  def readMeta(spark: SparkSession, path: String): Meta = {
+    val in = fs(spark, path).open(metaPath(path))
+    val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    def num(key: String): Long =
+      s""""$key":\\s*(-?\\d+)""".r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(
+          s"AnnIndex meta at $path lacks '$key'")).group(1).toLong
+    val fam = """"family":\s*"([a-z]+)"""".r.findFirstMatchIn(txt)
+      .getOrElse(throw new IllegalStateException(
+        s"AnnIndex meta at $path lacks 'family'")).group(1)
+    Meta(num("dim").toInt, num("planes").toInt, num("tables").toInt, fam, num("seed"))
+  }
+
+  /** Top-k by exact cosine over the index's bucket candidates. Output
+    * (q_id, c_id, cos_ppm, rnk) — identical rows to annLshShared over the
+    * same corpus/parameters, but the corpus side comes off the pruned
+    * index scan instead of being re-hashed. */
+  def query(spark: SparkSession, path: String, queries: DataFrame,
+            k: Int): DataFrame = {
+    val meta = readMeta(spark, path)
+    val q = queries
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding"), x => x.cast("double")).as("q_vec"))
+      .withColumn("bk", explode(TrainingOps.bucketsFor(col("q_vec"), hyperFor(meta))))
+      .select(col("q_id"), col("q_vec"),
+        col("bk.tbl").as("tbl"), col("bk.b").as("bucket"))
+    // the query batch is small by contract (it rides as a broadcast below);
+    // its distinct bucket set becomes a static partition filter — partition
+    // pruning, not a full index scan
+    val wanted = q.select("tbl", "bucket").distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    require(wanted.nonEmpty, "AnnIndex.query: empty query batch")
+    val prune = wanted.groupBy(_._1).map { case (t, bs) =>
+      col("tbl") === t && col("bucket").isin(bs.map(_._2).toSeq: _*)
+    }.reduce(_ || _)
+    val idx = spark.read.parquet(path).where(prune)
+    val cand = idx.join(broadcast(q), Seq("tbl", "bucket"))
+      .where(col("q_id") =!= col("c_id"))
+      .select("q_id", "q_vec", "c_id", "c_vec")
+      .dropDuplicates("q_id", "c_id")
+    val scored = cand.withColumn("cos_ppm",
+      round(TrainingOps.cosine(col("q_vec"), col("c_vec")) * 1e6).cast("long"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_ppm").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("q_id", "c_id", "cos_ppm", "rnk")
+  }
+}

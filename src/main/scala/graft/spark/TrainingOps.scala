@@ -287,6 +287,35 @@ object TrainingOps {
     (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
   }
 
+  /** (tbl, b) bucket structs for `vec` under an explicit hyperplane family —
+    * THE one LSH bucketing, shared by annLsh/annLshShared/
+    * embeddingDedupShared and the persisted AnnIndex (identical bucketing
+    * is what lets the index reuse the in-memory paths' oracles). */
+  private[spark] def bucketsFor(vec: Column,
+                                hyper: Array[Array[Array[Double]]]): Column = {
+    val perTable = hyper.indices.map { t =>
+      val bits = hyper(t).indices.map { p =>
+        val dot = aggregate(zip_with(vec,
+          typedLit(hyper(t)(p).toSeq), (x, h) => x * h), lit(0.0d), (s, v) => s + v)
+        when(dot >= 0, lit(1L << p)).otherwise(0L)
+      }
+      struct(lit(t).as("tbl"), bits.reduce(_ + _).as("b"))
+    }
+    array(perTable: _*)
+  }
+
+  /** md5-derived hyperplane family (cross-engine reproducible). */
+  private[spark] def sharedHyper(dim: Int, planes: Int,
+                                 tables: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, planes, dim)((t, p, d) => sharedPlane(t, p, d))
+
+  /** seeded gaussian hyperplane family (the fast engine-only default). */
+  private[spark] def gaussianHyper(dim: Int, planes: Int, tables: Int,
+                                   seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(tables, planes, dim)(rnd.nextGaussian())
+  }
+
   /** LSH-bucketed ANN with shared md5-derived hyperplanes and quantized
     * ranking — same bucketing structure as annLsh (the scale path), but
     * every number is reproducible in the DuckDB oracle. */
@@ -294,18 +323,8 @@ object TrainingOps {
                    planes: Int = 6, tables: Int = 8): DataFrame = {
     def dd(c: Column): Column = transform(c, x => x.cast("double"))
     val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    val hyper = Array.tabulate(tables, planes, dim)((t, p, d) => sharedPlane(t, p, d))
-    def buckets(vec: Column): Column = {
-      val perTable = (0 until tables).map { t =>
-        val bits = (0 until planes).map { p =>
-          val dot = aggregate(zip_with(vec,
-            typedLit(hyper(t)(p).toSeq), (x, h) => x * h), lit(0.0d), (s, v) => s + v)
-          when(dot >= 0, lit(1L << p)).otherwise(0L)
-        }
-        struct(lit(t).as("tbl"), bits.reduce(_ + _).as("b"))
-      }
-      array(perTable: _*)
-    }
+    def buckets(vec: Column): Column =
+      bucketsFor(vec, sharedHyper(dim, planes, tables))
     val c = corpus.select(col("vec_id").as("c_id"), dd(col("embedding")).as("c_vec"))
       .withColumn("bucket", explode(buckets(col("c_vec"))))
     val q = queries.select(col("vec_id").as("q_id"), dd(col("embedding")).as("q_vec"))
@@ -335,18 +354,8 @@ object TrainingOps {
                            planes: Int = 6, tables: Int = 8): DataFrame = {
     def dd(c: Column): Column = transform(c, x => x.cast("double"))
     val dim = vectors.select(size(col("embedding"))).head().getInt(0)
-    val hyper = Array.tabulate(tables, planes, dim)((t, p, d) => sharedPlane(t, p, d))
-    def buckets(vec: Column): Column = {
-      val perTable = (0 until tables).map { t =>
-        val bits = (0 until planes).map { p =>
-          val dot = aggregate(zip_with(vec,
-            typedLit(hyper(t)(p).toSeq), (x, h) => x * h), lit(0.0d), (s, v) => s + v)
-          when(dot >= 0, lit(1L << p)).otherwise(0L)
-        }
-        struct(lit(t).as("tbl"), bits.reduce(_ + _).as("b"))
-      }
-      array(perTable: _*)
-    }
+    def buckets(vec: Column): Column =
+      bucketsFor(vec, sharedHyper(dim, planes, tables))
     val v = vectors.select(col("vec_id"), dd(col("embedding")).as("v"))
       .withColumn("bucket", explode(buckets(col("v"))))
     val a = v.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
@@ -471,19 +480,8 @@ object TrainingOps {
   def annLsh(queries: DataFrame, corpus: DataFrame, k: Int,
              planes: Int = 8, tables: Int = 8, seed: Long = 42): DataFrame = {
     val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    val rnd = new java.util.Random(seed)
-    val hyper = Array.fill(tables, planes, dim)(rnd.nextGaussian())
-    def buckets(vec: Column): Column = {
-      val perTable = (0 until tables).map { t =>
-        val bits = (0 until planes).map { p =>
-          val dot = aggregate(zip_with(vec,
-            typedLit(hyper(t)(p).toSeq), (x, h) => x * h), lit(0.0d), (s, v) => s + v)
-          when(dot >= 0, lit(1L << p)).otherwise(0L)
-        }
-        struct(lit(t).as("tbl"), bits.reduce(_ + _).as("b"))
-      }
-      array(perTable: _*)
-    }
+    def buckets(vec: Column): Column =
+      bucketsFor(vec, gaussianHyper(dim, planes, tables, seed))
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       .withColumn("bucket", explode(buckets(col("c_vec"))))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))

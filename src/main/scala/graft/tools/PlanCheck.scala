@@ -73,6 +73,11 @@ object PlanCheck {
     check("ann_lsh")(q("ann_lsh"))(
       "bucket equi-join" -> (p => p.contains("Join")),
       "scan present" -> (_.contains("Scan")))
+    check("ann_index")(q("ann_index"))(
+      "static partition filters prune the index scan" ->
+        (p => "PartitionFilters: \\[[^\\]]".r.findFirstIn(p).isDefined),
+      "bucket equi-join" -> (p => p.contains("Join")),
+      "no cross product" -> (p => !p.contains("CartesianProduct")))
     check("ann_ivf")(q("ann_ivf"))(
       "cluster-id equi-join (no cross product on corpus)" -> (p => p.contains("Join")),
       "windowed top-k" -> (_.contains("Window")))

@@ -1,0 +1,70 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted LSH index: must reproduce the in-memory annLshShared rows
+  * exactly, prune partitions (not scan the whole index), and round-trip
+  * its build parameters. */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(5)
+    (0 until 400).map { i =>
+      (i.toLong, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private val path = java.nio.file.Files
+    .createTempDirectory("graft-ann-idx").toString + "/idx"
+
+  /** one shared build; tests stay order-independent. */
+  private lazy val built: Unit = AnnIndex.build(corpus, path, planes = 6, tables = 8)
+
+  test("persisted index reproduces annLshShared rows exactly") {
+    built
+    val q = corpus.where(col("vec_id") < 6)
+    val fromIndex = AnnIndex.query(spark, path, q, k = 4)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val inMemory = TrainingOps.annLshShared(q, corpus, k = 4,
+      planes = 6, tables = 8)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(fromIndex == inMemory)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("query scan carries static partition filters (pruned, not full)") {
+    built
+    val q = corpus.where(col("vec_id") === 3)
+    val df = AnnIndex.query(spark, path, q, k = 2)
+    // sparkPlan, not executedPlan: AQE wraps scans in query stages
+    val plan = df.queryExecution.sparkPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"no partition filters in:\n$plan")
+    // 1 query x 8 tables -> at most 8 (tbl, bucket) partitions touched
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("idx")) => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount <= 8,
+      s"expected <= 8 partitions, scanned ${scans.head.selectedPartitions.partitionCount}")
+  }
+
+  test("meta round-trips and rejects unknown family") {
+    built
+    val m = AnnIndex.readMeta(spark, path)
+    assert(m == AnnIndex.Meta(16, 6, 8, "shared", 42L))
+    intercept[IllegalArgumentException] {
+      AnnIndex.build(corpus, path + "_bad", family = "banana")
+    }
+  }
+}
