@@ -359,7 +359,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val path = sys.props("java.io.tmpdir") + "/graft_ann_idx_" +
         math.abs(dir.hashCode).toString
-      graft.spark.AnnIndex.build(emb, path, planes = 6, tables = 8)
+      graft.spark.AnnIndex.build(emb, path, planes = 6, tables = 8, reuse = true)
       graft.spark.AnnIndex.query(s, path, emb.where(col("vec_id") < 10), k = 3)
     }),
 

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  case class Meta(dim: Int, planes: Int, tables: Int, family: String, seed: Long)
+  case class Meta(dim: Int, planes: Int, tables: Int, family: String,
+                  seed: Long, rows: Long)
 
   private def fs(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
@@ -40,13 +41,19 @@ object AnnIndex {
   /** Hash the corpus (vec_id, embedding) into the on-disk index at `path`:
     * one row per (vector, table), partitioned by tbl/bucket. `family` is
     * "shared" (md5-derived planes, cross-engine verifiable) or "gaussian"
-    * (seeded, engine-only). */
+    * (seeded, engine-only). With `reuse = true` an existing index whose
+    * meta matches the requested parameters is kept as-is (the resident-
+    * service pattern: build once, query many) — the caller owns
+    * invalidation when the corpus itself changes. */
   def build(corpus: DataFrame, path: String,
             planes: Int = 6, tables: Int = 8,
-            family: String = "shared", seed: Long = 42L): Unit = {
+            family: String = "shared", seed: Long = 42L,
+            reuse: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    val meta = Meta(dim, planes, tables, family, seed)
+    val meta = Meta(dim, planes, tables, family, seed, corpus.count())
+    if (reuse && fs(spark, path).exists(metaPath(path)) &&
+        readMeta(spark, path) == meta) return
     corpus
       .select(col("vec_id").as("c_id"),
         transform(col("embedding"), x => x.cast("double")).as("c_vec"))
@@ -56,7 +63,8 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
     val out = fs(spark, path).create(metaPath(path), true)
     out.write(
-      s"""{"dim": $dim, "planes": $planes, "tables": $tables, "family": "$family", "seed": $seed}"""
+      (s"""{"dim": $dim, "planes": $planes, "tables": $tables, """ +
+        s""""family": "$family", "seed": $seed, "rows": ${meta.rows}}""")
         .getBytes("UTF-8"))
     out.close()
   }
@@ -73,7 +81,8 @@ object AnnIndex {
     val fam = """"family":\s*"([a-z]+)"""".r.findFirstMatchIn(txt)
       .getOrElse(throw new IllegalStateException(
         s"AnnIndex meta at $path lacks 'family'")).group(1)
-    Meta(num("dim").toInt, num("planes").toInt, num("tables").toInt, fam, num("seed"))
+    Meta(num("dim").toInt, num("planes").toInt, num("tables").toInt, fam,
+      num("seed"), num("rows"))
   }
 
   /** Top-k by exact cosine over the index's bucket candidates. Output

@@ -492,6 +492,17 @@ object GeoFunctions {
   def hexRing(q: Column, r: Column, rings: Column): Column =
     col(HexRingExpr(ex(q), ex(r), ex(rings)))
 
+  /** Global equal-area hex cell: lon/lat → ISEA (icosahedral Snyder
+    * equal-area, the published substrate of H3-style grids; gie-verified
+    * op) → flat-top axial hex bin in the ISEA plane. Equal-area hexagonal
+    * cells over the whole globe — the honest H3 alternative (reference
+    * src/projections/isea.cpp:962). `sizeM` is the hex circumradius in
+    * ISEA plane metres. */
+  def globalHexCell(lon: Column, lat: Column, sizeM: Column): Column = {
+    val p = ProjFunctions.projTrans2(lon, lat, "proj=isea ellps=WGS84")
+    hexBin(p.getField("x"), p.getField("y"), sizeM)
+  }
+
   /** full proj pipeline transform — re-export for one-stop import. */
   def projTrans2(lon: Column, lat: Column, pipeline: String): Column =
     ProjFunctions.projTrans2(lon, lat, pipeline)

@@ -62,9 +62,22 @@ class AnnIndexSpec extends AnyFunSuite {
   test("meta round-trips and rejects unknown family") {
     built
     val m = AnnIndex.readMeta(spark, path)
-    assert(m == AnnIndex.Meta(16, 6, 8, "shared", 42L))
+    assert(m == AnnIndex.Meta(16, 6, 8, "shared", 42L, 400L))
     intercept[IllegalArgumentException] {
       AnnIndex.build(corpus, path + "_bad", family = "banana")
     }
+  }
+
+  test("reuse keeps a matching index but rebuilds on corpus-size change") {
+    built
+    val metaFile = java.nio.file.Paths.get(path, "_graft_ann_meta.json")
+    val before = java.nio.file.Files.getLastModifiedTime(metaFile)
+    AnnIndex.build(corpus, path, planes = 6, tables = 8, reuse = true)
+    assert(java.nio.file.Files.getLastModifiedTime(metaFile) == before,
+      "matching reuse build must be a no-op")
+    AnnIndex.build(corpus.limit(100), path, planes = 6, tables = 8, reuse = true)
+    assert(AnnIndex.readMeta(spark, path).rows == 100L,
+      "corpus-size change must invalidate the reused index")
+    AnnIndex.build(corpus, path, planes = 6, tables = 8) // restore
   }
 }

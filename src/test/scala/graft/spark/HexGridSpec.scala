@@ -112,6 +112,24 @@ class HexGridSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("globalHexCell (isea + hex bin) is deterministic and spreads cells") {
+    val df = spark.range(0, 2000)
+      .select((col("id") * 7 % 360 - 180 + 0.5).cast("double").as("lon"),
+        (col("id") * 3 % 160 - 80 + 0.25).cast("double").as("lat"))
+      .withColumn("hex", GeoFunctions.globalHexCell($"lon", $"lat", lit(100000.0)))
+      .select($"lon", $"lat", $"hex.q", $"hex.r")
+    val rows = df.collect()
+    assert(rows.length == 2000)
+    // equal-area substrate: the lattice has lcm(360,160) = 1440 distinct
+    // coordinate pairs; at 100 km hexes nearly every one gets its own cell
+    val byCell = rows.groupBy(r => (r.getInt(2), r.getInt(3)))
+    assert(byCell.size > 1400, s"only ${byCell.size} distinct cells")
+    assert(byCell.values.map(_.length).max <= 4)
+    // deterministic across plans
+    val again = df.collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("graft_hex_* SQL functions reach the kernels") {
     GraftExtensions.register(spark)
     val r = spark.sql(
