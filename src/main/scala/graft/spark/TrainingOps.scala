@@ -456,7 +456,9 @@ object TrainingOps {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, v) => s + v)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (s, v) => s + v))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (s, v) => s + v))
-    dot / (na * nb)
+    // zero-norm vectors exist in real corpora; define their similarity as 0
+    // instead of dividing by zero (which throws under ANSI mode)
+    when(na * nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
   }
 
   /** brute-force cosine top-k: queries × corpus with a per-query window.

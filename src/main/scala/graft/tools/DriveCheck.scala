@@ -34,6 +34,29 @@ object DriveCheck {
       val r2 = graft.spark.Snapshots.resumableRun(sess, dir, 0, 500, 100, proc, "bucket", "id")
       println(s"snapshots: first run committed $r1, resumed run committed $r2, latest=${graft.spark.Snapshots.latestId(dir)}")
       println("manifest head: " + graft.spark.Snapshots.manifest(dir).linesIterator.take(4).mkString(" | "))
+
+      // hex-grid surface: plane bin round-trip + global equal-area cell
+      val hexDf = sess.range(0, 5).select(
+        (col("id") * 97 - 200).cast("double").as("x"),
+        (col("id") * 53 - 100).cast("double").as("y"))
+        .withColumn("hex", graft.spark.GeoFunctions.hexBin(col("x"), col("y"), lit(75.0)))
+        .withColumn("c", graft.spark.GeoFunctions.hexCenter(col("hex.q"), col("hex.r"), lit(75.0)))
+        .withColumn("rt", graft.spark.GeoFunctions.hexBin(col("c.x"), col("c.y"), lit(75.0)))
+      val hexOk = hexDf.where(col("hex.q") === col("rt.q") && col("hex.r") === col("rt.r")).count()
+      val ghex = sess.range(0, 1).select(graft.spark.GeoFunctions.globalHexCell(
+        lit(139.69), lit(35.69), lit(100000.0)).as("h")).head().getStruct(0)
+      println(s"hex: $hexOk/5 plane round-trips; tokyo global hex cell = (${ghex.getInt(0)}, ${ghex.getInt(1)})")
+
+      // persisted ANN index: build + pruned query drive
+      val vecs = sess.range(0, 120).select(col("id").as("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(1), lit(8)),
+          d => sin((col("id") + 1) * d).cast("float")).as("embedding"))
+      val idxPath = java.nio.file.Files.createTempDirectory("drive_ann").toString + "/idx"
+      graft.spark.AnnIndex.build(vecs, idxPath, planes = 5, tables = 4)
+      val hits = graft.spark.AnnIndex.query(sess, idxPath,
+        vecs.where(col("vec_id") < 2), k = 3).count()
+      println(s"ann index: meta=${graft.spark.AnnIndex.readMeta(sess, idxPath)} query rows=$hits")
       sess.stop()
     }
     // proj_factors: merc at lat 45 should give h = k = sec(45)*sqrt(1-es/2)

@@ -239,6 +239,14 @@ class SparkLayerSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
   }
 
+  test("cosine defines zero-norm similarity as 0 (no ANSI divide-by-zero)") {
+    val df = Seq(
+      (Seq(0.0, 0.0, 0.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(1.0, 0.0, 0.0))).toDF("a", "b")
+      .select(TrainingOps.cosine($"a", $"b").as("cos"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(0.0, 1.0))
+  }
+
   test("geodesicWaypoints densifies the line at equal distance steps") {
     val df = Seq((2.0, 1.0, 100.0, 60.0)).toDF("lon1", "lat1", "lon2", "lat2")
       .select(GeoFunctions.geodesicWaypoints(
