@@ -30,11 +30,19 @@ object NsProfile {
     time("+ gda datum pipeline") { ck(docs
       .withColumn("gda", ProjFunctions.projTrans2(col("lon"), col("lat"), gdaPipe))
       .select(col("doc_id"), col("gda.x"))) }
+    time("+ webmerc + hex bin") { ck(docs
+      .withColumn("wm", ProjFunctions.projTrans2(col("lon"), col("lat"),
+        "proj=webmerc ellps=WGS84"))
+      .withColumn("hex", GeoFunctions.hexBin(col("wm.x"), col("wm.y"), lit(50000.0)))
+      .select(col("doc_id"), col("hex.q"), col("hex.r"))) }
     var enriched = docs
       .withColumn("utm", ProjFunctions.utmNative(col("lon"), col("lat")))
       .withColumn("gda", ProjFunctions.projTrans2(col("lon"), col("lat"), gdaPipe))
       .withColumn("cell", GeoFunctions.s2Cell(col("lon"), col("lat"), lit(12)))
       .withColumn("tile", GeoFunctions.tileKey(col("lon"), col("lat"), lit(12)))
+      .withColumn("wm", ProjFunctions.projTrans2(col("lon"), col("lat"),
+        "proj=webmerc ellps=WGS84"))
+      .withColumn("hex", GeoFunctions.hexBin(col("wm.x"), col("wm.y"), lit(50000.0)))
     for (z <- 1 to 8)
       enriched = enriched.withColumn(s"utm_$z",
         ProjFunctions.projTrans2(col("lon"), col("lat"), s"proj=utm zone=${z * 7} ellps=WGS84").getField("x"))
@@ -45,7 +53,8 @@ object NsProfile {
       val joined = SpatialJoins.pipJoin(enriched.withColumn("utm_ck", checksum),
         DocsTable.zones(spark), level = 10)
         .select(col("doc_id"), col("zone_id"), col("utm.zone").as("utm_zone"),
-          col("cell"), col("tile"), col("gda.x").as("gda_x"), col("utm_ck"))
+          col("cell"), col("tile"), col("hex.q").as("hex_q"),
+          col("hex.r").as("hex_r"), col("gda.x").as("gda_x"), col("utm_ck"))
       ck(joined)
     }
     spark.stop()

@@ -39,6 +39,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.getAs[org.apache.spark.sql.Row]("utm").getAs[Int]("zone") == 33)
   }
 
+  test("hex binning streams: per-batch global hex cells match the batch path") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Double, Double)]
+    val hexed = in.toDF().toDF("doc_id", "lon", "lat")
+      .withColumn("hex", GeoFunctions.globalHexCell($"lon", $"lat", lit(100000.0)))
+      .select($"doc_id", $"hex.q".as("q"), $"hex.r".as("r"))
+    val q = hexed.writeStream.format("memory").queryName("hex_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(("tokyo", 139.69, 35.69), ("lagos", 3.38, 6.52))
+    q.processAllAvailable()
+    val got = spark.table("hex_stream").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    q.stop()
+    val want = Seq(("tokyo", 139.69, 35.69), ("lagos", 3.38, 6.52)).toDF("doc_id", "lon", "lat")
+      .withColumn("hex", GeoFunctions.globalHexCell($"lon", $"lat", lit(100000.0)))
+      .collect().map(r => r.getString(0) ->
+        (r.getStruct(3).getInt(0), r.getStruct(3).getInt(1))).toMap
+    assert(got == want)
+    assert(got("tokyo") != got("lagos"))
+  }
+
   test("watermarked windowed cell counts over a simulated span feed") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Double, Double)]
