@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   case class Meta(dim: Int, planes: Int, tables: Int, family: String,
-                  seed: Long, rows: Long)
+                  seed: Long, rows: Long, fp: Long)
 
   private def fs(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
@@ -50,10 +50,20 @@ object AnnIndex {
             family: String = "shared", seed: Long = 42L,
             reuse: Boolean = false): Unit = {
     val spark = corpus.sparkSession
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    val meta = Meta(dim, planes, tables, family, seed, corpus.count())
+    // ONE aggregate job yields dim + row count + an order-independent
+    // content fingerprint: a regenerated corpus with the same size but
+    // different vectors must invalidate a reused index
+    val agg = corpus.select(
+      max(size(col("embedding"))).as("dim"),
+      count(lit(1)).as("rows"),
+      sum(pmod(xxhash64(col("vec_id"), col("embedding")),
+        lit(1000000007L))).as("fp")).head()
+    val meta = Meta(agg.getInt(0), planes, tables, family, seed,
+      agg.getLong(1), agg.getLong(2))
+    // an unreadable or older-format meta simply means "rebuild"
     if (reuse && fs(spark, path).exists(metaPath(path)) &&
-        readMeta(spark, path) == meta) return
+        scala.util.Try(readMeta(spark, path)).toOption.contains(meta)) return
+    val dim = meta.dim
     corpus
       .select(col("vec_id").as("c_id"),
         transform(col("embedding"), x => x.cast("double")).as("c_vec"))
@@ -64,7 +74,8 @@ object AnnIndex {
     val out = fs(spark, path).create(metaPath(path), true)
     out.write(
       (s"""{"dim": $dim, "planes": $planes, "tables": $tables, """ +
-        s""""family": "$family", "seed": $seed, "rows": ${meta.rows}}""")
+        s""""family": "$family", "seed": $seed, "rows": ${meta.rows}, """ +
+        s""""fp": ${meta.fp}}""")
         .getBytes("UTF-8"))
     out.close()
   }
@@ -82,7 +93,7 @@ object AnnIndex {
       .getOrElse(throw new IllegalStateException(
         s"AnnIndex meta at $path lacks 'family'")).group(1)
     Meta(num("dim").toInt, num("planes").toInt, num("tables").toInt, fam,
-      num("seed"), num("rows"))
+      num("seed"), num("rows"), num("fp"))
   }
 
   /** Top-k by exact cosine over the index's bucket candidates. Output
@@ -92,18 +103,21 @@ object AnnIndex {
   def query(spark: SparkSession, path: String, queries: DataFrame,
             k: Int): DataFrame = {
     val meta = readMeta(spark, path)
-    val q = queries
+    val hashed = queries
       .select(col("vec_id").as("q_id"),
         transform(col("embedding"), x => x.cast("double")).as("q_vec"))
       .withColumn("bk", explode(TrainingOps.bucketsFor(col("q_vec"), hyperFor(meta))))
       .select(col("q_id"), col("q_vec"),
         col("bk.tbl").as("tbl"), col("bk.b").as("bucket"))
-    // the query batch is small by contract (it rides as a broadcast below);
-    // its distinct bucket set becomes a static partition filter — partition
-    // pruning, not a full index scan
-    val wanted = q.select("tbl", "bucket").distinct().collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-    require(wanted.nonEmpty, "AnnIndex.query: empty query batch")
+    // the query batch is small by contract (it rides as a broadcast below):
+    // hash it ONCE, keep the rows on the driver, and reuse them both as the
+    // static partition filter and as the local join side — the LSH hashing
+    // subplan is never executed twice
+    val qRows = hashed.collect()
+    require(qRows.nonEmpty, "AnnIndex.query: empty query batch")
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), hashed.schema)
+    val wanted = qRows.map(r => (r.getInt(2), r.getLong(3))).distinct
     val prune = wanted.groupBy(_._1).map { case (t, bs) =>
       col("tbl") === t && col("bucket").isin(bs.map(_._2).toSeq: _*)
     }.reduce(_ || _)

@@ -161,6 +161,7 @@ object GeoKernels {
     * the hex analogue of S2 ringCells for kNN candidate expansion. Returns
     * array<struct<q, r>>. */
   def hexRing(q: Int, r: Int, rings: Int): ArrayData = {
+    require(rings >= 0, s"hexRing: rings must be >= 0 (got $rings)")
     val out = new Array[Any]((3 * rings * (rings + 1)) + 1)
     var i = 0
     var dq = -rings

@@ -62,7 +62,9 @@ class AnnIndexSpec extends AnyFunSuite {
   test("meta round-trips and rejects unknown family") {
     built
     val m = AnnIndex.readMeta(spark, path)
-    assert(m == AnnIndex.Meta(16, 6, 8, "shared", 42L, 400L))
+    assert((m.dim, m.planes, m.tables, m.family, m.seed, m.rows) ==
+      (16, 6, 8, "shared", 42L, 400L))
+    assert(m.fp != 0L)
     intercept[IllegalArgumentException] {
       AnnIndex.build(corpus, path + "_bad", family = "banana")
     }
@@ -78,6 +80,13 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.build(corpus.limit(100), path, planes = 6, tables = 8, reuse = true)
     assert(AnnIndex.readMeta(spark, path).rows == 100L,
       "corpus-size change must invalidate the reused index")
+    // same size, different content -> fingerprint mismatch -> rebuild
+    val mutated = corpus.limit(100).withColumn("embedding",
+      transform(col("embedding"), x => x + 1.0f))
+    val fpBefore = AnnIndex.readMeta(spark, path).fp
+    AnnIndex.build(mutated, path, planes = 6, tables = 8, reuse = true)
+    assert(AnnIndex.readMeta(spark, path).fp != fpBefore,
+      "content change at equal size must invalidate the reused index")
     AnnIndex.build(corpus, path, planes = 6, tables = 8) // restore
   }
 }
