@@ -50,10 +50,13 @@ object SparkEntry {
     val cells = utm.withColumn("cell",
       GeoFunctions.s2Cell(col("lon"), col("lat"), lit(12)))
       .withColumn("tile", GeoFunctions.tileKey(col("lon"), col("lat"), lit(12)))
+      .withColumn("hex",
+        GeoFunctions.globalHexCell(col("lon"), col("lat"), lit(100000.0)))
     SpatialJoins.pipJoin(cells, DocsTable.zones(spark), level = 10)
       .select(col("doc_id"), col("zone_id"), col("utm.zone").as("utm_zone"),
         col("utm.x").as("utm_x"), col("utm.y").as("utm_y"),
-        col("cell"), col("tile"))
+        col("cell"), col("tile"), col("hex.q").as("hex_q"),
+        col("hex.r").as("hex_r"))
   }
 
   // ---------------------------------------------------------------- queries

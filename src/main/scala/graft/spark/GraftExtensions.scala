@@ -97,6 +97,19 @@ object GraftExtensions {
       info("graft_hex_ring",
         "graft_hex_ring(q, r, rings) - hexes within rings grid steps: array<struct<q, r>>"),
       (c: Seq[Expression]) => HexRingExpr(c(0), c(1), c(2))),
+    ("graft_global_hex",
+      info("graft_global_hex",
+        "graft_global_hex(lon, lat, size_m) - equal-area global hex cell (ISEA plane): struct(q, r)"),
+      (c: Seq[Expression]) => {
+        // the isea subtree appears twice (x and y); whole-stage codegen's
+        // subexpression elimination evaluates it once per row
+        def isea = ProjTransformExpr(c(0), c(1), Literal(0.0), Literal(0.0),
+          "proj=isea ellps=WGS84", forward = true, degIO = true)
+        HexBinExpr(
+          org.apache.spark.sql.catalyst.expressions.GetStructField(isea, 0, Some("x")),
+          org.apache.spark.sql.catalyst.expressions.GetStructField(isea, 1, Some("y")),
+          c(2))
+      }),
     ("graft_proj_factors",
       info("graft_proj_factors",
         "graft_proj_factors(lon, lat, 'proj-string') - struct(h,k,s,omega,conv)"),

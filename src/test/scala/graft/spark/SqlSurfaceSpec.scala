@@ -44,6 +44,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getAs[Double]("ux") == ux)
   }
 
+  test("graft_global_hex in SQL matches the column API composition") {
+    val r = spark.sql(
+      "SELECT graft_global_hex(139.69D, 35.69D, 100000D) AS h").head().getStruct(0)
+    val want = Seq((139.69, 35.69)).toDF("lon", "lat")
+      .select(GeoFunctions.globalHexCell(col("lon"), col("lat"), lit(100000.0)))
+      .head().getStruct(0)
+    assert((r.getInt(0), r.getInt(1)) == (want.getInt(0), want.getInt(1)))
+  }
+
   test("graft_geodesic_waypoints and graft_trans_bounds in SQL") {
     val w = spark.sql(
       "SELECT graft_geodesic_waypoints(2D, 1D, 100D, 60D, 4) AS wps").head()
