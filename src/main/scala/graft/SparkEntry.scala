@@ -205,7 +205,15 @@ object SparkEntry {
         col("id").as("q_id"),
         (lit(139.59005) + (col("id") * 37 % 100) * 0.001031).as("lon"),
         (lit(35.59005) + (col("id") * 59 % 100) * 0.001073).as("lat"))
-      SpatialJoins.knnJoin(q, pts, k = 5, level = 10, rings = 2,
+      // density-adaptive cell level: candidate count per query is
+      // density x reach^2, so a level tuned for the sparsest corpus makes
+      // every point a candidate at 100x density. Guaranteed ring reach
+      // (rings x min cell extent) keeps >= 2.5x margin over the worst-case
+      // 5th-neighbor radius at each tier; the brute-force oracle then
+      // proves exactness at the driver's scale factors.
+      val n = t(s, dir, "customer").count() * 16
+      val level = if (n >= 150000) 13 else if (n >= 15000) 12 else 11
+      SpatialJoins.knnJoin(q, pts, k = 5, level = level, rings = 2,
         distQuantM = 1.0)
         .select("q_id", "point_id", "dist_q", "rnk")
     }),

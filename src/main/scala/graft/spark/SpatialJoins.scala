@@ -170,6 +170,19 @@ object SpatialJoins {
     points.withColumn("tile_key",
       GeoFunctions.tileKey(col("lon"), col("lat"), lit(z)))
 
+  /** Locality-preserving storage partitioning: S2 cell ids follow a
+    * Hilbert curve, so RANGE partitioning by cell id yields spatially
+    * contiguous blocks (nearby things share files) — the storage-side
+    * complement of the hash-shuffle joins. Use before writing a
+    * cell-keyed table: per-file cell min/max stats then prune reads for
+    * any cell-range predicate (a tile, a cover, a ring set) at query
+    * time, and within-partition ordering maximizes row-group stat
+    * selectivity. */
+  def rangePartitionByCell(points: DataFrame, partitions: Int,
+                           cellCol: String = "cell"): DataFrame =
+    points.repartitionByRange(partitions, col(cellCol))
+      .sortWithinPartitions(cellCol)
+
   /** Salt a hot-keyed DataFrame: `cell` -> (cell, salt_id) with salt_id =
     * hash(row-id-ish) % salt; the other side replicates via
     * explode(sequence(0, salt-1)). */

@@ -239,6 +239,25 @@ class SparkLayerSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
   }
 
+  test("rangePartitionByCell yields non-overlapping contiguous cell ranges") {
+    val pts = spark.range(0, 5000)
+      .select((col("id") * 7 % 360 - 180 + 0.5).cast("double").as("lon"),
+        (col("id") * 3 % 160 - 80 + 0.25).cast("double").as("lat"))
+      .withColumn("cell", GeoFunctions.s2Cell($"lon", $"lat", lit(10)))
+    val parted = SpatialJoins.rangePartitionByCell(pts, 8)
+    assert(parted.queryExecution.sparkPlan.toString.contains("rangepartitioning"),
+      "expected a range exchange")
+    val ranges = parted
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("pid").agg(min($"cell").as("lo"), max($"cell").as("hi"))
+      .orderBy("lo").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"overlapping partitions: $hi1 > $lo2")
+    }
+  }
+
   test("cosine defines zero-norm similarity as 0 (no ANSI divide-by-zero)") {
     val df = Seq(
       (Seq(0.0, 0.0, 0.0), Seq(1.0, 2.0, 3.0)),
