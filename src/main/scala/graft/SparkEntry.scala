@@ -36,6 +36,12 @@ object SparkEntry {
   /** integer-millimetre quantization (ulp-safe cross-engine compare). */
   private def mm(c: Column): Column = round(c * 1000).cast("long")
 
+  /** order-independent aggregate: quantize PER ROW (exact in both engines
+    * for the testdata's <=2-decimal money columns), then sum integers —
+    * summing doubles first is partial-agg-order-dependent and flipped a
+    * 1 mm rounding boundary at sf0.1. */
+  private def mmSum(c: Column): Column = sum(round(c * 1000).cast("long"))
+
   // ---------------------------------------------------------------- entry
 
   /** Flagship: reproject every doc's geo-anchor into its own inferred UTM
@@ -67,8 +73,8 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          mm(sum(col("l_quantity"))).as("sum_qty"),
-          mm(sum(col("l_extendedprice"))).as("sum_price"),
+          mmSum(col("l_quantity")).as("sum_qty"),
+          mmSum(col("l_extendedprice")).as("sum_price"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -80,7 +86,7 @@ object SparkEntry {
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderkey"))
-        .agg(mm(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(mmSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(20)
     }),
@@ -106,7 +112,7 @@ object SparkEntry {
     "q_events" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), mm(sum(col("value"))).as("sum_value_mm"))
+        .agg(count(lit(1)).as("n"), mmSum(col("value")).as("sum_value_mm"))
         .orderBy("event_type")
     }),
 
@@ -610,14 +616,14 @@ object SparkEntry {
       "((c_custkey*37)%160)-80+0.25 AS lat FROM customer)"),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(round(sum(l_quantity)*1000) AS BIGINT) AS sum_qty,
-         CAST(round(sum(l_extendedprice)*1000) AS BIGINT) AS sum_price,
+         CAST(sum(CAST(round(l_quantity*1000) AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(sum(CAST(round(l_extendedprice*1000) AS BIGINT)) AS BIGINT) AS sum_price,
          count(*) AS n_rows
          FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
 
     "q3_join" ->
       """SELECT o_orderkey,
-         CAST(round(sum(l_extendedprice*(1-l_discount))*1000) AS BIGINT) AS revenue
+         CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*1000) AS BIGINT)) AS BIGINT) AS revenue
          FROM customer, orders, lineitem
          WHERE c_mktsegment='BUILDING' AND c_custkey=o_custkey AND o_orderkey=l_orderkey
          GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 20""",
@@ -637,7 +643,7 @@ object SparkEntry {
 
     "q_events" ->
       """SELECT event_type, count(*) AS n,
-         CAST(round(sum(value)*1000) AS BIGINT) AS sum_value_mm
+         CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_mm
          FROM events GROUP BY 1 ORDER BY 1""",
 
     "geo_utm_zone" ->
