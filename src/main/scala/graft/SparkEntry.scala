@@ -420,6 +420,17 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "text_chunks" -> ((s, dir) => {
+      // fixed-size overlapping character windows (64 chars, 16 overlap)
+      // over the real document text; every chunk's content and position
+      // is hash-compared (md5) against DuckDB's independent reconstruction
+      TrainingOps.withChunks(t(s, dir, "documents"), size = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5"),
+          length(col("chunk")).as("chunk_len"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "doc_fingerprint" -> ((s, dir) => {
       // whole-doc fingerprinting with injected exact dups: per-source doc
       // and distinct-fingerprint counts
@@ -735,6 +746,18 @@ object SparkEntry {
     "ann_ivf" -> OracleSql.annIvf(k = 3, nlist = 16, nprobe = 4),
     "dedup_embedding" -> OracleSql.dedupEmbedding(thresholdPpm = 900000L, planes = 6, tables = 8),
     "doc_fingerprint" -> OracleSql.docFingerprint,
+
+    "text_chunks" ->
+      """WITH chunked AS (
+           SELECT doc_id, u.i AS chunk_idx, u.c AS chunk
+           FROM (
+             SELECT doc_id,
+               unnest([{'i': i, 'c': substring(text, 1 + i*48, 64)}
+                       for i in range(0, greatest((length(text) - 16 + 47) // 48, 1))]) AS u
+             FROM documents WHERE length(text) > 0))
+         SELECT doc_id, chunk_idx, md5(chunk) AS chunk_md5,
+           length(chunk) AS chunk_len
+         FROM chunked ORDER BY doc_id, chunk_idx""",
 
     "text_tokens" ->
       """SELECT source,

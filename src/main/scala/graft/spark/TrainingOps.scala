@@ -340,6 +340,23 @@ object TrainingOps {
       .select("q_id", "c_id", "cos_ppm", "rnk")
   }
 
+  /** Character-window chunking for long documents: fixed `size` windows
+    * with `overlap` characters shared between neighbors (stride =
+    * size - overlap) — the op that turns documents into model-ready
+    * training windows. Pure Catalyst (sequence + explode + substring,
+    * integer `div` arithmetic an independent SQL engine reproduces
+    * exactly); empty docs yield no chunks; the final chunk is the
+    * remainder (never padded). Adds (chunk_idx, chunk). */
+  def withChunks(docs: DataFrame, size: Int, overlap: Int): DataFrame = {
+    require(size > overlap && overlap >= 0,
+      s"withChunks: need size > overlap >= 0 (got size=$size overlap=$overlap)")
+    val stride = size - overlap
+    docs.where(length(col("text")) > 0)
+      .withColumn("chunk_idx", explode(expr(
+        s"sequence(0, greatest((length(text) - $overlap + $stride - 1) div $stride, 1) - 1)")))
+      .withColumn("chunk", expr(s"substring(text, 1 + chunk_idx * $stride, $size)"))
+  }
+
   /** whole-document md5 fingerprint over whitespace-normalized text —
     * cross-engine identical (the xxhash64 `fingerprint` stays the fast
     * engine path). */

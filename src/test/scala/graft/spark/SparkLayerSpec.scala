@@ -258,6 +258,31 @@ class SparkLayerSpec extends AnyFunSuite {
     }
   }
 
+  test("withChunks windows reassemble to the original text") {
+    val docs = Seq(
+      (1L, "a" * 200), (2L, scala.util.Random.alphanumeric.take(157).mkString),
+      (3L, "short"), (4L, "x" * 64), (5L, "y" * 65), (6L, "")).toDF("doc_id", "text")
+    val size = 64; val overlap = 16; val stride = size - overlap
+    val rows = TrainingOps.withChunks(docs, size, overlap)
+      .select("doc_id", "chunk_idx", "chunk").collect()
+      .groupBy(_.getLong(0)).view.mapValues(
+        _.sortBy(_.getLong(1)).map(_.getString(2)).toSeq).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!rows.contains(6L), "empty doc must yield no chunks")
+    for ((id, text) <- texts if text.nonEmpty) {
+      val cs = rows(id)
+      // every chunk except the last is full-size; each starts at i*stride
+      cs.init.foreach(c => assert(c.length == size))
+      val rebuilt = cs.init.map(_.take(stride)).mkString + cs.last
+      assert(rebuilt == text, s"doc $id reassembly failed")
+      // neighbor overlap is literal shared text
+      cs.sliding(2).foreach {
+        case Seq(a, b) => assert(a.drop(stride) == b.take(a.length - stride))
+        case _ =>
+      }
+    }
+  }
+
   test("cosine defines zero-norm similarity as 0 (no ANSI divide-by-zero)") {
     val df = Seq(
       (Seq(0.0, 0.0, 0.0), Seq(1.0, 2.0, 3.0)),
