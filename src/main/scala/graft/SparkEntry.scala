@@ -420,6 +420,23 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "pii_scrub" -> ((s, dir) => {
+      // PII redaction over real document text with deterministic synthetic
+      // PII injected (email/phone/id derived from doc_id), so the scrub
+      // path actually fires; DuckDB re-runs the same regex chain (RE2 vs
+      // Java agree on this pattern subset) and the md5 must match
+      val d = t(s, dir, "documents")
+      val withPii = d.withColumn("txt", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@ex.org call +1-202-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" id "), (col("doc_id") * col("doc_id")).cast("string")))
+      withPii.select(col("doc_id"),
+        md5(TrainingOps.scrubPii(col("txt"))).as("scrub_md5"),
+        length(col("txt")).as("raw_len"))
+        .orderBy("doc_id")
+    }),
+
     "text_chunks" -> ((s, dir) => {
       // fixed-size overlapping character windows (64 chars, 16 overlap)
       // over the real document text; every chunk's content and position
@@ -458,6 +475,20 @@ object SparkEntry {
           ((col("user_id") * 31 + col("k")) % 4).as("tier"))
       graft.spark.TemporalJoins.asofJoin(ev, states, "user_id", "t", "valid_from")
         .select(col("event_id"), col("user_id"), col("tier"), col("valid_from"))
+    }),
+
+    "q_sessions" -> ((s, dir) => {
+      // gap-based sessionization of the events stream (30-min gap): per
+      // (user, session) event counts and durations — the lag + running-sum
+      // plan, reproduced independently by DuckDB's window functions
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ltz").cast("long").as("t"))
+      graft.spark.TemporalJoins.sessionize(ev, "user_id", "t",
+        gapSeconds = 1800, tieCol = "event_id")
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("t")) - min(col("t"))).as("dur_s"))
+        .orderBy("user_id", "session_seq")
     }),
 
     "geo_trans_bounds" -> ((s, dir) => {
@@ -747,6 +778,22 @@ object SparkEntry {
     "dedup_embedding" -> OracleSql.dedupEmbedding(thresholdPpm = 900000L, planes = 6, tables = 8),
     "doc_fingerprint" -> OracleSql.docFingerprint,
 
+    "pii_scrub" ->
+      """WITH injected AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@ex.org call +1-202-555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' id ' || CAST(doc_id*doc_id AS VARCHAR) AS txt
+           FROM documents)
+         SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?\d[\d\-]{7,}\d', '<PHONE>', 'g'),
+             '\d{6,}', '<NUM>', 'g')) AS scrub_md5,
+           CAST(length(txt) AS INT) AS raw_len
+         FROM injected ORDER BY doc_id""",
+
     "text_chunks" ->
       """WITH chunked AS (
            SELECT doc_id, u.i AS chunk_idx, u.c AS chunk
@@ -859,6 +906,26 @@ object SparkEntry {
            CAST(round(6378137.0*((lon0+6.0)*(pi()/180))*1000) AS BIGINT) AS xmax_mm,
            CAST(round(6378137.0*ln(tan(pi()/4 + ((lat0+10.0)*(pi()/180))/2))*1000) AS BIGINT) AS ymax_mm
          FROM pts ORDER BY point_id""",
+
+    "q_sessions" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+           FROM events),
+         marked AS (
+           SELECT user_id, t,
+             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                   OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800
+                  THEN 1 ELSE 0 END AS ns,
+             event_id
+           FROM ev),
+         sess AS (
+           SELECT user_id, t,
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+           FROM marked)
+         SELECT user_id, session_seq, count(*) AS n_events,
+           CAST(max(t) - min(t) AS BIGINT) AS dur_s
+         FROM sess GROUP BY 1,2 ORDER BY 1,2""",
 
     "q_asof" ->
       """WITH ev AS (

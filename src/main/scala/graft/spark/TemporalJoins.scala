@@ -46,4 +46,24 @@ object TemporalJoins {
       .select(Seq(col(keyCol)) ++ payload.map(col) ++
         stateCols.map(c => col(s"__s.$c").as(c)): _*)
   }
+
+  /** Gap-based sessionization: a user's event stream splits into sessions
+    * wherever the gap to the previous event exceeds `gapSeconds`. ONE hash
+    * shuffle on the key, two stacked windows (lag + running sum) — no
+    * self-join, no range explosion; key skew composes with the salting
+    * helpers. `tieCol` makes the within-user ordering total so the
+    * running sum is deterministic (equal-time events never open a session,
+    * so segmentation itself is tie-order-independent). Adds `session_seq`
+    * (1-based per user). */
+  def sessionize(events: DataFrame, keyCol: String, timeCol: String,
+                 gapSeconds: Long, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieCol))
+    events
+      .withColumn("__prev", lag(col(timeCol), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col(timeCol) - col("__prev") > gapSeconds, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__new")
+  }
 }

@@ -357,6 +357,20 @@ object TrainingOps {
       .withColumn("chunk", expr(s"substring(text, 1 + chunk_idx * $stride, $size)"))
   }
 
+  /** PII scrubbing for training corpora: emails, phone-like digit runs and
+    * long numeric ids become typed placeholders. The patterns use only the
+    * regex subset RE2 and Java interpret identically (char classes +
+    * bounded repetition — no backreferences/lookarounds), so an
+    * independent engine reproduces the scrub byte-for-byte. Order
+    * matters: emails first (so their digits aren't half-eaten), then
+    * phones, then bare long ids. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email, "\\+?\\d[\\d\\-]{7,}\\d", "<PHONE>")
+    regexp_replace(phone, "\\d{6,}", "<NUM>")
+  }
+
   /** whole-document md5 fingerprint over whitespace-normalized text —
     * cross-engine identical (the xxhash64 `fingerprint` stays the fast
     * engine path). */

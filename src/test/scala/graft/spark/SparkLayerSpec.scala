@@ -258,6 +258,27 @@ class SparkLayerSpec extends AnyFunSuite {
     }
   }
 
+  test("scrubPii redacts emails, phones and long ids; leaves prose alone") {
+    val got = Seq(
+      "mail bob.smith+x@corp.example.co or call +1-202-555-0147 ref 1234567",
+      "plain text, short number 12345, year 2024 stays").toDF("t")
+      .select(TrainingOps.scrubPii($"t")).as[String].collect()
+    // 6-8 digit bare runs -> <NUM>; >= 9-char digit/dash runs -> <PHONE>
+    assert(got(0) == "mail <EMAIL> or call <PHONE> ref <NUM>")
+    assert(got(1) == "plain text, short number 12345, year 2024 stays")
+  }
+
+  test("sessionize splits on gaps > threshold, one session otherwise") {
+    val ev = Seq(
+      (1L, 0L, 100L), (2L, 60L, 100L), (3L, 2000L, 100L), (4L, 2100L, 100L),
+      (5L, 0L, 200L))
+      .toDF("event_id", "t", "user_id")
+    val got = graft.spark.TemporalJoins
+      .sessionize(ev, "user_id", "t", gapSeconds = 1800, tieCol = "event_id")
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("withChunks windows reassemble to the original text") {
     val docs = Seq(
       (1L, "a" * 200), (2L, scala.util.Random.alphanumeric.take(157).mkString),
