@@ -789,7 +789,7 @@ object SparkEntry {
          SELECT doc_id,
            md5(regexp_replace(regexp_replace(regexp_replace(txt,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\+?\d[\d\-]{7,}\d', '<PHONE>', 'g'),
+             '\+?\d[\d\-]{9,}\d', '<PHONE>', 'g'),
              '\d{6,}', '<NUM>', 'g')) AS scrub_md5,
            CAST(length(txt) AS INT) AS raw_len
          FROM injected ORDER BY doc_id""",
@@ -803,7 +803,7 @@ object SparkEntry {
                        for i in range(0, greatest((length(text) - 16 + 47) // 48, 1))]) AS u
              FROM documents WHERE length(text) > 0))
          SELECT doc_id, chunk_idx, md5(chunk) AS chunk_md5,
-           length(chunk) AS chunk_len
+           CAST(length(chunk) AS INT) AS chunk_len
          FROM chunked ORDER BY doc_id, chunk_idx""",
 
     "text_tokens" ->

@@ -363,11 +363,13 @@ object TrainingOps {
     * bounded repetition — no backreferences/lookarounds), so an
     * independent engine reproduces the scrub byte-for-byte. Order
     * matters: emails first (so their digits aren't half-eaten), then
-    * phones, then bare long ids. */
+    * phones, then bare long ids. The phone run must span >= 11 chars so
+    * ISO dates (2024-08-17, 10 chars) and dd-mm-yyyy survive — dates are
+    * signal in training text, not PII. */
   def scrubPii(text: Column): Column = {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val phone = regexp_replace(email, "\\+?\\d[\\d\\-]{7,}\\d", "<PHONE>")
+    val phone = regexp_replace(email, "\\+?\\d[\\d\\-]{9,}\\d", "<PHONE>")
     regexp_replace(phone, "\\d{6,}", "<NUM>")
   }
 

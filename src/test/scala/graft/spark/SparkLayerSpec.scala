@@ -261,11 +261,14 @@ class SparkLayerSpec extends AnyFunSuite {
   test("scrubPii redacts emails, phones and long ids; leaves prose alone") {
     val got = Seq(
       "mail bob.smith+x@corp.example.co or call +1-202-555-0147 ref 1234567",
-      "plain text, short number 12345, year 2024 stays").toDF("t")
+      "plain text, short number 12345, year 2024 stays",
+      "released 2024-08-17, range 01-02-2024 kept; serial 987654321 not").toDF("t")
       .select(TrainingOps.scrubPii($"t")).as[String].collect()
-    // 6-8 digit bare runs -> <NUM>; >= 9-char digit/dash runs -> <PHONE>
+    // 6+ digit bare runs -> <NUM>; >= 11-char digit/dash runs -> <PHONE>;
+    // ISO/euro dates are 10 chars and survive
     assert(got(0) == "mail <EMAIL> or call <PHONE> ref <NUM>")
     assert(got(1) == "plain text, short number 12345, year 2024 stays")
+    assert(got(2) == "released 2024-08-17, range 01-02-2024 kept; serial <NUM> not")
   }
 
   test("sessionize splits on gaps > threshold, one session otherwise") {
@@ -281,7 +284,7 @@ class SparkLayerSpec extends AnyFunSuite {
 
   test("withChunks windows reassemble to the original text") {
     val docs = Seq(
-      (1L, "a" * 200), (2L, scala.util.Random.alphanumeric.take(157).mkString),
+      (1L, "a" * 200), (2L, new scala.util.Random(42).alphanumeric.take(157).mkString),
       (3L, "short"), (4L, "x" * 64), (5L, "y" * 65), (6L, "")).toDF("doc_id", "text")
     val size = 64; val overlap = 16; val stride = size - overlap
     val rows = TrainingOps.withChunks(docs, size, overlap)
