@@ -97,9 +97,12 @@ object OracleSql {
     q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
     scored AS (
       SELECT q_id, e.vec_id AS c_id,
-        CAST(round(1000000.0 * (
+        CAST(round(1000000.0 * (CASE WHEN
+          sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(v, x -> x*x))) = 0
+          THEN 0.0 ELSE
           list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]))
           / (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(v, x -> x*x))))
+          END
         )) AS BIGINT) AS cos_ppm
       FROM e, q WHERE e.vec_id <> q_id),
     ranked AS (
@@ -130,9 +133,12 @@ object OracleSql {
       WHERE cb.vec_id <> qb.q_id),
     scored AS (
       SELECT cand.q_id, cand.c_id,
-        CAST(round(1000000.0 * (
+        CAST(round(1000000.0 * (CASE WHEN
+          sqrt(list_sum(list_transform(eq.v, x -> x*x))) * sqrt(list_sum(list_transform(ec.v, x -> x*x))) = 0
+          THEN 0.0 ELSE
           list_sum(list_transform(range(1, 65), i -> eq.v[i]*ec.v[i]))
           / (sqrt(list_sum(list_transform(eq.v, x -> x*x))) * sqrt(list_sum(list_transform(ec.v, x -> x*x))))
+          END
         )) AS BIGINT) AS cos_ppm
       FROM cand JOIN e eq ON eq.vec_id = cand.q_id JOIN e ec ON ec.vec_id = cand.c_id),
     ranked AS (
@@ -143,9 +149,13 @@ object OracleSql {
 
   // ----------------------------------------------------------------- ann_ivf
 
+  /** zero-norm similarity is 0, mirroring TrainingOps.cosine's guard. */
   private def cosSql(a: String, b: String): String =
-    s"""(list_sum(list_transform(range(1, 65), i -> $a[i]*$b[i]))
-        / (sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x)))))"""
+    s"""(CASE WHEN sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x))) = 0
+        THEN 0.0 ELSE
+        list_sum(list_transform(range(1, 65), i -> $a[i]*$b[i]))
+        / (sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x))))
+        END)"""
 
   /** IVF with fixed seed centroids (the first nlist corpus vectors,
     * re-keyed 0..nlist-1): assignment = argmax cosine, probes = top-nprobe

@@ -22,6 +22,12 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** memoized table row count (used for density-adaptive plan choices —
+    * re-invoking a query builder must not re-pay a count job). */
+  private val tableCounts = scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+  private def countOf(s: SparkSession, dir: String, name: String): Long =
+    tableCounts.getOrElseUpdate((dir, name), t(s, dir, name).count())
+
   /** deterministic synthetic lon/lat from an integer key (same arithmetic
     * in the oracle SQL). */
   private def lonOf(key: Column): Column = (key * 73 % 360) - 180 + lit(0.5)
@@ -217,7 +223,7 @@ object SparkEntry {
       // (rings x min cell extent) keeps >= 2.5x margin over the worst-case
       // 5th-neighbor radius at each tier; the brute-force oracle then
       // proves exactness at the driver's scale factors.
-      val n = t(s, dir, "customer").count() * 16
+      val n = countOf(s, dir, "customer") * 16
       val level = if (n >= 150000) 13 else if (n >= 15000) 12 else 11
       SpatialJoins.knnJoin(q, pts, k = 5, level = level, rings = 2,
         distQuantM = 1.0)

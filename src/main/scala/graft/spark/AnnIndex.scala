@@ -1,7 +1,6 @@
 package graft.spark
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted LSH ANN index: the corpus is hashed ONCE into (tbl, bucket)
@@ -58,6 +57,7 @@ object AnnIndex {
       count(lit(1)).as("rows"),
       sum(pmod(xxhash64(col("vec_id"), col("embedding")),
         lit(1000000007L))).as("fp")).head()
+    require(!agg.isNullAt(0), "AnnIndex.build: empty corpus")
     val meta = Meta(agg.getInt(0), planes, tables, family, seed,
       agg.getLong(1), agg.getLong(2))
     // an unreadable or older-format meta simply means "rebuild"
@@ -114,22 +114,19 @@ object AnnIndex {
     // static partition filter and as the local join side — the LSH hashing
     // subplan is never executed twice
     val qRows = hashed.collect()
-    require(qRows.nonEmpty, "AnnIndex.query: empty query batch")
     val q = spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), hashed.schema)
     val wanted = qRows.map(r => (r.getInt(2), r.getLong(3))).distinct
-    val prune = wanted.groupBy(_._1).map { case (t, bs) =>
-      col("tbl") === t && col("bucket").isin(bs.map(_._2).toSeq: _*)
-    }.reduce(_ || _)
+    // empty batch -> empty result (mirror annLshShared, which yields no
+    // rows rather than failing); lit(false) keeps the scan at zero files
+    val prune =
+      if (wanted.isEmpty) lit(false)
+      else wanted.groupBy(_._1).map { case (t, bs) =>
+        col("tbl") === t && col("bucket").isin(bs.map(_._2).toSeq: _*)
+      }.reduce(_ || _)
     val idx = spark.read.parquet(path).where(prune)
-    val cand = idx.join(broadcast(q), Seq("tbl", "bucket"))
-      .where(col("q_id") =!= col("c_id"))
-      .select("q_id", "q_vec", "c_id", "c_vec")
-      .dropDuplicates("q_id", "c_id")
-    val scored = cand.withColumn("cos_ppm",
-      round(TrainingOps.cosine(col("q_vec"), col("c_vec")) * 1e6).cast("long"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_ppm").desc, col("c_id"))
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select("q_id", "c_id", "cos_ppm", "rnk")
+    // the scoring/ranking tail is SHARED with annLshShared so the
+    // persisted path's rows stay byte-identical to the in-memory path
+    TrainingOps.scoreTopK(idx.join(broadcast(q), Seq("tbl", "bucket")), k)
   }
 }

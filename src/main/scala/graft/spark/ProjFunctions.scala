@@ -133,10 +133,12 @@ object TransBoundsKernels {
 
 case class TransBoundsExpr(lonMin: Expression, latMin: Expression,
                            lonMax: Expression, latMax: Expression,
-                           projString: String) extends Expression {
+                           projString: String) extends Expression
+    with org.apache.spark.sql.graftbridge.PublicInputTypes {
   @transient private lazy val pipeline = new ProjPipeline(projString)
 
   override def children: Seq[Expression] = Seq(lonMin, latMin, lonMax, latMax)
+  override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType, DoubleType, DoubleType)
   override def dataType: DataType = TransBoundsKernels.resultType
   override def nullable: Boolean = children.exists(_.nullable)
 
@@ -213,10 +215,12 @@ object UtmNativeKernels {
 /** Catalyst expression: (lonDeg, latDeg) -> struct(zone, south, x, y) in the
   * point's own inferred UTM zone CRS. */
 case class UtmNativeExpr(lonExpr: Expression, latExpr: Expression,
-                         ellps: String) extends Expression {
+                         ellps: String) extends Expression
+    with org.apache.spark.sql.graftbridge.PublicInputTypes {
   @transient private lazy val dispatch = new UtmDispatch(ellps)
 
   override def children: Seq[Expression] = Seq(lonExpr, latExpr)
+  override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType)
   override def dataType: DataType = UtmNativeKernels.resultType
   override def nullable: Boolean = children.exists(_.nullable)
 
@@ -249,10 +253,12 @@ case class UtmNativeExpr(lonExpr: Expression, latExpr: Expression,
 
 /** Catalyst expression: (lonDeg, latDeg) -> struct(h,k,s,omega,conv). */
 case class ProjFactorsExpr(lonExpr: Expression, latExpr: Expression,
-                           projString: String) extends Expression {
+                           projString: String) extends Expression
+    with org.apache.spark.sql.graftbridge.PublicInputTypes {
   @transient private lazy val pipeline = new ProjPipeline(projString)
 
   override def children: Seq[Expression] = Seq(lonExpr, latExpr)
+  override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType)
   override def dataType: DataType = FactorsKernels.resultType
   override def nullable: Boolean = children.exists(_.nullable)
 
@@ -293,11 +299,13 @@ case class ProjFactorsExpr(lonExpr: Expression, latExpr: Expression,
 case class ProjTransformExpr(
     xExpr: Expression, yExpr: Expression, zExpr: Expression, tExpr: Expression,
     projString: String, forward: Boolean, degIO: Boolean)
-    extends Expression {
+    extends Expression
+    with org.apache.spark.sql.graftbridge.PublicInputTypes {
 
   @transient private lazy val pipeline = new ProjPipeline(projString)
 
   override def children: Seq[Expression] = Seq(xExpr, yExpr, zExpr, tExpr)
+  override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType, DoubleType, DoubleType)
   override def dataType: DataType = ProjKernels.resultType
   override def nullable: Boolean = children.exists(_.nullable)
 

@@ -53,17 +53,20 @@ object TemporalJoins {
     * self-join, no range explosion; key skew composes with the salting
     * helpers. `tieCol` makes the within-user ordering total so the
     * running sum is deterministic (equal-time events never open a session,
-    * so segmentation itself is tie-order-independent). Adds `session_seq`
-    * (1-based per user). */
+    * so segmentation itself is tie-order-independent). `timeCol` may be a
+    * numeric epoch or a timestamp — it is cast to epoch seconds
+    * internally, and the output keeps the original column untouched.
+    * Adds `session_seq` (1-based per user). */
   def sessionize(events: DataFrame, keyCol: String, timeCol: String,
                  gapSeconds: Long, tieCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col(tieCol))
     events
-      .withColumn("__prev", lag(col(timeCol), 1).over(w))
+      .withColumn("__ts", col(timeCol).cast("long"))
+      .withColumn("__prev", lag(col("__ts"), 1).over(w))
       .withColumn("__new", when(col("__prev").isNull ||
-        col(timeCol) - col("__prev") > gapSeconds, 1).otherwise(0))
+        col("__ts") - col("__prev") > gapSeconds, 1).otherwise(0))
       .withColumn("session_seq", sum(col("__new"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .drop("__prev", "__new")
+      .drop("__ts", "__prev", "__new")
   }
 }

@@ -329,12 +329,22 @@ object TrainingOps {
       .withColumn("bucket", explode(buckets(col("c_vec"))))
     val q = queries.select(col("vec_id").as("q_id"), dd(col("embedding")).as("q_vec"))
       .withColumn("bucket", explode(buckets(col("q_vec"))))
-    val cand = c.join(broadcast(q), Seq("bucket"))
+    scoreTopK(c.join(broadcast(q), Seq("bucket")), k)
+  }
+
+  /** Shared exact-scoring tail of the shared-hyperplane LSH paths:
+    * self-filter, candidate dedup, ppm-quantized cosine, per-query top-k
+    * with c_id tie-breaks. annLshShared and the persisted AnnIndex both
+    * call THIS — their rows must stay byte-identical (they share one
+    * oracle), so the ranking logic must never fork. Input needs columns
+    * (q_id, q_vec, c_id, c_vec). */
+  private[spark] def scoreTopK(cand: DataFrame, k: Int): DataFrame = {
+    val scored = cand
       .where(col("q_id") =!= col("c_id"))
       .select("q_id", "q_vec", "c_id", "c_vec")
       .dropDuplicates("q_id", "c_id")
-    val scored = cand.withColumn("cos_ppm",
-      round(cosine(col("q_vec"), col("c_vec")) * 1e6).cast("long"))
+      .withColumn("cos_ppm",
+        round(cosine(col("q_vec"), col("c_vec")) * 1e6).cast("long"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_ppm").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select("q_id", "c_id", "cos_ppm", "rnk")

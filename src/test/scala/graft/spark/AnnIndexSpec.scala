@@ -70,6 +70,13 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("empty query batch yields an empty result, not an error") {
+    built
+    val got = AnnIndex.query(spark, path, corpus.where(col("vec_id") < 0), k = 3)
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == Seq("q_id", "c_id", "cos_ppm", "rnk"))
+  }
+
   test("reuse keeps a matching index but rebuilds on corpus-size change") {
     built
     val metaFile = java.nio.file.Paths.get(path, "_graft_ann_meta.json")

@@ -280,6 +280,12 @@ class SparkLayerSpec extends AnyFunSuite {
       .sessionize(ev, "user_id", "t", gapSeconds = 1800, tieCol = "event_id")
       .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+    // native timestamp columns work too (cast to epoch seconds internally)
+    val tsEv = ev.withColumn("t", col("t").cast("timestamp"))
+    val got2 = graft.spark.TemporalJoins
+      .sessionize(tsEv, "user_id", "t", gapSeconds = 1800, tieCol = "event_id")
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(got2 == got)
   }
 
   test("withChunks windows reassemble to the original text") {
