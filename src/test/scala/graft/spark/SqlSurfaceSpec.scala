@@ -44,6 +44,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getAs[Double]("ux") == ux)
   }
 
+  test("integer SQL arguments coerce instead of crashing the proj kernels") {
+    // regression: ProjTransformExpr & friends declare input types, so
+    // INT/BIGINT literals (the natural thing to type in SQL) are cast
+    val r = spark.sql(
+      """SELECT graft_global_hex(139, 35, 100000) AS h,
+                graft_proj_trans(12, 55, 'proj=webmerc ellps=WGS84').x AS wx,
+                graft_utm_native(12, 55).zone AS z""").head()
+    val want = Seq((139.0, 35.0)).toDF("lon", "lat")
+      .select(GeoFunctions.globalHexCell(col("lon"), col("lat"), lit(100000.0)))
+      .head().getStruct(0)
+    assert((r.getStruct(0).getInt(0), r.getStruct(0).getInt(1)) ==
+      (want.getInt(0), want.getInt(1)))
+    assert(math.abs(r.getDouble(1) - 6378137.0 * math.toRadians(12.0)) < 1e-6)
+    assert(r.getInt(2) == 33)
+  }
+
   test("graft_global_hex in SQL matches the column API composition") {
     val r = spark.sql(
       "SELECT graft_global_hex(139.69D, 35.69D, 100000D) AS h").head().getStruct(0)
