@@ -581,6 +581,36 @@ object OracleSql {
     FROM gen WHERE i = h * (1 + w)
     ORDER BY doc_id"""
 
+  /** Audio counterpart of mediaPixels: the WAV encoder draws signed 16-bit
+    * PCM samples from the same LCG (top 16 bits); DuckDB re-generates
+    * every sample (b in 0..65535, signed = b - 65536 when b >= 32768) and
+    * folds the same sum + index-weighted polynomial (Scala's and DuckDB's
+    * % both take the dividend's sign, so negative samples mod
+    * identically). */
+  def mediaSamples: String =
+    s"""WITH RECURSIVE wav AS (
+      SELECT doc_id,
+        CAST((64 + doc_id % 64) * (1 + doc_id % 2) AS BIGINT) AS n
+      FROM documents WHERE doc_id % 3 = 1),
+    gen AS (
+      SELECT doc_id, n, CAST(0 AS BIGINT) AS i, CAST(doc_id AS HUGEINT) AS s,
+             CAST(0 AS BIGINT) AS smp_sum, CAST(0 AS BIGINT) AS smp_poly
+      FROM wav
+      UNION ALL
+      SELECT doc_id, n, i + 1, s2,
+        smp_sum + sv,
+        (smp_poly + sv * (i + 1)) % 1000000007
+      FROM (
+        SELECT doc_id, n, i, smp_sum, smp_poly,
+          (s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616 AS s2,
+          CAST((s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+               // 281474976710656 AS BIGINT) AS b16,
+          CASE WHEN b16 >= 32768 THEN b16 - 65536 ELSE b16 END AS sv
+        FROM gen WHERE i < n) t)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_smp, smp_sum, smp_poly
+    FROM gen WHERE i = n
+    ORDER BY doc_id"""
+
   // ---------------------------------------------------- geo_geodesic_meridian
 
   /** Karney inverse along a meridian == Helmert meridian-arc series

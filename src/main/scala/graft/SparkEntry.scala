@@ -655,6 +655,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "media_samples" -> ((s, dir) => {
+      // audio counterpart of media_pixels: real RIFF data-chunk walk +
+      // little-endian PCM sample decode, verified per-sample against the
+      // oracle's HUGEINT LCG emulation (signed 16-bit this time)
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter(_ % 3 == 1)
+        .mapPartitions(it => it.map { id =>
+          val smp = graft.spark.MediaCodecs.decodeWavSamples(
+            graft.spark.MultimodalOps.encodeFor(id)).get
+          var sum = 0L; var poly = 0L; var i = 0
+          while (i < smp.length) {
+            val v = smp(i).toLong
+            sum += v
+            poly = (poly + v * (i + 1)) % 1000000007L
+            i += 1
+          }
+          (id, smp.length.toLong, sum, poly)
+        })
+        .toDF("doc_id", "n_smp", "smp_sum", "smp_poly")
+        .orderBy("doc_id")
+    }),
+
     "media_features" -> ((s, dir) => {
       // multimodal: synthesize REAL PNG/WAV/JPEG byte streams per doc
       // (parameters derived from doc_id), then parse them back with the
@@ -925,6 +948,7 @@ object SparkEntry {
          GROUP BY 1,2 ORDER BY 1,2""",
     "media_features" -> OracleSql.mediaFeatures,
     "media_pixels" -> OracleSql.mediaPixels,
+    "media_samples" -> OracleSql.mediaSamples,
     "geo_epsg" -> OracleSql.geoEpsg,
 
     "geo_trans_bounds" ->

@@ -183,6 +183,31 @@ object MediaCodecs {
     None
   }
 
+  /** FULL PCM sample decode: walks the RIFF chunk chain to `data` and
+    * reads the little-endian 16-bit samples — the audio counterpart of
+    * decodePngPixels. None for truncated or structurally-off streams. */
+  def decodeWavSamples(bytes: Array[Byte]): Option[Array[Short]] = {
+    if (bytes.length < 44) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (new String(bytes, 0, 4, "ASCII") != "RIFF") return None
+    if (new String(bytes, 8, 4, "ASCII") != "WAVE") return None
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "ASCII")
+      val len = bb.getInt(pos + 4)
+      if (len < 0) return None
+      if (id == "data") {
+        if (pos + 8 + len > bytes.length) return None
+        val out = new Array[Short](len / 2)
+        var i = 0
+        while (i < out.length) { out(i) = bb.getShort(pos + 8 + 2 * i); i += 1 }
+        return Some(out)
+      }
+      pos += 8 + len + (len & 1)
+    }
+    None
+  }
+
   // ----------------------------------------------------------------- JPEG
 
   /** minimal JFIF byte stream: SOI + APP0 + SOF0 (with dims) + EOI —

@@ -75,6 +75,18 @@ class MultimodalSpec extends AnyFunSuite {
       MediaCodecs.decodePngPixels(corrupt).get.length == 32 * 24)
   }
 
+  test("WAV sample decode returns the exact signed LCG stream") {
+    val smp = MediaCodecs.decodeWavSamples(
+      MediaCodecs.encodeWav(16000, 2, 100, 5L)).get
+    assert(smp.length == 200)
+    var s = 5L
+    smp.foreach { v =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      assert(v == (s >>> 48).toShort)
+    }
+    assert(MediaCodecs.decodeWavSamples(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("WAV encode/decode round trip") {
     for (rate <- Seq(8000, 16000, 44100, 48000); ch <- Seq(1, 2)) {
       val bytes = MediaCodecs.encodeWav(rate, ch, nSamples = 100, seed = rate + ch)
