@@ -110,6 +110,20 @@ object GraftExtensions {
           org.apache.spark.sql.catalyst.expressions.GetStructField(isea, 1, Some("y")),
           c(2))
       }),
+    ("graft_scrub_pii",
+      info("graft_scrub_pii",
+        "graft_scrub_pii(text) - emails/phones/long ids replaced by typed placeholders"),
+      (c: Seq[Expression]) => {
+        // resolved Catalyst tree (a Column round-trip would inject
+        // UnresolvedFunction nodes the injected-function path can't codegen);
+        // patterns shared with TrainingOps.scrubPii so the two never fork
+        import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+        val email = RegExpReplace(c(0),
+          Literal(TrainingOps.PiiEmailRe), Literal("<EMAIL>"))
+        val phone = RegExpReplace(email,
+          Literal(TrainingOps.PiiPhoneRe), Literal("<PHONE>"))
+        RegExpReplace(phone, Literal(TrainingOps.PiiIdRe), Literal("<NUM>"))
+      }),
     ("graft_proj_factors",
       info("graft_proj_factors",
         "graft_proj_factors(lon, lat, 'proj-string') - struct(h,k,s,omega,conv)"),

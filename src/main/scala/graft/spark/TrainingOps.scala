@@ -376,11 +376,14 @@ object TrainingOps {
     * phones, then bare long ids. The phone run must span >= 11 chars so
     * ISO dates (2024-08-17, 10 chars) and dd-mm-yyyy survive — dates are
     * signal in training text, not PII. */
+  private[spark] val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[spark] val PiiPhoneRe = "\\+?\\d[\\d\\-]{9,}\\d"
+  private[spark] val PiiIdRe = "\\d{6,}"
+
   def scrubPii(text: Column): Column = {
-    val email = regexp_replace(text,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val phone = regexp_replace(email, "\\+?\\d[\\d\\-]{9,}\\d", "<PHONE>")
-    regexp_replace(phone, "\\d{6,}", "<NUM>")
+    val email = regexp_replace(text, PiiEmailRe, "<EMAIL>")
+    val phone = regexp_replace(email, PiiPhoneRe, "<PHONE>")
+    regexp_replace(phone, PiiIdRe, "<NUM>")
   }
 
   /** whole-document md5 fingerprint over whitespace-normalized text —

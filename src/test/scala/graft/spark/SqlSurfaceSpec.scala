@@ -60,6 +60,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getInt(2) == 33)
   }
 
+  test("graft_scrub_pii in SQL matches the column API") {
+    val r = spark.sql(
+      "SELECT graft_scrub_pii('mail a@b.co call +1-202-555-0147 ref 1234567') AS t")
+      .head().getString(0)
+    assert(r == "mail <EMAIL> call <PHONE> ref <NUM>")
+  }
+
   test("graft_global_hex in SQL matches the column API composition") {
     val r = spark.sql(
       "SELECT graft_global_hex(139.69D, 35.69D, 100000D) AS h").head().getStruct(0)
