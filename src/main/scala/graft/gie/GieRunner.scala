@@ -439,7 +439,11 @@ object GieRunner {
       "defmodel", "deformation", "DHDN_ETRS89", "GDA", "4D-API_cs2cs-style",
       "ellipsoid", "axisswap", "unitconvert", "adams_hemi", "adams_ws1",
       "adams_ws2", "guyou", "peirce_q", "spilhaus"
-    ).map(n => s"/root/reference/test/gie/$n.gie")
+    ).map(n => s"/root/reference/test/gie/$n.gie") ++ Seq(
+      "5101.1-jhs", "5101.2-jhs", "5101.3-jhs", "5101.4-jhs-etmerc",
+      "5102.1", "5102.2", "5103.1", "5103.2", "5103.3", "5104", "5105.2",
+      "5106", "5107", "5108", "5109", "5111.1", "5112", "5113", "5201", "5208"
+    ).map(n => s"/root/reference/test/gigs/$n.gie")
     val total = new Stats
     for (f <- files) {
       val s = runFile(f)

@@ -147,6 +147,20 @@ object Proj {
     "26915" -> "proj=utm zone=15 datum=NAD83 units=m no_defs",
     "3857" -> "proj=webmerc datum=WGS84 units=m no_defs")
 
+  /** The generated EPSG init table (src/main/resources/graft/epsg, built by
+    * devtools/epsg_init_gen.py from the reference's public EPSG SQL data):
+    * ~7k codes in legacy init-file format, parsed once on first use. */
+  private lazy val epsgGenerated: Map[String, String] = {
+    val in = getClass.getResourceAsStream("/graft/epsg")
+    if (in == null) Map.empty
+    else try {
+      val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      val entry = "(?s)<([0-9]+)>(.*?)<>".r
+      entry.findAllMatchIn(text).map(m =>
+        m.group(1) -> m.group(2).replace('\n', ' ').trim).toMap
+    } finally in.close()
+  }
+
   private def expandInit(params: ParamList): ParamList = params.s("init") match {
     case None => params
     case Some(spec) =>
@@ -156,8 +170,8 @@ object Proj {
       val file = spec.substring(0, colon)
       val key = spec.substring(colon + 1)
       val body: String =
-        if (file == "epsg") epsgInit.getOrElse(key,
-          throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID, s"unknown epsg:$key"))
+        if (file == "epsg") epsgInit.getOrElse(key, epsgGenerated.getOrElse(key,
+          throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID, s"unknown epsg:$key")))
         else {
           val path = java.nio.file.Paths.get(s"/root/reference/data/$file")
           if (!java.nio.file.Files.isReadable(path))
