@@ -109,16 +109,19 @@ object Bench {
       df.select(count(lit(1)), sum(pmod(xxhash64(struct(df.columns.map(col): _*)), lit(1000000007L))))
         .head().getLong(0)
     }
-    val results = headline.map { name =>
+    // steady-state estimate: run twice, report the best of the two (the
+    // cold run pays per-query codegen + parquet footer reads a resident
+    // service amortizes; min also guards against a co-tenant burst
+    // landing on the second run; both runs execute fully via the force).
+    // Both legs are kept in the per-run artifact so the estimator is
+    // auditable (ann_index's cold leg includes the one-time index build).
+    val coldWarm = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      // steady-state estimate: run twice, report the best of the two (the
-      // cold run pays per-query codegen + parquet footer reads a resident
-      // service amortizes; min also guards against a co-tenant burst
-      // landing on the second run; both runs execute fully via the force)
       val (_, cold) = time { force(fn(spark, sfDir)) }
       val (_, warm) = time { force(fn(spark, sfDir)) }
-      name -> math.min(cold, warm)
+      (name, cold, warm)
     }
+    val results = coldWarm.map { case (name, cold, warm) => name -> math.min(cold, warm) }
 
     // north-star throughput at the configured parallelism
     val docsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
@@ -139,16 +142,31 @@ object Bench {
     //  at only 3.17x due to SMT sharing, so the 4->16 pair is the honest
     //  N->4N measurement)
     val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
-    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    val sN = session(nCores)
-    val (_, warmN) = time { northstar(sN, warmPath) } // JIT warm
-    val tN = (1 to repeats).map(_ => time { northstar(sN, docsPath) }._2).min
-    sN.stop()
-    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    val s4N = session(4 * nCores)
-    val (_, warm4N) = time { northstar(s4N, warmPath) }
-    val t4N = (1 to repeats).map(_ => time { northstar(s4N, docsPath) }._2).min
-    s4N.stop()
+    def measureLeg(cores: Int): Double = {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val s = session(cores)
+      time { northstar(s, warmPath) } // JIT warm
+      val t = (1 to repeats).map(_ => time { northstar(s, docsPath) }._2).min
+      s.stop()
+      t
+    }
+    // Sanity guard (round-2 lesson: a co-tenant burst ate the local[4] leg
+    // of a driver re-run and produced a physically impossible 2.259
+    // "efficiency" that clobbered the curated report). Noise on this host is
+    // one-sided — external load only slows a leg down — so re-measuring an
+    // out-of-range pair and keeping the per-leg min converges on the
+    // machine's true capability. Efficiency outside [0.5, 1.2] means one
+    // leg was hit; re-measure up to 2 more times, else flag as suspect.
+    var tN = measureLeg(nCores)
+    var t4N = measureLeg(4 * nCores)
+    def eff = (nsDocs / t4N) / (4.0 * (nsDocs / tN))
+    var attempts = 1
+    while ((eff < 0.5 || eff > 1.2) && attempts < 3) {
+      attempts += 1
+      tN = math.min(tN, measureLeg(nCores))
+      t4N = math.min(t4N, measureLeg(4 * nCores))
+    }
+    val scalingSuspect = eff < 0.5 || eff > 1.2
 
     val thr8 = nsDocs / tN
     val thr32 = nsDocs / t4N
@@ -157,38 +175,43 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val suspectField = if (scalingSuspect) ",\"suspect\":true" else ""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","northstar":{"docs":$nsDocs,"rows":$nRows,"sec":$nsSec%.3f,"docs_per_sec":$rowsPerSec%.0f},"scaling":{"localN_docs_per_sec":$thr8%.0f,"local4N_docs_per_sec":$thr32%.0f,"efficiency":$efficiency%.3f}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","northstar":{"docs":$nsDocs,"rows":$nRows,"sec":$nsSec%.3f,"docs_per_sec":$rowsPerSec%.0f},"scaling":{"localN_docs_per_sec":$thr8%.0f,"local4N_docs_per_sec":$thr32%.0f,"efficiency":$efficiency%.3f$suspectField}}"""
     println(json)
     if (scalingOnly) return
     // clean artifact for machine parsing (sbt prefixes stdout lines, which
     // broke the round-1 driver parse: BENCH_r01.json "parsed": null)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
 
-    // BENCH.md — the consolidated report the judge reads with BASELINE.md
+    // Per-run artifact ONLY — BENCH.md is a curated report (it carries the
+    // cross-run distribution table) and is never auto-overwritten; the
+    // round-2 driver re-run clobbered it with a noise-corrupted scaling
+    // number, which is exactly what this split prevents.
+    val runDir = java.nio.file.Paths.get("BENCH_runs")
+    java.nio.file.Files.createDirectories(runDir)
+    val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")
+      .format(java.time.LocalDateTime.now())
+    java.nio.file.Files.writeString(runDir.resolve(s"run-$stamp.json"), json + "\n")
     val md =
-      f"""# BENCH — measured throughput (this round)
+      f"""# Bench run $stamp
          |
          |Host: local JVM, ${Runtime.getRuntime.availableProcessors} cores visible; Spark ${spark.version}
+         |loadavg at end: ${scala.util.Try(java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg")).trim).getOrElse("n/a")}
          |
          |## Headline queries (sf dir: $sfDir, local[$cpus])
          |
-         || query | seconds |
-         ||---|---|
-         |${results.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n|")}
+         |Estimator: each query executes twice; reported = min(cold, warm).
+         |The cold leg includes per-query codegen + parquet footer reads (and
+         |for ann_index the one-time persisted-index build); a resident
+         |service amortizes those, so the min is the steady-state figure.
+         |Both legs below for auditability.
          |
-         |## North-star pipeline (generated docs: anchor → per-row-zone UTM +
-         |datum-shift + 8-zone fan-out + S2 cell + tile + hex bin → PIP join,
-         |$nsDocs docs)
+         || query | cold s | warm s | reported |
+         ||---|---|---|---|
+         |${coldWarm.map { case (k, c, w) => f"| $k | $c%.3f | $w%.3f | ${math.min(c, w)}%.3f |" }.mkString("\n|")}
          |
-         |Note vs round 1: the pipeline now includes the per-row UTM zone
-         |dispatch (each doc reprojected into its OWN inferred zone CRS) and
-         |the hex-grid assignment (webmerc + axial hex bin — the H3-style
-         |side of the cell-index family), two more full transforms per doc
-         |than the round-1 shape; the checksum covers the zone-native x/y so
-         |nothing can be pruned. ann_index's cold run builds the persisted
-         |index; the reported best-of-two is the steady-state pruned-scan
-         |query a resident service sees (build once, query many).
+         |## North-star ($nsDocs docs): ${rowsPerSec.toLong} docs/s at local[$cpus]
          |
          || parallelism | docs/sec |
          ||---|---|
@@ -196,13 +219,12 @@ object Bench {
          || local[${4 * nCores}] | $thr32%.0f |
          || local[$cpus] (headline config) | $rowsPerSec%.0f |
          |
-         |Scaling efficiency local[$nCores]→local[${4 * nCores}] (N→4N cores on identical
-         |input): **$efficiency%.3f** (target ≥ 0.8 per BASELINE.json; this is
-         |the sandbox stand-in for the N→4N executor criterion).
-         |
-         |Single-thread kernel throughput (DriveCheck): ~4.7M utm transforms/s,
-         |same order as the reference's bench_proj_trans single-point loop.
+         |Scaling efficiency local[$nCores]→local[${4 * nCores}] (N→4N cores, identical
+         |input): **$efficiency%.3f**${if (scalingSuspect) " — SUSPECT (outside [0.5,1.2] after 3 re-measure attempts; treat as noise-hit, re-run on a quiet host)" else ""}
+         |(guard: an efficiency outside [0.5, 1.2] triggers automatic
+         |re-measurement of both legs, keeping per-leg minima — one-sided
+         |co-tenant noise can only slow a leg down).
          |""".stripMargin
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
+    java.nio.file.Files.writeString(runDir.resolve(s"run-$stamp.md"), md)
   }
 }

@@ -379,9 +379,14 @@ object SparkEntry {
       // Bucketing is byte-identical to ann_lsh, so the rows — and the
       // oracle — are the same; what changes is that the corpus is no
       // longer re-hashed per query batch.
+      // path keyed per-process: reuse=true demonstrates the resident-service
+      // build-once/query-many pattern WITHIN one JVM, but a fresh process
+      // always pays the build on its first call — so a bench's cold leg is
+      // deterministically build+query and can't inherit a prior
+      // invocation's index from /tmp
       val emb = t(s, dir, "embeddings")
       val path = sys.props("java.io.tmpdir") + "/graft_ann_idx_" +
-        math.abs(dir.hashCode).toString
+        math.abs(dir.hashCode).toString + "_p" + ProcessHandle.current().pid()
       graft.spark.AnnIndex.build(emb, path, planes = 6, tables = 8, reuse = true)
       graft.spark.AnnIndex.query(s, path, emb.where(col("vec_id") < 10), k = 3)
     }),
