@@ -640,46 +640,30 @@ object SparkEntry {
       // un-filter path, and emit per-image pixel statistics; the oracle
       // re-generates every pixel independently (the encoder's LCG emulated
       // with HUGEINT wrap-around arithmetic) — a wrong inflate, filter or
-      // byte-order bug changes the hash
-      import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
-        .filter(_ % 3 == 0)
-        .mapPartitions(it => it.map { id =>
-          val px = graft.spark.MediaCodecs.decodePngPixels(
-            graft.spark.MultimodalOps.encodeFor(id)).get
-          var sum = 0L; var poly = 0L; var i = 0
-          while (i < px.length) {
-            val b = px(i) & 0xff
-            sum += b
-            poly = (poly + b.toLong * (i + 1)) % 1000000007L
-            i += 1
-          }
-          (id, px.length.toLong, sum, poly)
-        })
-        .toDF("doc_id", "n_px", "px_sum", "px_poly")
+      // byte-order bug changes the hash. Encode + decode + fold are all
+      // Catalyst expressions, so the whole query is one codegen stage.
+      import graft.spark.MediaFunctions._
+      t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          pngPixelStats(mediaEncode(col("doc_id"))).as("st"))
+        .select(col("doc_id"), col("st.n_px").as("n_px"),
+          col("st.px_sum").as("px_sum"), col("st.px_poly").as("px_poly"))
         .orderBy("doc_id")
     }),
 
     "media_samples" -> ((s, dir) => {
       // audio counterpart of media_pixels: real RIFF data-chunk walk +
       // little-endian PCM sample decode, verified per-sample against the
-      // oracle's HUGEINT LCG emulation (signed 16-bit this time)
-      import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
-        .filter(_ % 3 == 1)
-        .mapPartitions(it => it.map { id =>
-          val smp = graft.spark.MediaCodecs.decodeWavSamples(
-            graft.spark.MultimodalOps.encodeFor(id)).get
-          var sum = 0L; var poly = 0L; var i = 0
-          while (i < smp.length) {
-            val v = smp(i).toLong
-            sum += v
-            poly = (poly + v * (i + 1)) % 1000000007L
-            i += 1
-          }
-          (id, smp.length.toLong, sum, poly)
-        })
-        .toDF("doc_id", "n_smp", "smp_sum", "smp_poly")
+      // oracle's HUGEINT LCG emulation (signed 16-bit this time); encode +
+      // decode + fold all Catalyst expressions, one codegen stage
+      import graft.spark.MediaFunctions._
+      t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 3 === 1)
+        .select(col("doc_id"),
+          wavSampleStats(mediaEncode(col("doc_id"))).as("st"))
+        .select(col("doc_id"), col("st.n_smp").as("n_smp"),
+          col("st.smp_sum").as("smp_sum"), col("st.smp_poly").as("smp_poly"))
         .orderBy("doc_id")
     }),
 
@@ -688,14 +672,11 @@ object SparkEntry {
       // (parameters derived from doc_id), then parse them back with the
       // real header decoders; the oracle recomputes the parameters in SQL,
       // so a wrong byte layout or parser fails the hash
-      import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id"))
-        .as[Long]
-        .mapPartitions(it => it.map(id =>
-          (id.toString, s"media://$id", graft.spark.MultimodalOps.encodeFor(id))))
-        .toDF("doc_id", "media_ref", "payload")
+      val media = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("media://"), col("doc_id")).as("media_ref"),
+        graft.spark.MediaFunctions.mediaEncode(col("doc_id")).as("payload"))
       graft.spark.MultimodalOps.decodeAndFeaturize(media)
-        .select(col("doc_id").cast("long").as("doc_id"), col("media_kind"),
+        .select(col("doc_id"), col("media_kind"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("sample_rate").cast("long").as("sample_rate"),

@@ -58,19 +58,17 @@ object DocsTable {
     }
   }
 
-  /** Build the docs DataFrame (distributed generation; nothing collected). */
+  /** Build the docs DataFrame (distributed generation; nothing collected).
+    * The span generator runs as a Catalyst expression (DocSpansExpr), so
+    * the synthesized corpus — like every kernel in the engine — stays
+    * inside whole-stage codegen with no typed-object serialization fence. */
   def docs(spark: SparkSession, nDocs: Long, seed: Long = 42L,
-           partitions: Int = 32): DataFrame = {
-    import spark.implicits._
+           partitions: Int = 32): DataFrame =
     spark.range(0, nDocs, 1, partitions)
-      .mapPartitions { it =>
-        it.map { id => (f"doc_$id%012d", spansFor(id, seed)) }
-      }
-      .toDF("doc_id", "spans_raw")
-      .select($"doc_id", $"spans_raw".cast(
-        "array<struct<kind:string,text:string,media_ref:string,offset:int>>")
-        .as("spans"))
-  }
+      .select(format_string("doc_%012d", col("id")).as("doc_id"),
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          DocSpansExpr(org.apache.spark.sql.graftbridge.Bridge.expression(col("id")),
+            org.apache.spark.sql.graftbridge.Bridge.expression(lit(seed)))).as("spans"))
 
   /** Extract the geo anchor (lon, lat, h, epoch) from the first 'geo' span —
     * a pure column expression, no UDTF (FIXTURES.md geo-anchor convention).
@@ -105,4 +103,50 @@ object DocsTable {
       (i, name, lon, lat, ring)
     }.toDF("zone_id", "zone_name", "zone_lon", "zone_lat", "ring")
   }
+}
+
+/** Static kernel: spansFor as Catalyst data. */
+object DocGenKernels {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def docSpans(docId: Long, seed: Long): ArrayData = {
+    val spans = DocsTable.spansFor(docId, seed)
+    val out = new Array[Any](spans.length)
+    var i = 0
+    while (i < spans.length) {
+      val (kind, text, ref, off) = spans(i)
+      out(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(kind), UTF8String.fromString(text),
+        UTF8String.fromString(ref), off))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** doc_id → array<struct<kind, text, media_ref, offset>> — the deterministic
+  * interleaved-span generator as a codegen-able expression. */
+case class DocSpansExpr(id: org.apache.spark.sql.catalyst.expressions.Expression,
+                        seed: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends MediaStaticCall {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.types._
+
+  override def children: Seq[Expression] = Seq(id, seed)
+  override def inputSpec: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("kind", StringType), StructField("text", StringType),
+    StructField("media_ref", StringType), StructField("offset", IntegerType))))
+  override def kernelObject: String = DocGenKernels.getClass.getName + ".MODULE$"
+  override def staticCall: String = "docSpans"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null
+    else DocGenKernels.docSpans(a(0).asInstanceOf[Long], a(1).asInstanceOf[Long])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1))
 }

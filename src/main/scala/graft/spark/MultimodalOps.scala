@@ -17,22 +17,12 @@ object MultimodalOps {
     * payload is a REAL encoded byte stream (PNG/WAV/JPEG) whose parameters
     * derive deterministically from the media_ref. Output schema is the
     * fetch contract: (doc_id, media_ref, payload binary). */
-  def fetchMedia(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  def fetchMedia(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(col("spans")).as("span"))
       .where(col("span.kind") === "media")
-      .select(col("doc_id"), col("span.media_ref").as("media_ref"))
-      .as[(String, String)]
-      .mapPartitions { it =>
-        it.map { case (docId, ref) =>
-          val seed = ref.hashCode.toLong & 0xffffffffL
-          (docId, ref, encodeFor(seed))
-        }
-      }
-      .toDF("doc_id", "media_ref", "payload")
-  }
+      .select(col("doc_id"), col("span.media_ref").as("media_ref"),
+        MediaFunctions.mediaEncodeRef(col("span.media_ref")).as("payload"))
 
   /** deterministic synthesis of a real byte stream from an integer seed
     * (the same parameter derivation the driver oracle replicates). */
@@ -46,35 +36,24 @@ object MultimodalOps {
       32 + (seed % 100).toInt, 32 + ((seed * 13) % 100).toInt)
   }
 
-  /** Decode/feature-extract pass: mapPartitions over binary payloads in
-    * executor-sized batches (the shape a mapInPandas decode takes). Header
-    * fields come from real parsing; the feature vector is an L2-normalized
-    * byte histogram of the payload. Unparseable payloads yield nulls. */
-  def decodeAndFeaturize(media: DataFrame, featureDim: Int = 16): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select("doc_id", "media_ref", "payload")
-      .as[(String, String, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (docId, ref, payload) =>
-          val info = MediaCodecs.decode(payload)
-          val feat = new Array[Float](featureDim)
-          var i = 0
-          while (i < payload.length) {
-            feat((payload(i) & 0xff) % featureDim) += 1.0f
-            i += 1
-          }
-          val norm = math.sqrt(feat.map(f => f.toDouble * f).sum).toFloat max 1e-6f
-          (docId, ref,
-            info.map(_.kind).orNull,
-            info.map(_.width).getOrElse(0), info.map(_.height).getOrElse(0),
-            info.map(_.sampleRate).getOrElse(0), info.map(_.channels).getOrElse(0),
-            payload.length, feat.map(_ / norm))
-        }
-      }
-      .toDF("doc_id", "media_ref", "media_kind", "width", "height",
-        "sample_rate", "channels", "bytes", "feature")
-  }
+  /** Decode/feature-extract pass: pure binary→struct Catalyst expressions
+    * (MediaInfoExpr / MediaFeatureExpr), so the whole decode stays inside
+    * whole-stage codegen — no typed mapPartitions serialization fence.
+    * Header fields come from real parsing; the feature vector is an
+    * L2-normalized byte histogram of the payload. Unparseable payloads
+    * yield a null kind and zeroed header fields. */
+  def decodeAndFeaturize(media: DataFrame, featureDim: Int = 16): DataFrame =
+    media.select(col("doc_id"), col("media_ref"),
+        MediaFunctions.mediaInfo(col("payload")).as("info"),
+        length(col("payload")).as("bytes"),
+        MediaFunctions.mediaFeature(col("payload"), lit(featureDim)).as("feature"))
+      .select(col("doc_id"), col("media_ref"),
+        col("info.kind").as("media_kind"),
+        coalesce(col("info.width"), lit(0)).as("width"),
+        coalesce(col("info.height"), lit(0)).as("height"),
+        coalesce(col("info.sample_rate"), lit(0)).as("sample_rate"),
+        coalesce(col("info.channels"), lit(0)).as("channels"),
+        col("bytes"), col("feature"))
 
   /** Frame-sampling shape for video-like payloads: one row per sampled
     * frame index — explode with a deterministic stride, preserving

@@ -48,6 +48,17 @@ object PlanCheck {
         })
       }.flatten.size
 
+    /** companion gate: no typed-object serialization fence either —
+      * mapPartitions/map on a Dataset hides imperative per-row code behind
+      * DeserializeToObject/SerializeFromObject nodes that break whole-stage
+      * codegen exactly like a ScalaUDF but without a ScalaUDF node; every
+      * binary→struct kernel must be a Catalyst expression instead. */
+    def objFenceCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case n: org.apache.spark.sql.catalyst.plans.logical.ObjectProducer => n
+        case n: org.apache.spark.sql.catalyst.plans.logical.ObjectConsumer => n
+      }.size
+
     val queries = graft.SparkEntry.queries
     def q(name: String) = queries(name)(spark, dir)
 
@@ -103,12 +114,14 @@ object PlanCheck {
       "bucket equi-join" -> (p => p.contains("Join")),
       "no cross product" -> (p => !p.contains("CartesianProduct")))
 
-    println("===== engine-wide UDF gate =====")
+    println("===== engine-wide UDF + object-fence gate =====")
     (queries.keys.toSeq.sorted :+ "entry").foreach { name =>
       val df = if (name == "entry") graft.SparkEntry.entry(spark) else q(name)
       val n = udfCount(df)
-      if (n > 0) misses += 1
-      println(s"  [${if (n == 0) "OK" else "MISS"}] $name: $n UDF node(s)")
+      val f = objFenceCount(df)
+      if (n > 0 || f > 0) misses += 1
+      println(s"  [${if (n == 0 && f == 0) "OK" else "MISS"}] $name: " +
+        s"$n UDF node(s), $f object-fence node(s)")
     }
 
     // one full formatted plan for the record
