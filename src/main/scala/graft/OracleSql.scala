@@ -537,48 +537,58 @@ object OracleSql {
   def mediaFeatures: String =
     s"""SELECT doc_id,
       CASE doc_id % 3 WHEN 1 THEN 'audio' ELSE 'image' END AS media_kind,
-      CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id % 16)*4
+      CAST(CASE doc_id % 3
+           WHEN 0 THEN (16 + (doc_id % 16)*4)
+                       // (CASE WHEN ((doc_id // 3) % 3) = 0 THEN 1 ELSE 2 END)
            WHEN 2 THEN 32 + (doc_id % 100) ELSE 0 END AS BIGINT) AS width,
-      CAST(CASE doc_id % 3 WHEN 0 THEN 16 + ((doc_id*7) % 16)*4
+      CAST(CASE doc_id % 3
+           WHEN 0 THEN (16 + ((doc_id*7) % 16)*4)
+                       // (CASE WHEN ((doc_id // 3) % 3) = 0 THEN 1 ELSE 2 END)
            WHEN 2 THEN 32 + ((doc_id*13) % 100) ELSE 0 END AS BIGINT) AS height,
       CAST(CASE doc_id % 3 WHEN 1 THEN 8000*(1 + doc_id % 6) ELSE 0 END AS BIGINT) AS sample_rate,
-      CAST(CASE doc_id % 3 WHEN 1 THEN 1 + doc_id % 2 ELSE 0 END AS BIGINT) AS channels
+      CAST(CASE doc_id % 3
+           WHEN 0 THEN (CASE ((doc_id // 3) % 3) WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
+           WHEN 1 THEN 1 + doc_id % 2
+           ELSE 3 END AS BIGINT) AS channels
     FROM documents ORDER BY doc_id"""
 
   // ---------------------------------------------------------- media_pixels
 
   /** Independent per-pixel reconstruction of the engine's PNG payloads:
-    * the encoder fills scanlines from a 64-bit LCG (s = s*M + A, top byte)
-    * and zeroes each row's filter byte; DuckDB emulates the wrap-around
-    * with HUGEINT (mod 2^64) in a recursive CTE, skipping filter
-    * positions (which still advance the LCG), and folds the same sum and
-    * index-weighted polynomial hash the engine computes from the REAL
-    * inflate+unfilter decode. */
+    * the encoder draws w*h*channels pixel bytes from a 64-bit LCG (s =
+    * s*M + A, top byte) in scanline order, then encodes each scanline
+    * with filter (seed + row) % 5 — so the Spark side must implement real
+    * Sub/Up/Average/Paeth reconstruction to recover this stream. DuckDB
+    * emulates the LCG wrap-around with HUGEINT (mod 2^64) in a recursive
+    * CTE and folds the same sum and index-weighted polynomial hash the
+    * engine computes from the REAL inflate+unfilter decode. Channel
+    * count cycles gray/RGB/RGBA by (doc_id/3) % 3; multi-channel images
+    * halve each dimension (matching MultimodalOps.encodeFor). */
   def mediaPixels: String =
     s"""WITH RECURSIVE png AS (
       SELECT doc_id,
-        CAST(16 + (doc_id % 16)*4 AS BIGINT) AS w,
-        CAST(16 + ((doc_id*7) % 16)*4 AS BIGINT) AS h
+        CASE ((doc_id // 3) % 3) WHEN 0 THEN CAST(1 AS BIGINT)
+             WHEN 1 THEN 3 ELSE 4 END AS ch,
+        (16 + (doc_id % 16)*4) // (CASE WHEN ch = 1 THEN 1 ELSE 2 END) AS w,
+        (16 + ((doc_id*7) % 16)*4) // (CASE WHEN ch = 1 THEN 1 ELSE 2 END) AS h
       FROM documents WHERE doc_id % 3 = 0),
     gen AS (
-      SELECT doc_id, w, h, CAST(0 AS BIGINT) AS i, CAST(doc_id AS HUGEINT) AS s,
-             CAST(0 AS BIGINT) AS px_sum, CAST(0 AS BIGINT) AS px_poly,
-             CAST(0 AS BIGINT) AS n_px
+      SELECT doc_id, w * h * ch AS n, CAST(0 AS BIGINT) AS i,
+             CAST(doc_id AS HUGEINT) AS s,
+             CAST(0 AS BIGINT) AS px_sum, CAST(0 AS BIGINT) AS px_poly
       FROM png
       UNION ALL
-      SELECT doc_id, w, h, i + 1, s2,
-        CASE WHEN i % (1 + w) = 0 THEN px_sum ELSE px_sum + b END,
-        CASE WHEN i % (1 + w) = 0 THEN px_poly
-             ELSE (px_poly + b * (n_px + 1)) % 1000000007 END,
-        CASE WHEN i % (1 + w) = 0 THEN n_px ELSE n_px + 1 END
+      SELECT doc_id, n, i + 1, s2,
+        px_sum + b,
+        (px_poly + b * (i + 1)) % 1000000007
       FROM (
-        SELECT doc_id, w, h, i, px_sum, px_poly, n_px,
+        SELECT doc_id, n, i, px_sum, px_poly,
           (s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616 AS s2,
           CAST((s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
                // 72057594037927936 AS BIGINT) AS b
-        FROM gen WHERE i < h * (1 + w)) t)
-    SELECT doc_id, n_px, px_sum, px_poly
-    FROM gen WHERE i = h * (1 + w)
+        FROM gen WHERE i < n) t)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_px, px_sum, px_poly
+    FROM gen WHERE i = n
     ORDER BY doc_id"""
 
   /** Audio counterpart of mediaPixels: the WAV encoder draws signed 16-bit

@@ -34,26 +34,71 @@ object MediaCodecs {
       .putInt(crc.getValue.toInt).array())
   }
 
-  /** grayscale 8-bit PNG with deterministic pixel data. */
-  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+  /** channel count for an 8-bit PNG color type (gray / RGB / gray+alpha /
+    * RGBA); 0 for unsupported (palette etc.). */
+  def pngChannels(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => 0
+  }
+
+  /** Paeth predictor (PNG spec §6.6): closest of left/up/up-left to
+    * left + up − up-left. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** 8-bit PNG with deterministic pixel data: color type 0 (gray), 2
+    * (RGB) or 6 (RGBA), w*h*channels pixel bytes drawn in scanline order
+    * from a 64-bit LCG (top byte of each state). Each scanline is encoded
+    * with filter (seed + row) % 5, cycling through all five PNG filter
+    * types — the decoder must implement real Sub/Up/Average/Paeth
+    * reconstruction to recover the stream. */
+  def encodePng(width: Int, height: Int, seed: Long, colorType: Int = 0): Array[Byte] = {
+    val ch = pngChannels(colorType)
+    require(ch > 0, s"encodePng: unsupported color type $colorType")
     val out = new java.io.ByteArrayOutputStream()
     out.write(PNG_SIG)
     val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
     ihdr.putInt(width).putInt(height)
     ihdr.put(8.toByte) // bit depth
-    ihdr.put(0.toByte) // color type: grayscale
+    ihdr.put(colorType.toByte)
     ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
     pngChunk(out, "IHDR", ihdr.array())
-    // scanlines: filter byte 0 + width gray bytes, deterministic
-    val raw = new Array[Byte](height * (1 + width))
+    // pixel bytes: pure LCG stream, scanline order (this is what the
+    // DuckDB oracle re-generates byte-for-byte)
+    val stride = width * ch
+    val px = new Array[Byte](height * stride)
     var i = 0; var s = seed
-    while (i < raw.length) {
+    while (i < px.length) {
       s = s * 6364136223846793005L + 1442695040888963407L
-      raw(i) = (s >>> 56).toByte
+      px(i) = (s >>> 56).toByte
       i += 1
     }
+    // filter each scanline: raw = [filter byte | filtered bytes]
+    val raw = new Array[Byte](height * (1 + stride))
     var r = 0
-    while (r < height) { raw(r * (1 + width)) = 0; r += 1 }
+    while (r < height) {
+      val f = (((seed + r) % 5 + 5) % 5).toInt
+      raw(r * (1 + stride)) = f.toByte
+      var k = 0
+      while (k < stride) {
+        val cur = px(r * stride + k) & 0xff
+        val left = if (k >= ch) px(r * stride + k - ch) & 0xff else 0
+        val up = if (r > 0) px((r - 1) * stride + k) & 0xff else 0
+        val ul = if (r > 0 && k >= ch) px((r - 1) * stride + k - ch) & 0xff else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(r * (1 + stride) + 1 + k) = enc.toByte
+        k += 1
+      }
+      r += 1
+    }
     val defl = new Deflater()
     defl.setInput(raw); defl.finish()
     // drain fully: incompressible data can exceed the input size
@@ -66,23 +111,28 @@ object MediaCodecs {
     out.toByteArray
   }
 
-  /** FULL PNG pixel decode for the 8-bit grayscale / filter-0 profile this
-    * engine emits: walks the chunk chain, concatenates IDAT data, inflates
-    * the real zlib stream, verifies every scanline's filter byte and
-    * returns the raw gray bytes. None for anything structurally off —
-    * wrong dims, truncated stream, unsupported color type or filter. */
+  /** FULL PNG pixel decode for 8-bit color types 0/2/4/6: walks the chunk
+    * chain, concatenates IDAT data, inflates the real zlib stream, and
+    * reconstructs every scanline through the five PNG filter types
+    * (None/Sub/Up/Average/Paeth, spec §6). Returns the w*h*channels pixel
+    * bytes in scanline order. None for anything structurally off — wrong
+    * dims, truncated stream, palette/16-bit profiles, unknown filter. */
   def decodePngPixels(bytes: Array[Byte]): Option[Array[Byte]] = {
     val info = decodePng(bytes).getOrElse(return None)
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-    // grayscale-8 only: IHDR depth/color live right after width/height
     var pos = 8
+    var depth = -1; var colorType = -1
     var idat = new java.io.ByteArrayOutputStream()
     while (pos + 8 <= bytes.length) {
       val len = bb.getInt(pos)
       if (len < 0) return None
       val typ = new String(bytes, pos + 4, 4, "ASCII")
       if (typ == "IHDR") {
-        if (bytes(pos + 16) != 8 || bytes(pos + 17) != 0) return None
+        // bounds-guard: a truncated trailing chunk typed IHDR must yield
+        // None, not an out-of-bounds read
+        if (len < 13 || pos + 8 + 13 > bytes.length) return None
+        depth = bytes(pos + 16) & 0xff
+        colorType = bytes(pos + 17) & 0xff
       }
       if (typ == "IDAT") {
         if (pos + 8 + len > bytes.length) return None
@@ -90,9 +140,13 @@ object MediaCodecs {
       }
       pos += 8 + len + 4
     }
+    if (depth != 8) return None
+    val ch = pngChannels(colorType)
+    if (ch == 0) return None
     val w = info.width; val h = info.height
-    if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
-    val raw = new Array[Byte](h * (1 + w))
+    if (w <= 0 || h <= 0 || w.toLong * h * ch > 64L * 1024 * 1024) return None
+    val stride = w * ch
+    val raw = new Array[Byte](h * (1 + stride))
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var off = 0
@@ -105,11 +159,27 @@ object MediaCodecs {
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
     if (off != raw.length) return None
-    val px = new Array[Byte](w * h)
+    val px = new Array[Byte](stride * h)
     var r = 0
     while (r < h) {
-      if (raw(r * (1 + w)) != 0) return None // only filter 0 supported
-      System.arraycopy(raw, r * (1 + w) + 1, px, r * w, w)
+      val f = raw(r * (1 + stride)) & 0xff
+      if (f > 4) return None // unknown filter type
+      var k = 0
+      while (k < stride) {
+        val enc = raw(r * (1 + stride) + 1 + k) & 0xff
+        val left = if (k >= ch) px(r * stride + k - ch) & 0xff else 0
+        val up = if (r > 0) px((r - 1) * stride + k) & 0xff else 0
+        val ul = if (r > 0 && k >= ch) px((r - 1) * stride + k - ch) & 0xff else 0
+        val rec = f match {
+          case 0 => enc
+          case 1 => enc + left
+          case 2 => enc + up
+          case 3 => enc + ((left + up) >> 1)
+          case _ => enc + paeth(left, up, ul)
+        }
+        px(r * stride + k) = rec.toByte
+        k += 1
+      }
       r += 1
     }
     Some(px)
@@ -128,7 +198,8 @@ object MediaCodecs {
       val typ = new String(bytes, pos + 4, 4, "ASCII")
       if (typ == "IHDR") {
         if (len < 13 || pos + 8 + 13 > bytes.length) return None
-        return Some(MediaInfo("image", bb.getInt(pos + 8), bb.getInt(pos + 12), 0, 0))
+        return Some(MediaInfo("image", bb.getInt(pos + 8), bb.getInt(pos + 12), 0,
+          pngChannels(bytes(pos + 17) & 0xff)))
       }
       pos += 8 + len + 4
     }
@@ -137,10 +208,15 @@ object MediaCodecs {
 
   // ------------------------------------------------------------------ WAV
 
-  /** 16-bit PCM WAV with deterministic samples. */
+  /** 16-bit PCM WAV with deterministic samples. Odd seeds insert an
+    * odd-length LIST chunk between fmt and data, so decoders must walk
+    * the chunk chain with real RIFF word-alignment padding (len + len&1)
+    * rather than assume the fixed 44-byte layout. */
   def encodeWav(sampleRate: Int, channels: Int, nSamples: Int, seed: Long): Array[Byte] = {
     val dataLen = nSamples * channels * 2
-    val total = 44 + dataLen
+    val listBody = if (seed % 2 != 0) "INFOx".getBytes("ASCII") else null // 5 bytes: odd
+    val listLen = if (listBody == null) 0 else 8 + listBody.length + (listBody.length & 1)
+    val total = 44 + listLen + dataLen
     val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("ASCII")); bb.putInt(total - 8)
     bb.put("WAVE".getBytes("ASCII"))
@@ -151,6 +227,10 @@ object MediaCodecs {
     bb.putInt(sampleRate * channels * 2) // byte rate
     bb.putShort((channels * 2).toShort) // block align
     bb.putShort(16) // bits per sample
+    if (listBody != null) {
+      bb.put("LIST".getBytes("ASCII")); bb.putInt(listBody.length)
+      bb.put(listBody); bb.put(0.toByte) // word-alignment pad
+    }
     bb.put("data".getBytes("ASCII")); bb.putInt(dataLen)
     var s = seed; var i = 0
     while (i < nSamples * channels) {
@@ -245,10 +325,11 @@ object MediaCodecs {
       val len = bb.getShort(pos + 2) & 0xffff
       if (len < 2) return None // marker length includes itself: never loop
       if (isSof) {
-        if (pos + 2 + 7 > bytes.length) return None
+        if (pos + 10 > bytes.length) return None
         val height = bb.getShort(pos + 5) & 0xffff
         val width = bb.getShort(pos + 7) & 0xffff
-        return Some(MediaInfo("image", width, height, 0, 0))
+        val ncomp = bytes(pos + 9) & 0xff
+        return Some(MediaInfo("image", width, height, 0, ncomp))
       }
       pos += 2 + len
     }

@@ -25,10 +25,17 @@ object MultimodalOps {
         MediaFunctions.mediaEncodeRef(col("span.media_ref")).as("payload"))
 
   /** deterministic synthesis of a real byte stream from an integer seed
-    * (the same parameter derivation the driver oracle replicates). */
+    * (the same parameter derivation the driver oracle replicates). PNGs
+    * cycle through color types gray/RGB/RGBA by (seed/3) % 3 — multi-
+    * channel images halve each dimension so the pixel-byte budget stays
+    * in the grayscale range. */
   def encodeFor(seed: Long): Array[Byte] = (seed % 3) match {
-    case 0 => MediaCodecs.encodePng(
-      16 + (seed % 16).toInt * 4, 16 + ((seed * 7) % 16).toInt * 4, seed)
+    case 0 =>
+      val colorType = Seq(0, 2, 6)(((seed / 3) % 3).toInt)
+      val div = if (colorType == 0) 1 else 2
+      MediaCodecs.encodePng(
+        (16 + (seed % 16).toInt * 4) / div, (16 + ((seed * 7) % 16).toInt * 4) / div,
+        seed, colorType)
     case 1 => MediaCodecs.encodeWav(
       8000 * (1 + (seed % 6)).toInt, 1 + (seed % 2).toInt,
       64 + (seed % 64).toInt, seed)

@@ -44,23 +44,36 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("PNG pixel decode (inflate + unfilter) returns the exact LCG stream") {
-    for (seed <- Seq(0L, 3L, 42L, 9999L)) {
+    // every (seed, colorType) pair: the encoder cycles scanline filters
+    // (seed + row) % 5, so any h >= 5 exercises all five filter types —
+    // Sub/Up/Average/Paeth reconstruction must recover the raw stream
+    for (seed <- Seq(0L, 3L, 42L, 9999L); colorType <- Seq(0, 2, 4, 6)) {
+      val ch = MediaCodecs.pngChannels(colorType)
       val w = 16 + (seed % 16).toInt * 4
       val h = 16 + ((seed * 7) % 16).toInt * 4
-      val px = MediaCodecs.decodePngPixels(MediaCodecs.encodePng(w, h, seed)).get
-      assert(px.length == w * h)
-      // regenerate the LCG exactly as the encoder does (filter positions
-      // advance the state but are not pixels)
-      var s = seed; var i = 0; var p = 0
-      while (i < h * (1 + w)) {
+      val px = MediaCodecs.decodePngPixels(
+        MediaCodecs.encodePng(w, h, seed, colorType)).get
+      assert(px.length == w * h * ch)
+      // pixel bytes are the raw LCG stream in scanline order
+      var s = seed; var p = 0
+      while (p < px.length) {
         s = s * 6364136223846793005L + 1442695040888963407L
-        if (i % (1 + w) != 0) {
-          assert((px(p) & 0xff) == (s >>> 56).toInt, s"pixel $p differs")
-          p += 1
-        }
-        i += 1
+        assert((px(p) & 0xff) == (s >>> 56).toInt,
+          s"pixel $p differs (colorType $colorType)")
+        p += 1
       }
     }
+  }
+
+  test("PNG decode reports channel counts and rejects non-8-bit profiles") {
+    assert(MediaCodecs.decodePng(MediaCodecs.encodePng(8, 8, 1L, 2))
+      .exists(_.channels == 3))
+    assert(MediaCodecs.decodePng(MediaCodecs.encodePng(8, 8, 1L, 6))
+      .exists(_.channels == 4))
+    // palette color type (3): header parses but pixel decode refuses
+    val pal = MediaCodecs.encodePng(8, 8, 1L)
+    pal(8 + 8 + 9) = 3 // IHDR color-type byte
+    assert(MediaCodecs.decodePngPixels(pal).isEmpty)
   }
 
   test("PNG pixel decode rejects corrupted streams instead of mis-decoding") {
