@@ -99,9 +99,17 @@ object AnnIndex {
   /** Top-k by exact cosine over the index's bucket candidates. Output
     * (q_id, c_id, cos_ppm, rnk) — identical rows to annLshShared over the
     * same corpus/parameters, but the corpus side comes off the pruned
-    * index scan instead of being re-hashed. */
+    * index scan instead of being re-hashed.
+    *
+    * Batches up to `maxBroadcastRows` hashed rows (query vectors x tables)
+    * are collected once and ride as the broadcast join side — the
+    * resident-service shape. Larger batches stay distributed: only the
+    * DISTINCT (tbl, bucket) set — bounded by tables x 2^planes regardless
+    * of batch size — comes to the driver for the static partition filter,
+    * and the candidate join runs as an ordinary shuffle join, so a
+    * million-query load never materializes on the driver. */
   def query(spark: SparkSession, path: String, queries: DataFrame,
-            k: Int): DataFrame = {
+            k: Int, maxBroadcastRows: Int = 65536): DataFrame = {
     val meta = readMeta(spark, path)
     val hashed = queries
       .select(col("vec_id").as("q_id"),
@@ -109,24 +117,35 @@ object AnnIndex {
       .withColumn("bk", explode(TrainingOps.bucketsFor(col("q_vec"), hyperFor(meta))))
       .select(col("q_id"), col("q_vec"),
         col("bk.tbl").as("tbl"), col("bk.b").as("bucket"))
-    // the query batch is small by contract (it rides as a broadcast below):
-    // hash it ONCE, keep the rows on the driver, and reuse them both as the
-    // static partition filter and as the local join side — the LSH hashing
-    // subplan is never executed twice
-    val qRows = hashed.collect()
-    val q = spark.createDataFrame(
-      java.util.Arrays.asList(qRows: _*), hashed.schema)
-    val wanted = qRows.map(r => (r.getInt(2), r.getLong(3))).distinct
-    // empty batch -> empty result (mirror annLshShared, which yields no
-    // rows rather than failing); lit(false) keeps the scan at zero files
-    val prune =
+    // limit-probe: one execution of the hashing subplan tells us whether
+    // the batch fits the broadcast contract (and, when it does, already
+    // yields the rows — the subplan is never executed twice on that path)
+    val probe = hashed.limit(maxBroadcastRows + 1).collect()
+    def pruneOf(wanted: Array[(Int, Long)]) =
+      // empty batch -> empty result (mirror annLshShared, which yields no
+      // rows rather than failing); lit(false) keeps the scan at zero files
       if (wanted.isEmpty) lit(false)
       else wanted.groupBy(_._1).map { case (t, bs) =>
         col("tbl") === t && col("bucket").isin(bs.map(_._2).toSeq: _*)
       }.reduce(_ || _)
-    val idx = spark.read.parquet(path).where(prune)
-    // the scoring/ranking tail is SHARED with annLshShared so the
-    // persisted path's rows stay byte-identical to the in-memory path
-    TrainingOps.scoreTopK(idx.join(broadcast(q), Seq("tbl", "bucket")), k)
+    if (probe.length <= maxBroadcastRows) {
+      val qRows = probe
+      val q = spark.createDataFrame(
+        java.util.Arrays.asList(qRows: _*), hashed.schema)
+      val prune = pruneOf(qRows.map(r => (r.getInt(2), r.getLong(3))).distinct)
+      val idx = spark.read.parquet(path).where(prune)
+      // the scoring/ranking tail is SHARED with annLshShared so the
+      // persisted path's rows stay byte-identical to the in-memory path
+      TrainingOps.scoreTopK(idx.join(broadcast(q), Seq("tbl", "bucket")), k)
+    } else {
+      // distributed fallback: the bucket set is small even when the batch
+      // is not (≤ tables x 2^planes pairs), so static partition pruning
+      // survives; the query side re-runs the (linear) hashing subplan
+      // inside the join instead of living on the driver
+      val wanted = hashed.select(col("tbl"), col("bucket")).distinct().collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      val idx = spark.read.parquet(path).where(pruneOf(wanted))
+      TrainingOps.scoreTopK(idx.join(hashed, Seq("tbl", "bucket")), k)
+    }
   }
 }

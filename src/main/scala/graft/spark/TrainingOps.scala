@@ -441,13 +441,24 @@ object TrainingOps {
 
     def assign(df: DataFrame, vecCol: String, cs: Seq[(Int, Seq[Double])],
                topN: Int): DataFrame = {
-      val w = Window.partitionBy(col(vecCol + "_id"))
-        .orderBy(col("cs").desc, col("cid"))
-      df.crossJoin(broadcast(centDF(cs)))
+      val scored = df.crossJoin(broadcast(centDF(cs)))
         .withColumn("cs", cosine(col(vecCol), col("centv")))
-        .withColumn("crnk", row_number().over(w))
-        .where(col("crnk") <= topN)
-        .drop("centv", "crnk")
+      if (topN == 1)
+        // nearest-centroid argmax as a map-side-combinable aggregate: the
+        // nlist candidate rows per vector collapse BEFORE the exchange
+        // (partial max_by), vs a row_number window that would shuffle and
+        // sort all nlist x N rows just to take rank 1. Tie-break matches
+        // the window ordering (highest cs, then lowest cid).
+        scored.groupBy(col(vecCol + "_id"))
+          .agg(first(col(vecCol)).as(vecCol),
+            max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"))
+      else {
+        val w = Window.partitionBy(col(vecCol + "_id"))
+          .orderBy(col("cs").desc, col("cid"))
+        scored.withColumn("crnk", row_number().over(w))
+          .where(col("crnk") <= topN)
+          .drop("centv", "crnk")
+      }
     }
 
     var it = 0

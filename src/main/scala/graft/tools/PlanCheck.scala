@@ -91,6 +91,9 @@ object PlanCheck {
       "no cross product" -> (p => !p.contains("CartesianProduct")))
     check("ann_ivf")(q("ann_ivf"))(
       "cluster-id equi-join (no cross product on corpus)" -> (p => p.contains("Join")),
+      "nearest-centroid assignment is a map-side argmax aggregate (max_by), " +
+        "not a window over nlist x N rows" -> (p =>
+          p.contains("max_by") && "partial_max_by|max_by.*\\bmerge".r.findFirstIn(p).isDefined),
       "windowed top-k" -> (_.contains("Window")))
     check("geo_utm_native")(q("geo_utm_native"))(
       "no shuffle for per-row zone dispatch" -> (p => !p.contains("Exchange") || p.contains("TakeOrdered")))

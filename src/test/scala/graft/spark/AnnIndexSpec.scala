@@ -59,6 +59,34 @@ class AnnIndexSpec extends AnyFunSuite {
       s"expected <= 8 partitions, scanned ${scans.head.selectedPartitions.partitionCount}")
   }
 
+  test("over-guard batches take the distributed path with identical rows") {
+    built
+    val q = corpus.where(col("vec_id") < 6)
+    // disable auto-broadcast so the plan shows what the fallback FORCES
+    // (at real scale the optimizer's size estimate does this by itself)
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      // 6 queries x 8 tables = 48 hashed rows > guard of 8: forces the
+      // distributed fallback (no driver collect of the batch)
+      val fallback = AnnIndex.query(spark, path, q, k = 4, maxBroadcastRows = 8)
+      val broadcastPath = AnnIndex.query(spark, path, q, k = 4)
+      assert(fallback.as[(Long, Long, Long, Int)].collect().toSet ==
+        broadcastPath.as[(Long, Long, Long, Int)].collect().toSet)
+      // static partition pruning survives: the bucket set is still collected
+      // (bounded by tables x 2^planes), so the index scan carries filters
+      val plan = fallback.queryExecution.sparkPlan.toString
+      assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+        s"no partition filters in fallback plan:\n$plan")
+      // and the query side is NOT broadcast (it stays distributed); the
+      // under-guard path still is (its explicit broadcast() hint)
+      assert(!plan.contains("BroadcastHashJoin"),
+        "fallback path must not broadcast the query batch")
+      assert(broadcastPath.queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+  }
+
   test("meta round-trips and rejects unknown family") {
     built
     val m = AnnIndex.readMeta(spark, path)
