@@ -54,24 +54,19 @@ object TrainingOps {
   }
 
   /** n-gram-frequency language id heuristic: scores per language from
-    * characteristic trigram hit counts; pure column expressions. */
-  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val profiles: Map[String, Seq[String]] = Map(
-      "en" -> Seq(" th", "the", "he ", " an", "and", "ing", " of"),
-      "es" -> Seq(" de", "de ", " la", "os ", "ión", " el", "ent"),
-      "fr" -> Seq(" de", "es ", " le", "ent", "de ", " la", "ion"),
-      "de" -> Seq("en ", "er ", "ch ", " de", "ein", "sch", "die"))
-    val t = concat(lit(" "), lower(col(textCol)), lit(" "))
-    def score(lang: String): Column =
-      profiles(lang).map(g =>
-        (length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(g), "")))
-          / g.length).reduce(_ + _)
-    val scored = docs
+    * characteristic trigram hit counts. One single-pass expression
+    * (LangScoresExpr) scans the text once for all 26 patterns — the
+    * column-formula version ran one regexp_replace per trigram (26 scans
+    * per row); outputs locked equal in TextExprsSpec. */
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__ls", TextFunctions.langScores(
+        concat(lit(" "), lower(col(textCol)), lit(" "))))
       .withColumn("lang_scores", map(
-        profiles.keys.toSeq.flatMap(l => Seq(lit(l), score(l))): _*))
-    scored.withColumn("lang_pred",
-      expr("map_keys(lang_scores)[array_position(map_values(lang_scores), array_max(map_values(lang_scores))) - 1]"))
-  }
+        TextKernels.langProfiles.flatMap { case (l, _) =>
+          Seq(lit(l), col("__ls").getField(l)) }: _*))
+      .withColumn("lang_pred", col("__ls").getField("pred"))
+      .drop("__ls")
 
   /** rolling-hash document fingerprint (polynomial over bytes, base 257 mod
     * 2^61-1) — content-defined, shift-stable prefix hash. */
@@ -148,17 +143,13 @@ object TrainingOps {
   }
 
   /** SimHash (64-bit) over word features: per-bit majority vote of feature
-    * hashes. Candidates join on 4×16-bit chunks (hamming<=3-ish recall). */
-  def simhash(text: Column): Column = {
-    val words = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    val hashes = transform(words, w => xxhash64(w))
-    val bits = (0 until 64).map { bit =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, lit(1L) * lit(1L << bit)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+    * hashes (xxhash64 seed 42 per word, one pass — the column-formula
+    * version re-scanned the hash array once per bit, 64x; outputs locked
+    * equal in TextExprsSpec). Candidates join on 4×16-bit chunks
+    * (hamming<=3-ish recall). */
+  def simhash(text: Column): Column =
+    TextFunctions.simhash64(
+      split(regexp_replace(lower(trim(text)), "\\s+", " "), " "))
 
   // ---------------- cross-engine-verifiable (shared-hash) variants ----------
   //
@@ -174,20 +165,11 @@ object TrainingOps {
   /** 16-bit SimHash bucket (bits 48..63 of an md5-digit-derived 64-bit
     * hash) from a WORDS COLUMN: bit k of the bucket is the majority vote
     * over words of nibble bit (k%4) of md5 hex digit (13 + k/4). Mirrors
-    * the DuckDB oracle. Takes a column (not an inline split expression) so
-    * the 16 per-bit aggregates don't each re-run the tokenization. */
-  def simhashBucketSharedFromWords(words: Column): Column = {
-    val bits = (0 until 16).map { k =>
-      val pos = 13 + k / 4
-      val shift = k % 4
-      val vote = aggregate(words, lit(0), (acc, w) => {
-        val digit = conv(substring(md5(w), pos, 1), 16, 10).cast("int")
-        acc + when(shiftright(digit, shift).bitwiseAND(1) === 1, 1).otherwise(-1)
-      })
-      when(vote > 0, lit(1L << k)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+    * the DuckDB oracle. Single-pass expression: ONE md5 per word (the
+    * 16-aggregate column formula recomputed md5 per word PER BIT, 16x);
+    * outputs locked equal in TextExprsSpec. */
+  def simhashBucketSharedFromWords(words: Column): Column =
+    TextFunctions.simhashBucketShared(words)
 
   /** simhash bucket over a docs frame, with the tokenization hoisted into a
     * real column (see simhashBucketSharedFromWords). */
