@@ -505,7 +505,12 @@ object OracleSql {
   // ---------------------------------------------------------------- geo_epsg
 
   /** EPSG alias dispatch: EPSG:3857 (spherical web-mercator on the WGS84
-    * ellipsoid) + EPSG:4978 (geocentric cart fwd), both closed-form. */
+    * ellipsoid) + EPSG:4978 (geocentric cart fwd), plus the generic
+    * CRS→CRS planner's Lambert-93 (cart hop WGS84→GRS80, then LCC 2SP
+    * mirroring MercLccOps.lcc op-for-op) and British National Grid
+    * (7-parameter position-vector Helmert inverse + Bowring inverse on
+    * airy + Krueger alpha-series tmerc with the lat_0=49 rectifying
+    * offset). All closed-form. */
   def geoEpsg: String =
     s"""WITH $ptsCte,
     c AS (SELECT 6378137.0 AS aa, 1.0/298.257223563 AS ff, 2*ff - ff*ff AS es),
@@ -521,14 +526,145 @@ object OracleSql {
         nr*cos(phi)*cos(lam) AS gc_x,
         nr*cos(phi)*sin(lam) AS gc_y,
         (nr*(1-(SELECT es FROM c)))*sin(phi) AS gc_z
-      FROM t)
-    SELECT point_id,
+      FROM t),
+    -- France/UK-domain inputs (same derivation as the Spark side)
+    f AS (
+      SELECT point_id,
+        ((point_id % 600)*0.01 + 0.005)*(pi()/180) AS lamf,
+        (44.0 + (point_id % 700)*0.01)*(pi()/180) AS phif,
+        ((point_id % 500)*0.01 - 4.5)*(pi()/180) AS lamb,
+        (50.0 + (point_id % 550)*0.01)*(pi()/180) AS phib
+      FROM pts),
+    -- Lambert-93 leg: cart fwd on WGS84, Bowring inverse on GRS80
+    l1 AS (
+      SELECT point_id,
+        1.0/298.257223563 AS ffw, 2*ffw - ffw*ffw AS esw, 6378137.0 AS aa,
+        aa/sqrt(1 - esw*sin(phif)*sin(phif)) AS nr,
+        nr*cos(phif)*cos(lamf) AS X,
+        nr*cos(phif)*sin(lamf) AS Y,
+        (nr*(1-esw))*sin(phif) AS Z
+      FROM f),
+    l2 AS (
+      -- aag, not aa: l1 carries an aa column (same value here, but the
+      -- shadowing rule bit the BNG leg — keep both legs collision-free)
+      SELECT point_id,
+        1.0/298.257222101 AS ffg, 2*ffg - ffg*ffg AS esg, 6378137.0 AS aag,
+        esg/(1-esg) AS e2s, X/aag AS xa, Y/aag AS ya, Z/aag AS za,
+        sqrt(xa*xa+ya*ya) AS p, 1-ffg AS ba, p*ba AS pb,
+        sqrt(za*za+pb*pb) AS nrm, pb/nrm AS cth, za/nrm AS sth,
+        atan((za + e2s*ba*sth*sth*sth)/(p - esg*cth*cth*cth)) AS phi2,
+        atan2(ya, xa) AS lam2
+      FROM l1),
+    -- LCC 2SP consts on GRS80: phi1=49, phi2=44, phi0=46.5, lon0=3
+    lc AS (
+      SELECT 1.0/298.257222101 AS ff, ff*(2-ff) AS es, sqrt(es) AS e,
+        49*(pi()/180) AS p1, 44*(pi()/180) AS p2, 46.5*(pi()/180) AS p0,
+        cos(p1)/sqrt(1-es*sin(p1)*sin(p1)) AS m1,
+        cos(p2)/sqrt(1-es*sin(p2)*sin(p2)) AS m2,
+        exp(e*0.5*ln((1+e*sin(p1))/(1-e*sin(p1))))*cos(p1)/(1+sin(p1)) AS ts1,
+        exp(e*0.5*ln((1+e*sin(p2))/(1-e*sin(p2))))*cos(p2)/(1+sin(p2)) AS ts2,
+        exp(e*0.5*ln((1+e*sin(p0))/(1-e*sin(p0))))*cos(p0)/(1+sin(p0)) AS ts0,
+        ln(m1/m2)/ln(ts1/ts2) AS nn,
+        m1*power(ts1, -nn)/nn AS c0,
+        c0*power(ts0, nn) AS rho0),
+    l3 AS (
+      SELECT point_id,
+        c0*power(exp(e*0.5*ln((1+e*sin(phi2))/(1-e*sin(phi2))))
+                 *cos(phi2)/(1+sin(phi2)), nn) AS rho,
+        (lam2 - 3*(pi()/180))*nn AS th,
+        6378137.0*rho*sin(th) + 700000 AS l93_x,
+        6378137.0*(rho0 - rho*cos(th)) + 6600000 AS l93_y
+      FROM l2, lc),
+    -- BNG leg: cart fwd WGS84, inverse position-vector Helmert (OSGB36
+    -- towgs84 446.448,-125.157,542.06,0.15,0.247,0.842,-20.489), Bowring
+    -- inverse on airy
+    b1 AS (
+      SELECT point_id,
+        1.0/298.257223563 AS ffw, 2*ffw - ffw*ffw AS esw, 6378137.0 AS aa,
+        aa/sqrt(1 - esw*sin(phib)*sin(phib)) AS nr,
+        nr*cos(phib)*cos(lamb) AS X0,
+        nr*cos(phib)*sin(lamb) AS Y0,
+        (nr*(1-esw))*sin(phib) AS Z0,
+        (0.15/3600)*(pi()/180) AS rx,
+        (0.247/3600)*(pi()/180) AS ry,
+        (0.842/3600)*(pi()/180) AS rz,
+        1 + (-20.489)*1e-6 AS sc,
+        (X0 - 446.448)/sc AS x1, (Y0 + 125.157)/sc AS y1, (Z0 - 542.06)/sc AS z1,
+        x1 + rz*y1 - ry*z1 AS X,
+        -rz*x1 + y1 + rx*z1 AS Y,
+        ry*x1 - rx*y1 + z1 AS Z
+      FROM f),
+    b2 AS (
+      -- alias must NOT be named aa: b1 carries an aa column (WGS84) and
+      -- DuckDB resolves an existing FROM column before a lateral alias
+      SELECT point_id,
+        1.0/299.3249646 AS ffa, 2*ffa - ffa*ffa AS esa, 6377563.396 AS aab,
+        esa/(1-esa) AS e2s, X/aab AS xa, Y/aab AS ya, Z/aab AS za,
+        sqrt(xa*xa+ya*ya) AS p, 1-ffa AS ba, p*ba AS pb,
+        sqrt(za*za+pb*pb) AS nrm, pb/nrm AS cth, za/nrm AS sth,
+        atan((za + e2s*ba*sth*sth*sth)/(p - esa*cth*cth*cth)) AS phi2,
+        atan2(ya, xa) AS lam2
+      FROM b1),
+    -- Krueger alpha-series tmerc on airy, k0=0.9996012717, lon0=-2,
+    -- x0=400000, y0=-100000, lat_0=49 (xi0 subtraction = etmerc Zb)
+    bc AS (
+      SELECT 6377563.396 AS aa, 1.0/299.3249646 AS ff,
+        ff*(2-ff) AS es, sqrt(ff*(2-ff)) AS ee, ff/(2-ff) AS n,
+        aa/(1+n)*(1 + n*n/4 + n*n*n*n/64 + n*n*n*n*n*n/256) AS a1r,
+        n/2 - 2*n*n/3 + 5*n*n*n/16 + 41*n*n*n*n/180 - 127*n*n*n*n*n/288 + 7891*n*n*n*n*n*n/37800 AS k1,
+        13*n*n/48 - 3*n*n*n/5 + 557*n*n*n*n/1440 + 281*n*n*n*n*n/630 - 1983433*n*n*n*n*n*n/1935360 AS k2,
+        61*n*n*n/240 - 103*n*n*n*n/140 + 15061*n*n*n*n*n/26880 + 167603*n*n*n*n*n*n/181440 AS k3,
+        49561*n*n*n*n/161280 - 179*n*n*n*n*n/168 + 6601661*n*n*n*n*n*n/7257600 AS k4,
+        34729*n*n*n*n*n/80640 - 3418889*n*n*n*n*n*n/1995840 AS k5,
+        212378941*n*n*n*n*n*n/319334400 AS k6,
+        0.9996012717 AS bk0,
+        tan(49*(pi()/180)) AS tau0,
+        ee*tau0/sqrt(1+tau0*tau0) AS w0,
+        0.5*ln((1+w0)/(1-w0)) AS aw0,
+        (exp(ee*aw0) - exp(-ee*aw0))/2 AS sg0,
+        tau0*sqrt(1+sg0*sg0) - sg0*sqrt(1+tau0*tau0) AS taup0,
+        atan2(taup0, 1.0) AS xip0,
+        xip0 + k1*sin(2*xip0) + k2*sin(4*xip0) + k3*sin(6*xip0)
+             + k4*sin(8*xip0) + k5*sin(10*xip0) + k6*sin(12*xip0) AS xi0),
+    b3 AS (
+      SELECT point_id,
+        phi2 AS phi, lam2 - (-2)*(pi()/180) AS dl,
+        tan(phi) AS tau,
+        ee*tau/sqrt(1+tau*tau) AS w,
+        0.5*ln((1+w)/(1-w)) AS aw,
+        (exp(ee*aw) - exp(-ee*aw))/2 AS sg,
+        tau*sqrt(1+sg*sg) - sg*sqrt(1+tau*tau) AS taup,
+        atan2(taup, cos(dl)) AS xip,
+        sin(dl)/sqrt(taup*taup + cos(dl)*cos(dl)) AS q,
+        ln(q + sqrt(q*q+1)) AS etap,
+        xip + k1*sin(2*xip)*(exp(2*etap)+exp(-2*etap))/2
+            + k2*sin(4*xip)*(exp(4*etap)+exp(-4*etap))/2
+            + k3*sin(6*xip)*(exp(6*etap)+exp(-6*etap))/2
+            + k4*sin(8*xip)*(exp(8*etap)+exp(-8*etap))/2
+            + k5*sin(10*xip)*(exp(10*etap)+exp(-10*etap))/2
+            + k6*sin(12*xip)*(exp(12*etap)+exp(-12*etap))/2 AS xi,
+        etap + k1*cos(2*xip)*(exp(2*etap)-exp(-2*etap))/2
+             + k2*cos(4*xip)*(exp(4*etap)-exp(-4*etap))/2
+             + k3*cos(6*xip)*(exp(6*etap)-exp(-6*etap))/2
+             + k4*cos(8*xip)*(exp(8*etap)-exp(-8*etap))/2
+             + k5*cos(10*xip)*(exp(10*etap)-exp(-10*etap))/2
+             + k6*cos(12*xip)*(exp(12*etap)-exp(-12*etap))/2 AS eta,
+        bk0*a1r*eta + 400000 AS bng_x,
+        bk0*a1r*(xi - xi0) - 100000 AS bng_y
+      FROM b2, bc)
+    SELECT o.point_id,
       CAST(round(wm_x*1000) AS BIGINT) AS wm_x_mm,
       CAST(round(wm_y*1000) AS BIGINT) AS wm_y_mm,
       CAST(round(gc_x*1000) AS BIGINT) AS gc_x_mm,
       CAST(round(gc_y*1000) AS BIGINT) AS gc_y_mm,
-      CAST(round(gc_z*1000) AS BIGINT) AS gc_z_mm
-    FROM o ORDER BY point_id"""
+      CAST(round(gc_z*1000) AS BIGINT) AS gc_z_mm,
+      CAST(round(l93_x*1000) AS BIGINT) AS l93_x_mm,
+      CAST(round(l93_y*1000) AS BIGINT) AS l93_y_mm,
+      CAST(round(bng_x*1000) AS BIGINT) AS bng_x_mm,
+      CAST(round(bng_y*1000) AS BIGINT) AS bng_y_mm
+    FROM o JOIN l3 ON o.point_id = l3.point_id
+           JOIN b3 ON o.point_id = b3.point_id
+    ORDER BY o.point_id"""
 
   // ------------------------------------------------------------ media_features
 

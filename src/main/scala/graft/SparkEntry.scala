@@ -518,14 +518,29 @@ object SparkEntry {
 
     "geo_epsg" -> ((s, dir) => {
       // EPSG:xxxx alias front-end driving the transforms (web mercator +
-      // geocentric); oracle recomputes both closed-form
+      // geocentric), plus the generic EPSG-table CRS→CRS planner
+      // (CrsToCrs.pipelineGis): Lambert-93 (LCC 2SP behind a WGS84→GRS80
+      // ellipsoid hop) and British National Grid (7-parameter towgs84
+      // datum hop + tmerc on airy). France/UK-domain inputs derive from
+      // point_id so the transverse-mercator series stays in its
+      // convergence zone; oracle recomputes everything closed-form
       custPoints(s, dir)
+        .withColumn("lon_f", (col("point_id") % 600) * 0.01 + 0.005)
+        .withColumn("lat_f", lit(44.0) + (col("point_id") % 700) * 0.01)
+        .withColumn("lon_b", (col("point_id") % 500) * 0.01 - 4.5)
+        .withColumn("lat_b", lit(50.0) + (col("point_id") % 550) * 0.01)
         .withColumn("wm", ProjFunctions.projTrans2(col("lon"), col("lat"), "EPSG:3857"))
         .withColumn("gc", ProjFunctions.projTrans2(col("lon"), col("lat"), "EPSG:4978"))
+        .withColumn("l93", ProjFunctions.crsToCrs2(col("lon_f"), col("lat_f"),
+          "EPSG:4326", "EPSG:2154"))
+        .withColumn("bng", ProjFunctions.crsToCrs2(col("lon_b"), col("lat_b"),
+          "EPSG:4326", "EPSG:27700"))
         .select(col("point_id"),
           mm(col("wm.x")).as("wm_x_mm"), mm(col("wm.y")).as("wm_y_mm"),
           mm(col("gc.x")).as("gc_x_mm"), mm(col("gc.y")).as("gc_y_mm"),
-          mm(col("gc.z")).as("gc_z_mm"))
+          mm(col("gc.z")).as("gc_z_mm"),
+          mm(col("l93.x")).as("l93_x_mm"), mm(col("l93.y")).as("l93_y_mm"),
+          mm(col("bng.x")).as("bng_x_mm"), mm(col("bng.y")).as("bng_y_mm"))
     }),
 
     "zone_area" -> ((s, dir) => {

@@ -106,4 +106,88 @@ object CrsToCrs {
       (sb.toString, latLonOrYX)
     }
   }
+
+  // --------------------------------------------------- generic GIS-order path
+
+  /** CRS definition derived from the generated EPSG init table: kind,
+    * pipeline-ready body (towgs84/no_defs stripped), ellipsoid tokens for
+    * cart steps, and the datum shift (explicit towgs84, or implied by a
+    * legacy datum key). */
+  private final case class GenDef(kind: Int, body: String,
+                                  ellTokens: String, towgs84: Option[Seq[Double]])
+
+  private val ellKeys = Set("a", "b", "rf", "f", "es", "ellps", "datum", "R")
+
+  private def genDef(c: Int): Option[GenDef] = Proj.epsgInitLookup(c.toString).flatMap { raw =>
+    val toks = raw.split("\\s+").filter(_.nonEmpty).map(_.stripPrefix("+")).toSeq
+    def valOf(k: String): Option[String] =
+      toks.collectFirst { case t if t.startsWith(k + "=") => t.substring(k.length + 1) }
+    // non-greenwich prime meridians need per-kind handling we don't do here
+    if (valOf("pm").isDefined) None
+    else valOf("proj").map { projName =>
+      val kind = projName match {
+        case "longlat" | "latlong" | "latlon" | "lonlat" => GEOG2D
+        case "geocent" => GEOCENTRIC
+        case _ => PROJECTED
+      }
+      val towgs = valOf("towgs84").map(_.split(",").toSeq.map(_.toDouble))
+        .orElse(valOf("datum").flatMap(d => Datums.toDefn.get(d).collect {
+          case ("towgs84", v) => v.split(",").toSeq.map(_.toDouble)
+        }))
+      val body = toks.filterNot(t =>
+        t.startsWith("towgs84=") || t == "no_defs").mkString(" ")
+      val ell = toks.filter(t => ellKeys.contains(t.takeWhile(_ != '='))
+        && !t.startsWith("datum=")).mkString(" ") match {
+        // datum implies its ellipsoid; cart must not see towgs84-bearing keys
+        case "" => valOf("datum").map(d => "ellps=" +
+          Datums.toEllps.getOrElse(d, d)).getOrElse("")
+        case s => s
+      }
+      GenDef(kind, body, ell, towgs)
+    }
+  }
+
+  private def helmStep(t: Seq[Double], inv: Boolean): String =
+    if (t.forall(_ == 0.0)) ""
+    else {
+      val p = t.padTo(7, 0.0)
+      s" step proj=helmert x=${p(0)} y=${p(1)} z=${p(2)}" +
+        s" rx=${p(3)} ry=${p(4)} rz=${p(5)} s=${p(6)}" +
+        " convention=position_vector" + (if (inv) " inv" else "")
+    }
+
+  /** cs2cs-style src→dst pipeline in GIS axis order (lon,lat degrees for
+    * geographic ends, x,y metres/units for projected ends) for ANY pair of
+    * codes resolvable in the EPSG init table (~7k). Datum semantics mirror
+    * the legacy cs2cs path: shifts hop through geocentric WGS84 using each
+    * side's towgs84 (position-vector convention); a side without datum
+    * information contributes no shift; the geocentric hop also runs when
+    * only the ellipsoids differ. None for unknown codes or non-greenwich
+    * prime meridians. */
+  def pipelineGis(srcCode: String, dstCode: String): Option[String] = for {
+    sc <- code(srcCode)
+    dc <- code(dstCode)
+    src <- genDef(sc)
+    dst <- genDef(dc)
+  } yield {
+    val sb = new StringBuilder("proj=pipeline")
+    src.kind match {
+      case GEOG2D => sb ++= " step proj=unitconvert xy_in=deg xy_out=rad"
+      case GEOCENTRIC => sb ++= s" step proj=cart ${src.ellTokens} inv"
+      case _ => sb ++= s" step ${src.body} inv"
+    }
+    val sameDatum = src.ellTokens == dst.ellTokens && src.towgs84 == dst.towgs84
+    if (!sameDatum) {
+      sb ++= s" step proj=cart ${src.ellTokens}"
+      src.towgs84.foreach(t => sb ++= helmStep(t, inv = false))
+      dst.towgs84.foreach(t => sb ++= helmStep(t, inv = true))
+      sb ++= s" step proj=cart inv ${dst.ellTokens}"
+    }
+    dst.kind match {
+      case GEOG2D => sb ++= " step proj=unitconvert xy_in=rad xy_out=deg"
+      case GEOCENTRIC => sb ++= s" step proj=cart ${dst.ellTokens}"
+      case _ => sb ++= s" step ${dst.body}"
+    }
+    sb.toString
+  }
 }

@@ -1,9 +1,12 @@
 package graft.proj
 
-/** Thin `EPSG:xxxx` front-end: the ~30 codes that cover the bulk of real
-  * usage, mapped to their well-known proj-string definitions (the same
-  * public definitions the legacy proj4 epsg init file carried). This is NOT
-  * the reference's iso19111 CRS database — axis order is GIS-friendly
+/** Thin `EPSG:xxxx` front-end: the ~30 best-known codes carry hand-written
+  * proj-string definitions (the same public definitions the legacy proj4
+  * epsg init file carried); everything else falls through to the generated
+  * ~7k-code EPSG init table (src/main/resources/graft/epsg, derived from
+  * the reference's public EPSG SQL data), so any geographic/geocentric CRS
+  * and any projected CRS on a supported conversion method resolves. This is
+  * NOT the reference's iso19111 CRS database — axis order is GIS-friendly
   * lon/lat throughout, and unknown codes fall through to the normal
   * proj-string parser (which errors with INVALID_OP_WRONG_SYNTAX).
   */
@@ -14,8 +17,13 @@ object EpsgAliases {
     4326 -> "proj=longlat datum=WGS84 no_defs",
     4258 -> "proj=longlat ellps=GRS80 no_defs", // ETRS89
     4269 -> "proj=longlat datum=NAD83 no_defs",
+    // NAD27: the datum key implies the grid-based shift (nadgrids
+    // @conus,...); without those grids present no datum shift is applied
     4267 -> "proj=longlat datum=NAD27 no_defs",
-    4277 -> "proj=longlat ellps=airy no_defs", // OSGB36
+    // OSGB36 with the published 7-parameter transformation (EPSG:1314) —
+    // an ellipsoid-only alias would silently skip a ~100 m datum shift
+    4277 -> ("proj=longlat ellps=airy " +
+      "towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489 no_defs"),
     // geocentric
     4978 -> "proj=geocent datum=WGS84 no_defs",
     // global projected
@@ -56,7 +64,7 @@ object EpsgAliases {
         Some(s"proj=utm zone=${code - 32700} south datum=WGS84 units=m no_defs")
       else if (code >= 26901 && code <= 26923)
         Some(s"proj=utm zone=${code - 26900} datum=NAD83 units=m no_defs")
-      else None
+      else Proj.epsgInitLookup(codeStr) // generated ~7k-code table
     }
   }
 }

@@ -372,6 +372,15 @@ object ProjFunctions {
   def projTransInv2(x: Column, y: Column, pipeline: String): Column =
     projTrans(x, y, lit(0.0), lit(0.0), pipeline, forward = false)
 
+  /** cs2cs-style CRS→CRS in GIS axis order (lon,lat degrees for geographic
+    * ends, x,y for projected ends): the pipeline — including any towgs84
+    * datum hop through geocentric — is planned from the ~7k-code EPSG init
+    * table at PLAN time and compiled once (CrsToCrs.pipelineGis). */
+  def crsToCrs2(x: Column, y: Column, srcCrs: String, dstCrs: String): Column =
+    projTrans2(x, y, graft.proj.CrsToCrs.pipelineGis(srcCrs, dstCrs).getOrElse(
+      throw new IllegalArgumentException(
+        s"crsToCrs2: unsupported pair $srcCrs -> $dstCrs")))
+
   /** Reproject a point into its own inferred UTM zone CRS (per-row zone
     * dispatch over 120 precompiled pipelines): struct(zone, south, x, y). */
   def utmNative(lon: Column, lat: Column, ellps: String = "WGS84"): Column =
