@@ -48,26 +48,24 @@ object GeoKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       S2CellId.ringCells(S2CellId.cellId(lon, lat, level), rings))
 
-  /** S2 cell cover of a polygon ring's bbox at `level` (executor-side; the
-    * distributed pipJoin path — no driver collect). Adaptive sampling + one
-    * neighbor ring guarantees completeness for bbox covers; cost scales
-    * with (bbox span / cell pitch)^2, so pick `level` near the polygon
-    * scale (cells ~ polygon size). */
+  /** S2 cell cover of a polygon ring at `level` (executor-side; the
+    * distributed pipJoin path — no driver collect). Small rings take the
+    * bbox sampling fast path; large ones go through the quadtree interior
+    * cover (SpatialJoins.coverRing), which prunes bbox rectangles outside
+    * the polygon — a concave or elongated ring no longer drags its whole
+    * bounding box of candidate cells into the join. Adaptive sampling +
+    * one neighbor ring guarantees completeness either way; pick `level`
+    * near the polygon scale (cells ~ polygon size). */
   def coverCells(ring: ArrayData, level: Int): ArrayData = {
     val n = ring.numElements() / 2
-    var minLon = Double.MaxValue; var maxLon = Double.MinValue
-    var minLat = Double.MaxValue; var maxLat = Double.MinValue
+    val lons = new Array[Double](n); val lats = new Array[Double](n)
     var i = 0
     while (i < n) {
-      val lon = ring.getDouble(2 * i); val lat = ring.getDouble(2 * i + 1)
-      if (lon < minLon) minLon = lon
-      if (lon > maxLon) maxLon = lon
-      if (lat < minLat) minLat = lat
-      if (lat > maxLat) maxLat = lat
+      lons(i) = ring.getDouble(2 * i); lats(i) = ring.getDouble(2 * i + 1)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      SpatialJoins.coverBBox(minLon, minLat, maxLon, maxLat, level).toArray)
+      SpatialJoins.coverRing(lons, lats, level).toArray)
   }
 
   /** `n+1` waypoints (including both endpoints) along the WGS84 geodesic

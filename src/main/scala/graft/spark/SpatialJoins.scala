@@ -63,6 +63,121 @@ object SpatialJoins {
     cells.toSeq
   }
 
+  /** Interior-aware S2 cover of a polygon RING at `level`: a lon/lat
+    * quadtree descends from the ring's bbox, prunes rectangles that do not
+    * intersect the polygon (concave pockets, bbox corners), and samples
+    * only the surviving leaves with the same density + neighbor-ring
+    * guarantee as coverBBox. Small bboxes take the plain bbox fast path.
+    * Over-covers never under-covers: a leaf is kept when ANY of (ring
+    * vertex in rect, rect corner in ring, ring edge crosses rect) holds,
+    * so every polygon-intersecting cell is sampled; the PIP join's exact
+    * ray-cast verify keeps correctness independent of cover tightness. */
+  def coverRing(lons: Array[Double], lats: Array[Double], level: Int): Seq[Long] = {
+    val n = lons.length
+    var minLon = Double.MaxValue; var maxLon = Double.MinValue
+    var minLat = Double.MaxValue; var maxLat = Double.MinValue
+    var i = 0
+    while (i < n) {
+      if (lons(i) < minLon) minLon = lons(i)
+      if (lons(i) > maxLon) maxLon = lons(i)
+      if (lats(i) < minLat) minLat = lats(i)
+      if (lats(i) > maxLat) maxLat = lats(i)
+      i += 1
+    }
+    val maxAbsLat = math.min(89.9, math.max(math.abs(minLat), math.abs(maxLat)))
+    val pitchLat = 90.0 / (1L << math.min(level, 28)) / 1.7
+    val pitchLon = pitchLat * math.max(0.05, math.cos(maxAbsLat.toRadians))
+    def stepsNeeded(span: Double, pitch: Double): Int =
+      math.max(1, math.ceil(2.0 * span / pitch).toInt)
+    // same loud-failure contract as coverBBox: a level far too fine for
+    // the polygon scale is a wrong plan, not a silent 16M-cell cover
+    require(stepsNeeded(maxLon - minLon, pitchLon) <= 4096 &&
+            stepsNeeded(maxLat - minLat, pitchLat) <= 4096,
+      f"coverRing: bbox span needs > 4096 sample steps at S2 level $level — " +
+        "use a coarser level for polygons this large")
+    // fast path: small boxes gain nothing from pruning
+    if (stepsNeeded(maxLon - minLon, pitchLon).toLong *
+        stepsNeeded(maxLat - minLat, pitchLat) <= 1024)
+      return coverBBox(minLon, minLat, maxLon, maxLat, level)
+
+    def inRing(lon: Double, lat: Double): Boolean = {
+      var inside = false
+      var a = 0; var b = n - 1
+      while (a < n) {
+        if ((lats(a) > lat) != (lats(b) > lat) &&
+            lon < (lons(b) - lons(a)) * (lat - lats(a)) / (lats(b) - lats(a)) + lons(a))
+          inside = !inside
+        b = a; a += 1
+      }
+      inside
+    }
+    /** Liang-Barsky segment-vs-rect overlap. */
+    def segCrossesRect(x1: Double, y1: Double, x2: Double, y2: Double,
+                       rx0: Double, ry0: Double, rx1: Double, ry1: Double): Boolean = {
+      var t0 = 0.0; var t1 = 1.0
+      val dx = x2 - x1; val dy = y2 - y1
+      var k = 0
+      while (k < 4) {
+        val (p, q) = k match {
+          case 0 => (-dx, x1 - rx0)
+          case 1 => (dx, rx1 - x1)
+          case 2 => (-dy, y1 - ry0)
+          case _ => (dy, ry1 - y1)
+        }
+        if (p == 0) { if (q < 0) return false }
+        else {
+          val r = q / p
+          if (p < 0) { if (r > t1) return false; if (r > t0) t0 = r }
+          else { if (r < t0) return false; if (r < t1) t1 = r }
+        }
+        k += 1
+      }
+      true
+    }
+    def rectIntersects(rx0: Double, ry0: Double, rx1: Double, ry1: Double): Boolean = {
+      // rect corner inside polygon (also: rect fully interior)
+      if (inRing(rx0, ry0) || inRing(rx1, ry0) || inRing(rx0, ry1) || inRing(rx1, ry1))
+        return true
+      var a = 0; var b = n - 1
+      while (a < n) {
+        // ring vertex inside rect, or ring edge crossing the rect
+        if (lons(a) >= rx0 && lons(a) <= rx1 && lats(a) >= ry0 && lats(a) <= ry1)
+          return true
+        if (segCrossesRect(lons(b), lats(b), lons(a), lats(a), rx0, ry0, rx1, ry1))
+          return true
+        b = a; a += 1
+      }
+      false
+    }
+    val cells = collection.mutable.LinkedHashSet[Long]()
+    def emit(rx0: Double, ry0: Double, rx1: Double, ry1: Double): Unit = {
+      val si = stepsNeeded(rx1 - rx0, pitchLon)
+      val sj = stepsNeeded(ry1 - ry0, pitchLat)
+      var a = 0
+      while (a <= si) {
+        var b = 0
+        while (b <= sj) {
+          val c = S2CellId.cellId(rx0 + (rx1 - rx0) * a / si,
+            ry0 + (ry1 - ry0) * b / sj, level)
+          cells += c
+          cells ++= S2CellId.allNeighbors(c)
+          b += 1
+        }
+        a += 1
+      }
+    }
+    def descend(rx0: Double, ry0: Double, rx1: Double, ry1: Double): Unit = {
+      if (!rectIntersects(rx0, ry0, rx1, ry1)) return
+      if (stepsNeeded(rx1 - rx0, pitchLon) <= 16 &&
+          stepsNeeded(ry1 - ry0, pitchLat) <= 16) { emit(rx0, ry0, rx1, ry1); return }
+      val mx = (rx0 + rx1) / 2; val my = (ry0 + ry1) / 2
+      descend(rx0, ry0, mx, my); descend(mx, ry0, rx1, my)
+      descend(rx0, my, mx, ry1); descend(mx, my, rx1, ry1)
+    }
+    descend(minLon, minLat, maxLon, maxLat)
+    cells.toSeq
+  }
+
   /** Point-in-polygon join: points(lon, lat, …) × zones(zone_id, ring
     * flat-array) → points with matched zone_id (inner).
     *
