@@ -161,6 +161,7 @@ TOWGS84 = {
     6121: "-199.87,74.79,246.62",  # GGRS87
     6272: "59.47,-5.04,187.44,0.47,-0.1,1.024,-4.5993",  # NZGD49
     6299: "482.53,-130.596,564.557,-1.042,-0.214,-0.631,8.15",  # TM65 / Ireland 1965
+    6312: "577.326,90.129,463.919,5.137,1.474,5.297,2.4232",  # MGI
     6222: "-136,-108,-292",        # Cape
     6221: "-148,136,90",           # Campo Inchauspe
     6618: "-59,-11,-52",           # SAD69 (96)? use 6618 SAD69

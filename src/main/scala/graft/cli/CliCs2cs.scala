@@ -1,0 +1,330 @@
+package graft.cli
+
+import graft.core.{Coord, GeoMath, ProjError}
+import graft.proj.{Dispatch, IOUnits, ParamList, PJ, Proj}
+
+/** The `cs2cs` application (reference src/apps/cs2cs.cpp), re-expressed
+  * over the engine's PJ layer. Source and target are proj-strings (or
+  * `+init=` / `EPSG:` aliases resolving through the generated init table);
+  * the transformation is the legacy hub composition the reference's
+  * proj4-init-rules path produces: src⁻¹ → WGS84 geodetic hub → dst, with
+  * the towgs84/nadgrids/geoidgrids hops already wired into each PJ by
+  * Proj.create's cs2cs-emulation setup (Dispatch fwd-prepare/inv-finalize).
+  *
+  * Ballpark rule (reference createOperations: a side without datum
+  * information yields a ballpark transformation): the horizontal datum hop
+  * runs only when BOTH sides carry datum info; the vertical (geoidgrids)
+  * hop only when the source is 3D (geocentric, a known 3D geographic code,
+  * or promoted via --3d).
+  */
+object CliCs2cs {
+  import CliIo._
+
+  private final case class Side(P: PJ, str: String, isLongLat: Boolean,
+                                isGeocent: Boolean, hasDatum: Boolean,
+                                is3D: Boolean, isGeoc: Boolean,
+                                latFirst: Boolean, toRad: Double,
+                                cartBridge: PJ = null)
+
+  /** geographic-3D codes the corpus exercises (the generated init table
+    * carries no dimensionality; iso19111 is out of scope). */
+  private val geog3dCodes = Set("4979", "4327", "4329", "7912", "7843")
+
+  /** geographic codes whose authority axis unit is grad (NTF Paris family). */
+  private val gradCodes = Set("4807", "4810")
+
+  private def makeSide(str: String): Side = {
+    val P =
+      try Proj.create(str)
+      catch {
+        case e: ProjError =>
+          throw new CliExit(1, s"cannot instantiate coordinate system: ${e.getMessage}")
+      }
+    val params = P.params
+    val hasDatum = params.has("towgs84") || params.has("nadgrids")
+    val initCode = params.s("init").collect {
+      case s if s.startsWith("epsg:") => s.substring(5)
+    }
+    val epsgCode = {
+      val t = str.trim
+      if (t.length > 5 && t.regionMatches(true, 0, "EPSG:", 0, 5)) Some(t.substring(5).trim)
+      else None
+    }
+    val is3D = P.isGeocent ||
+      initCode.exists(geog3dCodes) || epsgCode.exists(geog3dCodes)
+    // ob_tran with an angular o_proj is a rotated-pole geographic CRS
+    // (reference #1525): treat it as long/lat in degrees
+    val obTranAngular = P.shortName == "ob_tran" &&
+      params.s("o_proj").exists(Set("longlat", "latlong", "latlon", "lonlat"))
+    // a bare EPSG code uses authority axis order: geographic codes are
+    // lat-first (the generated table carries no axis metadata; the rare
+    // lon-first geographic codes are out of corpus), NTF(Paris) in grads
+    val latFirst = epsgCode.isDefined && P.isLatlong
+    val toRad =
+      if (epsgCode.exists(gradCodes)) math.Pi / 200.0 else GeoMath.DEG2RAD
+    // +geoc is handled at the app level (geocentric latitude is a property
+    // of the CRS axis, not of the hub hop) — neutralize the PJ flag
+    val isGeoc = P.geoc
+    P.geoc = false
+    // ops with a true 3D kernel (sch, geocent, topocentric) carry the
+    // height through the transformation; plain 2D projections do not
+    val op3D = P.isGeocent || P.left == IOUnits.CARTESIAN ||
+      (P.hasCap(graft.proj.OpKernel.FWD3) && !P.isLatlong)
+    // the datum-shift hub emulation built by Proj.create uses helmert
+    // +exact; the crs_to_crs path the cs2cs app mirrors uses the
+    // small-angle position-vector step (EPSG geog2D-domain method), which
+    // differs at the mm level for large rotations (MGI) — rebuild without
+    // exact
+    if (P.emuHelmert != null) {
+      params.s("towgs84").foreach { tw =>
+        val q = Proj.create(new ParamList(Vector(
+          "break_cs2cs_recursion" -> "", "proj" -> "helmert",
+          "towgs84" -> tw, "convention" -> "position_vector")))
+        q.skipFwdPrepare = true; q.skipFwdFinalize = true
+        q.skipInvPrepare = true; q.skipInvFinalize = true
+        P.emuHelmert = q
+      }
+    }
+    // an op whose geographic-facing side is geocentric cartesian
+    // (topocentric) needs a cart hop to reach the geodetic hub
+    val cartBridge =
+      if (P.left == IOUnits.CARTESIAN && !P.isGeocent) {
+        val q = Proj.create(new ParamList(Vector(
+          "break_cs2cs_recursion" -> "", "proj" -> "cart",
+          "a" -> P.a.toString, "es" -> P.es.toString)))
+        q.skipFwdPrepare = true; q.skipFwdFinalize = true
+        q.skipInvPrepare = true; q.skipInvFinalize = true
+        q
+      } else null
+    Side(P, str, isLongLat = P.isLatlong || obTranAngular, isGeocent = P.isGeocent,
+      hasDatum = hasDatum, is3D = is3D || op3D, isGeoc = isGeoc,
+      latFirst = latFirst, toRad = toRad, cartBridge = cartBridge)
+  }
+
+  def run(args: Seq[String], stdin: String, progName: String = "cs2cs",
+          files: Map[String, String] = Map.empty): CliResult = {
+    val io = new CliOut
+    try {
+      runInner(args, stdin, progName, io, files)
+      CliResult(io.stdout, io.stderr, io.combined, 0)
+    } catch {
+      case ex: CliExit =>
+        // emess fatal shape (reference src/apps/emess.cpp)
+        io.err(s"\n${ex.message}\nprogram abnormally terminated\n")
+        CliResult(io.stdout, io.stderr, io.combined, ex.code)
+    }
+  }
+
+  private def runInner(args: Seq[String], stdin: String, progName: String,
+                       io: CliOut, files: Map[String, String]): Unit = {
+    var echoin = false
+    var inverse = progName.startsWith("inv")
+    var reversein = false
+    var reverseout = false
+    var promoteTo3D = false
+    var noBallpark = false
+    var accuracySet = false
+    var oform: Option[String] = None
+    var oterr = "*\t*"
+    var tag = '#'
+    val rtodms = new Rtodms()
+    var fromStr = ""
+    var toStr = ""
+    var haveTo = false
+    val eargs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    val isProj4Style = args.exists(_.startsWith("+"))
+
+    var i = 0
+    def nextArg(flag: String): String = {
+      i += 1
+      if (i >= args.length) throw new CliExit(1, s"missing argument for $flag")
+      args(i)
+    }
+    while (i < args.length) {
+      val arg = args(i)
+      if (arg.startsWith("--")) {
+        arg match {
+          case "--3d" => promoteTo3D = true
+          case "--no-ballpark" => noBallpark = true
+          case "--only-best" | "--only-best=yes" | "--only-best=no" => ()
+          case "--accuracy" => nextArg(arg); accuracySet = true
+          case "--area" | "--bbox" | "--authority" |
+               "--s_epoch" | "--t_epoch" => nextArg(arg)
+          case other => throw new CliExit(1, s"invalid option: $other")
+        }
+      } else if (arg.length > 1 && arg.charAt(0) == '-') {
+        var j = 1
+        var done = false
+        while (j < arg.length && !done) {
+          arg.charAt(j) match {
+            case 'I' => inverse = true
+            case 'E' => echoin = true
+            case 'r' => reversein = true
+            case 's' => reverseout = true
+            case 'v' => ()
+            case 'e' => oterr = nextArg("-e"); done = true
+            case 'f' => oform = Some(nextArg("-f")); done = true
+            case 'd' =>
+              val d = nextArg("-d"); done = true
+              oform = Some(s"%.${d.toIntOption.getOrElse(0)}f")
+            case 'D' => nextArg("-D"); done = true
+            case 't' =>
+              if (j + 1 < arg.length) { tag = arg.charAt(j + 1); j += 1 }
+              else throw new CliExit(1, "missing -t col. 1 tag")
+            case c @ ('w' | 'W') =>
+              if (j + 1 < arg.length && arg.charAt(j + 1).isDigit &&
+                  arg.charAt(j + 1) <= '8' &&
+                  (j + 2 >= arg.length || !arg.charAt(j + 2).isDigit)) {
+                rtodms.set(arg.charAt(j + 1) - '0', c == 'W'); j += 1
+              } else throw new CliExit(1, "-W argument missing or not in range [0,8]")
+            case other => throw new CliExit(1, s"invalid option: -$other")
+          }
+          j += 1
+        }
+      } else if (!isProj4Style) {
+        if (fromStr.isEmpty) fromStr = arg
+        else if (toStr.isEmpty) toStr = arg
+        else eargs += arg
+      } else if (arg == "+to") haveTo = true
+      else if (arg.startsWith("+")) {
+        if (haveTo) toStr = if (toStr.isEmpty) arg else s"$toStr $arg"
+        else fromStr = if (fromStr.isEmpty) arg else s"$fromStr $arg"
+      } else if (!haveTo) fromStr = arg
+      else if (toStr.isEmpty) toStr = arg
+      else eargs += arg
+
+      i += 1
+    }
+
+    oform.foreach { f =>
+      if (CFormat.parse(f).isEmpty) throw new CliExit(1, "invalid format string")
+    }
+    if (inverse) { val t = fromStr; fromStr = toStr; toStr = t }
+    if (fromStr.isEmpty && toStr.isEmpty)
+      throw new CliExit(1, "missing source and target coordinate systems")
+
+    // a missing side resolves to the other side's geographic base
+    // (cs2cs.cpp get_geog_crs_proj_string_from_proj_crs)
+    def geogBase(of: Side, missing: String): Side = {
+      if (of.isLongLat || of.isGeocent)
+        throw new CliExit(1, s"missing $missing CRS and the other CRS is not a projected CRS")
+      val keep = Set("a", "b", "rf", "f", "es", "ellps", "R", "pm", "over")
+      val geog = "proj=longlat " + of.P.params.entries.collect {
+        case (k, v) if keep(k) => if (v.isEmpty) k else s"$k=$v"
+      }.mkString(" ")
+      makeSide(geog + " break_cs2cs_recursion")
+    }
+    val srcOpt = if (fromStr.nonEmpty) Some(makeSide(fromStr)) else None
+    val dstOpt = if (toStr.nonEmpty) Some(makeSide(toStr)) else None
+    val src = srcOpt.getOrElse(geogBase(dstOpt.get, "source"))
+    val dst = dstOpt.getOrElse(geogBase(src, "target"))
+
+    // ballpark rule: horizontal datum hop only when both sides carry datum
+    // information (reference proj_create_crs_to_crs on a datum-less side);
+    // a ballpark-only candidate fails under --no-ballpark, and under
+    // --accuracy since a ballpark op carries unknown accuracy
+    if (!(src.hasDatum && dst.hasDatum)) {
+      if (noBallpark || accuracySet)
+        throw new CliExit(3, "cannot initialize transformation\ncause: (null)")
+      for (p <- Seq(src.P, dst.P)) {
+        p.emuHgrid = null; p.emuHelmert = null; p.emuCart = null; p.emuCartWgs84 = null
+      }
+    }
+    // vertical hop needs a 3D source (a 2D geographic z is not an
+    // ellipsoidal height; cs2cs gets -45.06 only from 3D/promoted sources)
+    if (!(src.is3D || promoteTo3D)) {
+      for (p <- Seq(src.P, dst.P)) p.emuVgrid = null
+    }
+
+    val srcDms = src.isLongLat && math.abs(src.toRad - GeoMath.DEG2RAD) < 1e-10
+    val informat: (String, Int) => (Double, Int) =
+      if (srcDms) dmstorTok else strtodTok
+    val effOform = if (!dst.isLongLat && oform.isEmpty) Some("%.2f") else oform
+    // vertical participates only for geocentric/3D/promoted pipelines; a 2D
+    // geographic z is no ellipsoidal height (geog2D-domain hub methods use
+    // h=0 and drop the output height), so z passes through
+    val vertical = src.isGeocent || dst.isGeocent || src.is3D || dst.is3D || promoteTo3D
+
+    val inputText =
+      if (eargs.isEmpty) stdin
+      else eargs.map(f => if (f == "-") stdin else files.getOrElse(f, "")).mkString
+    for (line <- lines(inputText)) {
+      if (line.nonEmpty && line.charAt(0) == tag) io.out(line + "\n")
+      else {
+        var pos = 0
+        var u = 0.0
+        var v = 0.0
+        if (reversein) {
+          val (a, p1) = informat(line, 0); v = a
+          val (b, p2) = informat(line, p1); u = b; pos = p2
+        } else {
+          val (a, p1) = informat(line, 0); u = a
+          val (b, p2) = informat(line, p1); v = b; pos = p2
+        }
+        var z = { val (zv, p) = strtodTok(line, pos); if (p != pos) { val r = zv; pos = p; r } else 0.0 }
+        // C reads a possible t and rewinds so it is echoed verbatim
+        val beforeTime = pos
+        val t = { val (tv, p) = strtodTok(line, pos); if (p != pos) tv else HUGE }
+        pos = beforeTime
+
+        if (v == HUGE) u = HUGE
+        if (echoin) { io.out(line.substring(0, math.min(pos, line.length))); io.out("\t") }
+
+        var x = u
+        var y = v
+        if (u != HUGE) {
+          if (src.latFirst) { val tmp = x; x = y; y = tmp }
+          if (src.isLongLat && !srcDms) { x *= src.toRad; y *= src.toRad }
+          val c = new Coord
+          c.set(x, y, z, t)
+          if (src.isGeoc) graft.proj.GeocentricLatitude.convert(src.P, forward = false, c)
+          Dispatch.inv4d(src.P, c)
+          if (!c.isError && src.cartBridge != null)
+            Dispatch.trans(src.cartBridge, forward = false, c)
+          if (!c.isError && dst.cartBridge != null)
+            Dispatch.trans(dst.cartBridge, forward = true, c)
+          if (!c.isError) Dispatch.fwd4d(dst.P, c)
+          if (!c.isError && dst.isGeoc)
+            graft.proj.GeocentricLatitude.convert(dst.P, forward = true, c)
+          if (c.isError || c.x == HUGE) { x = HUGE; y = HUGE; z = HUGE }
+          else {
+            x = c.x; y = c.y
+            // 2D pipelines pass z through with only the vertical unit
+            // conversion (vto_meter) applied
+            z = if (vertical) c.z else z * src.P.vtoMeter * dst.P.vfrMeter
+          }
+        } else x = HUGE
+
+        if (x == HUGE) io.out(oterr)
+        else if (dst.isLongLat && effOform.isEmpty) {
+          // authority lat-first destinations print N/S first (cs2cs.cpp
+          // destIsLatLong branch)
+          val latF = dst.latFirst ^ reverseout
+          if (latF) {
+            io.out(rtodms.format(y, 'N', 'S')); io.out("\t")
+            io.out(rtodms.format(x, 'E', 'W'))
+          } else {
+            io.out(rtodms.format(x, 'E', 'W')); io.out("\t")
+            io.out(rtodms.format(y, 'N', 'S'))
+          }
+        } else {
+          var ox = x
+          var oy = y
+          if (dst.isLongLat) { ox *= GeoMath.RAD2DEG; oy *= GeoMath.RAD2DEG }
+          if (dst.latFirst ^ reverseout) { val tmp = ox; ox = oy; oy = tmp }
+          val f = effOform.getOrElse("%.2f")
+          io.out(CFormat.format(f, ox)); io.out("\t"); io.out(CFormat.format(f, oy))
+        }
+
+        io.out(" ")
+        io.out(effOform match {
+          case Some(f) => CFormat.format(f, z)
+          case None => CFormat.format("%.3f", z)
+        })
+        io.out(line.substring(math.min(pos, line.length)))
+        io.out("\n")
+      }
+    }
+  }
+}

@@ -47,9 +47,11 @@ object CliIo {
   }
 
   /** stdin → lines without terminators (the runner always newline-
-    * terminates input, mirroring run_cli_test.py's `input += "\n"`). */
+    * terminates input, mirroring run_cli_test.py's `input += "\n"`); a
+    * UTF-8 BOM on the first line is skipped like cs2cs.cpp:118-125 does. */
   def lines(stdin: String): Seq[String] = {
-    val t = if (stdin.endsWith("\n")) stdin.dropRight(1) else stdin
+    val noBom = if (stdin.startsWith("﻿")) stdin.substring(1) else stdin
+    val t = if (noBom.endsWith("\n")) noBom.dropRight(1) else noBom
     if (t.isEmpty) Seq.empty else t.split("\n", -1).toSeq
   }
 }
@@ -64,20 +66,22 @@ object CliIo {
 object CliProj {
   import CliIo._
 
-  def run(args: Seq[String], stdin: String, progName: String = "proj"): CliResult = {
+  def run(args: Seq[String], stdin: String, progName: String = "proj",
+          files: Map[String, String] = Map.empty): CliResult = {
     val io = new CliOut
     try {
-      runInner(args, stdin, progName, io)
+      runInner(args, stdin, progName, io, files)
       CliResult(io.stdout, io.stderr, io.combined, 0)
     } catch {
       case ex: CliExit =>
-        io.err(s"$progName: ${ex.message}\n")
+        // emess fatal shape (reference src/apps/emess.cpp)
+        io.err(s"\n${ex.message}\nprogram abnormally terminated\n")
         CliResult(io.stdout, io.stderr, io.combined, ex.code)
     }
   }
 
   private def runInner(args: Seq[String], stdin: String, progName: String,
-                       io: CliOut): Unit = {
+                       io: CliOut, files: Map[String, String]): Unit = {
     var echoin = false
     var inverse = progName.startsWith("inv")
     var dofactors = false
@@ -198,7 +202,10 @@ object CliProj {
     def fmtNum(v: Double): String = CFormat.format(effOform.getOrElse("%.2f"), v)
 
     // ---- processing loop (proj.cpp process():63-199) ----
-    for (line <- lines(stdin)) {
+    val inputText =
+      if (eargs.isEmpty) stdin
+      else eargs.map(f => if (f == "-") stdin else files.getOrElse(f, "")).mkString
+    for (line <- lines(inputText)) {
       if (line.nonEmpty && line.charAt(0) == tag) io.out(line + "\n")
       else {
         val informat: (String, Int) => (Double, Int) =

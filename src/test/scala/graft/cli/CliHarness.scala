@@ -100,10 +100,20 @@ object CliHarness {
   }
 
   /** Run one test through `app`, mirroring run_cli_test comparisons. */
-  def evaluate(t: CliTest, app: (Seq[String], String) => CliResult): Outcome = {
+  def evaluate(t: CliTest,
+               app: (Seq[String], String, Map[String, String]) => CliResult): Outcome = {
     val stdin = if (t.input.isEmpty || t.input.endsWith("\n")) t.input else t.input + "\n"
+    // input files referenced by name but not created by the test live in
+    // the reference's test/cli directory (the runner's cwd)
+    val onDisk = t.args.filter(a => !a.startsWith("-") && !a.startsWith("+") &&
+        a.contains(".txt")).flatMap { name =>
+      val p = java.nio.file.Paths.get(s"/root/reference/test/cli/$name")
+      if (java.nio.file.Files.isReadable(p))
+        Some(name -> new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      else None
+    }
     val res =
-      try app(t.args, stdin)
+      try app(t.args, stdin, onDisk.toMap ++ t.files.toMap)
       catch {
         case e: Throwable =>
           return Fail(s"exception: ${e.getClass.getSimpleName}: ${e.getMessage}")
