@@ -248,7 +248,7 @@ object CliCs2cs {
 
     val inputText =
       if (eargs.isEmpty) stdin
-      else eargs.map(f => if (f == "-") stdin else files.getOrElse(f, "")).mkString
+      else CliIo.concatInputs(eargs.toSeq, stdin, files)
     for (line <- lines(inputText)) {
       if (line.nonEmpty && line.charAt(0) == tag) io.out(line + "\n")
       else {

@@ -46,6 +46,15 @@ object CliIo {
     if (v.isNaN) (0.0, p) else (v, end)
   }
 
+  /** Concatenate input sources like the C apps' sequential fgets over a
+    * file list: a file's last line ends at EOF even without a newline. */
+  def concatInputs(eargs: Seq[String], stdin: String,
+                   files: Map[String, String]): String =
+    eargs.map { f =>
+      val c = if (f == "-") stdin else files.getOrElse(f, "")
+      if (c.nonEmpty && !c.endsWith("\n")) c + "\n" else c
+    }.mkString
+
   /** stdin → lines without terminators (the runner always newline-
     * terminates input, mirroring run_cli_test.py's `input += "\n"`); a
     * UTF-8 BOM on the first line is skipped like cs2cs.cpp:118-125 does. */
@@ -204,7 +213,7 @@ object CliProj {
     // ---- processing loop (proj.cpp process():63-199) ----
     val inputText =
       if (eargs.isEmpty) stdin
-      else eargs.map(f => if (f == "-") stdin else files.getOrElse(f, "")).mkString
+      else CliIo.concatInputs(eargs.toSeq, stdin, files)
     for (line <- lines(inputText)) {
       if (line.nonEmpty && line.charAt(0) == tag) io.out(line + "\n")
       else {

@@ -96,4 +96,15 @@ class CliCorpusSpec extends AnyFunSuite {
     check("test_cs2cs_various", cs2csApp, expectedPass = 143 - variousSkips.size,
       skips = variousSkips)
   }
+
+  private def cctApp(args: Seq[String], stdin: String,
+                     files: Map[String, String]): CliResult =
+    CliCct.run(args, stdin, "cct", files)
+
+  test("test_cct: 4D filter expectations") {
+    check("test_cct", cctApp, expectedPass = 15, skips = Map(
+      10 -> "WKT CRS parsing needs iso19111",
+      11 -> "operation lookup by name needs iso19111",
+      13 -> "WKT COORDINATEOPERATION parsing needs iso19111"))
+  }
 }
