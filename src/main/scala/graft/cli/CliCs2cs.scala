@@ -24,7 +24,12 @@ object CliCs2cs {
                                 isGeocent: Boolean, hasDatum: Boolean,
                                 is3D: Boolean, isGeoc: Boolean,
                                 latFirst: Boolean, toRad: Double,
-                                cartBridge: PJ = null)
+                                cartBridge: PJ = null,
+                                /** +geoidgrids makes the side a compound
+                                  * CRS — cs2cs then formats it as non-
+                                  * longlat (decimal %.2f default) even
+                                  * though the values are degrees. */
+                                compoundVertical: Boolean = false)
 
   /** geographic-3D codes the corpus exercises (the generated init table
     * carries no dimensionality; iso19111 is out of scope). */
@@ -33,10 +38,28 @@ object CliCs2cs {
   /** geographic codes whose authority axis unit is grad (NTF Paris family). */
   private val gradCodes = Set("4807", "4810")
 
-  private def makeSide(str: String): Side = {
+  /** the handful of CRS names the corpus uses that map 1:1 to codes
+    * (general name lookup needs the iso19111 database). */
+  private val nameAliases = Map(
+    "NAD27" -> "EPSG:4267", "NAD83" -> "EPSG:4269")
+
+  private def makeSide(toks0: Seq[String]): Side = {
+    val toks = toks0.map(_.stripPrefix("+"))
+    // a lone token with no '=' is a CRS code or name, not a proj string
+    val single = toks.size == 1 && !toks.head.contains('=')
+    val str = if (single) nameAliases.getOrElse(toks.head.trim, toks.head)
+      else toks.mkString(" ")
     val P =
-      try Proj.create(str)
-      catch {
+      try {
+        if (single) Proj.create(str)
+        else Proj.create(new ParamList(toks.toVector.map { t =>
+          val eq = t.indexOf('=')
+          if (eq < 0) (t, "")
+          // dequote values so +nadgrids="dir with space/x" survives
+          else (t.substring(0, eq),
+            t.substring(eq + 1).stripPrefix("\"").stripSuffix("\""))
+        }))
+      } catch {
         case e: ProjError =>
           throw new CliExit(1, s"cannot instantiate coordinate system: ${e.getMessage}")
       }
@@ -98,7 +121,8 @@ object CliCs2cs {
       } else null
     Side(P, str, isLongLat = P.isLatlong || obTranAngular, isGeocent = P.isGeocent,
       hasDatum = hasDatum, is3D = is3D || op3D, isGeoc = isGeoc,
-      latFirst = latFirst, toRad = toRad, cartBridge = cartBridge)
+      latFirst = latFirst, toRad = toRad, cartBridge = cartBridge,
+      compoundVertical = params.s("geoidgrids").exists(_.nonEmpty))
   }
 
   def run(args: Seq[String], stdin: String, progName: String = "cs2cs",
@@ -128,8 +152,8 @@ object CliCs2cs {
     var oterr = "*\t*"
     var tag = '#'
     val rtodms = new Rtodms()
-    var fromStr = ""
-    var toStr = ""
+    var fromToks = Vector.empty[String]
+    var toToks = Vector.empty[String]
     var haveTo = false
     val eargs = scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -183,15 +207,15 @@ object CliCs2cs {
           j += 1
         }
       } else if (!isProj4Style) {
-        if (fromStr.isEmpty) fromStr = arg
-        else if (toStr.isEmpty) toStr = arg
+        if (fromToks.isEmpty) fromToks = Vector(arg)
+        else if (toToks.isEmpty) toToks = Vector(arg)
         else eargs += arg
       } else if (arg == "+to") haveTo = true
       else if (arg.startsWith("+")) {
-        if (haveTo) toStr = if (toStr.isEmpty) arg else s"$toStr $arg"
-        else fromStr = if (fromStr.isEmpty) arg else s"$fromStr $arg"
-      } else if (!haveTo) fromStr = arg
-      else if (toStr.isEmpty) toStr = arg
+        if (haveTo) toToks :+= arg
+        else fromToks :+= arg
+      } else if (!haveTo) fromToks = Vector(arg)
+      else if (toToks.isEmpty) toToks = Vector(arg)
       else eargs += arg
 
       i += 1
@@ -200,8 +224,8 @@ object CliCs2cs {
     oform.foreach { f =>
       if (CFormat.parse(f).isEmpty) throw new CliExit(1, "invalid format string")
     }
-    if (inverse) { val t = fromStr; fromStr = toStr; toStr = t }
-    if (fromStr.isEmpty && toStr.isEmpty)
+    if (inverse) { val t = fromToks; fromToks = toToks; toToks = t }
+    if (fromToks.isEmpty && toToks.isEmpty)
       throw new CliExit(1, "missing source and target coordinate systems")
 
     // a missing side resolves to the other side's geographic base
@@ -213,10 +237,10 @@ object CliCs2cs {
       val geog = "proj=longlat " + of.P.params.entries.collect {
         case (k, v) if keep(k) => if (v.isEmpty) k else s"$k=$v"
       }.mkString(" ")
-      makeSide(geog + " break_cs2cs_recursion")
+      makeSide((geog + " break_cs2cs_recursion").split(" ").toSeq)
     }
-    val srcOpt = if (fromStr.nonEmpty) Some(makeSide(fromStr)) else None
-    val dstOpt = if (toStr.nonEmpty) Some(makeSide(toStr)) else None
+    val srcOpt = if (fromToks.nonEmpty) Some(makeSide(fromToks)) else None
+    val dstOpt = if (toToks.nonEmpty) Some(makeSide(toToks)) else None
     val src = srcOpt.getOrElse(geogBase(dstOpt.get, "source"))
     val dst = dstOpt.getOrElse(geogBase(src, "target"))
 
@@ -237,10 +261,14 @@ object CliCs2cs {
       for (p <- Seq(src.P, dst.P)) p.emuVgrid = null
     }
 
-    val srcDms = src.isLongLat && math.abs(src.toRad - GeoMath.DEG2RAD) < 1e-10
+    // a compound (geoidgrids) side instantiates as a CompoundCRS, which
+    // cs2cs does not treat as long/lat for I/O formatting
+    val dstLL = dst.isLongLat && !dst.compoundVertical
+    val srcDms = src.isLongLat && !src.compoundVertical &&
+      math.abs(src.toRad - GeoMath.DEG2RAD) < 1e-10
     val informat: (String, Int) => (Double, Int) =
       if (srcDms) dmstorTok else strtodTok
-    val effOform = if (!dst.isLongLat && oform.isEmpty) Some("%.2f") else oform
+    val effOform = if (!dstLL && oform.isEmpty) Some("%.2f") else oform
     // vertical participates only for geocentric/3D/promoted pipelines; a 2D
     // geographic z is no ellipsoidal height (geog2D-domain hub methods use
     // h=0 and drop the output height), so z passes through
@@ -297,7 +325,7 @@ object CliCs2cs {
         } else x = HUGE
 
         if (x == HUGE) io.out(oterr)
-        else if (dst.isLongLat && effOform.isEmpty) {
+        else if (dstLL && effOform.isEmpty) {
           // authority lat-first destinations print N/S first (cs2cs.cpp
           // destIsLatLong branch)
           val latF = dst.latFirst ^ reverseout

@@ -40,7 +40,10 @@ object GridShiftOps {
   final class FileGridSource(roots: Seq[String]) extends GridSource {
     private val ALIASES = Map(
       "egm96_15.gtx" -> "egm96_15_downsampled.gtx",
-      "ntv2_0.gsb" -> "ntv2_0_downsampled.gsb")
+      "ntv2_0.gsb" -> "ntv2_0_downsampled.gsb",
+      // the reference build copies conus as "dir with space/myconus" for
+      // the cs2cs datumfile test (data/CMakeLists.txt)
+      "myconus" -> "conus")
     def fetch(name: String): Option[Array[Byte]] = {
       val candidates =
         roots.map(d => s"$d/$name") ++ Seq(name) ++
@@ -322,6 +325,51 @@ object GridShiftOps {
     }
   }
 
+  /** The "null" grid: a whole-world zero shift, equivalent to the 3x3
+    * null grid the reference ships — a list entry after which any point
+    * matches with no shift (reference grids.cpp NullVerticalShiftGrid /
+    * null grid handling in proj_hgrid_value). */
+  object NullHGrid extends HGrid {
+    val west: Double = -math.Pi; val east: Double = math.Pi
+    val south: Double = -math.Pi / 2; val north: Double = math.Pi / 2
+    val resX: Double = math.Pi; val resY: Double = math.Pi / 2
+    val width = 3; val height = 3
+    def children: Seq[HGrid] = Nil
+    def valueAt(x: Int, y: Int, compensate: Boolean): (Float, Float) = (0f, 0f)
+  }
+
+  /** NTv1 grid (reference NTv1Grid, grids.cpp:1803-1933): 192-byte header of
+    * 16-byte records ("HEADER" count 12, S/N LAT, E/W LONG positive-west,
+    * N/W GRID resolutions, all big-endian degrees), then (latShift,
+    * lonShift) float64 pairs in arcseconds, rows south-to-north, columns
+    * east-to-west. */
+  final class Ntv1Grid(bytes: Array[Byte]) extends HGrid {
+    private val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    if (bb.getInt(8) != 12)
+      throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID, "ntv1: wrong record count")
+    val south: Double = bb.getDouble(24) * DEG2RAD
+    val north: Double = bb.getDouble(40) * DEG2RAD
+    val east: Double = -bb.getDouble(56) * DEG2RAD // positive west in file
+    val west: Double = -bb.getDouble(72) * DEG2RAD
+    val resY: Double = bb.getDouble(88) * DEG2RAD
+    val resX: Double = bb.getDouble(104) * DEG2RAD
+    if (!(math.abs(west) <= 4 * math.Pi && math.abs(east) <= 4 * math.Pi &&
+          math.abs(north) <= math.Pi + 1e-5 && math.abs(south) <= math.Pi + 1e-5 &&
+          west < east && south < north && resX > 1e-10 && resY > 1e-10))
+      throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID, "ntv1: bad georeferencing")
+    val width: Int = (math.abs((east - west) / resX + 0.5) + 1).toInt
+    val height: Int = (math.abs((north - south) / resY + 0.5) + 1).toInt
+    def children: Seq[HGrid] = Nil
+    def valueAt(x: Int, y: Int, compensate: Boolean): (Float, Float) = {
+      val rec = 192 + 16 * (y * width + width - 1 - x) // east to west
+      val toRad = (math.Pi / 180.0) / 3600.0
+      val latS = bb.getDouble(rec)
+      val lonS = bb.getDouble(rec + 8)
+      val sign = if (compensate) -1.0 else 1.0 // west-positive -> east-positive
+      ((sign * lonS * toRad).toFloat, (latS * toRad).toFloat)
+    }
+  }
+
   /** CTable2 grid (reference CTable2Grid :1977-2056): little-endian header
     * with west/south/resX/resY doubles in radians at byte 96, width/height
     * ints at 128, then (lonShift, latShift) float pairs in radians. */
@@ -495,13 +543,20 @@ object GridShiftOps {
   /** Apply an hgrid shift, forward or iterative-inverse
     * (reference pj_hgrid_apply_internal :3402). Writes into c or errors. */
   private def hApply(roots: List[HGrid], c: Coord, forward: Boolean): Unit = {
-    val grid = gridAt(roots, c.x, c.y)
+    var grid = gridAt(roots, c.x, c.y)
     if (grid == null) { c.setError(ProjErr.COORD_TRANSFM_OUTSIDE_GRID); return }
+    // the null grid is an identity with no renormalization — +over
+    // longitudes survive it untouched (reference isNullGrid short-circuit)
+    if (grid eq NullHGrid) return
     val eps = (grid.resX + grid.resY) * RELTOL
-    var tbLam = c.x - grid.west
-    if (tbLam + eps < 0) tbLam += 2 * math.Pi
-    else if (tbLam - eps > grid.east - grid.west) tbLam -= 2 * math.Pi
-    val tbPhi = c.y - grid.south
+    def normLam(lam: Double, g: HGrid): Double = {
+      var t = lam - g.west
+      if (t + eps < 0) t += 2 * math.Pi
+      else if (t - eps > g.east - g.west) t -= 2 * math.Pi
+      t
+    }
+    var tbLam = normLam(c.x, grid)
+    var tbPhi = c.y - grid.south
     val (sLam, sPhi) = hInterp(grid, tbLam, tbPhi)
     if (sLam.isNaN) { c.setError(ProjErr.COORD_TRANSFM_OUTSIDE_GRID); return }
     if (forward) { c.x += sLam; c.y += sPhi; return }
@@ -513,8 +568,24 @@ object GridShiftOps {
     var edgeBreak = false
     while (i > 0 && !done) {
       val (dLam, dPhi) = hInterp(grid, tLam, tPhi)
-      if (dLam.isNaN) { edgeBreak = true; done = true } // grid edge: first approximation
-      else {
+      if (dLam.isNaN) {
+        // the iterate walked off this grid: switch to whichever grid
+        // contains the current guess (reference grids.cpp:3452-3477,
+        // "Switching from grid X to grid Y")
+        val lpLam = tLam + grid.west
+        val lpPhi = tPhi + grid.south
+        val next = gridAt(roots, lpLam, lpPhi)
+        if (next == null || (next eq grid) || (next eq NullHGrid)) {
+          edgeBreak = true; done = true // grid edge: first approximation
+        } else {
+          grid = next
+          tLam = lpLam - grid.west
+          tPhi = lpPhi - grid.south
+          tbLam = normLam(c.x, grid)
+          tbPhi = c.y - grid.south
+          i -= 1
+        }
+      } else {
         val difLam = tLam + dLam - tbLam
         val difPhi = tPhi + dPhi - tbPhi
         tLam -= difLam; tPhi -= difPhi
@@ -535,11 +606,15 @@ object GridShiftOps {
   /** parse "a.gtx,@maybe.gtx" -> loaded grids; throws on non-optional miss.
     * `null` names denote the identity null grid. */
   private def loadList[G](names: String, cache: java.util.concurrent.ConcurrentHashMap[String, G],
-                          mk: Array[Byte] => G): List[Option[G]] = {
-    names.split(",").toList.map { raw =>
+                          mk: Array[Byte] => G,
+                          nullValue: Option[G] = None): List[Option[G]] = {
+    names.split(",").toList.map { raw0 =>
+      // grid names may be double-quoted to protect spaces
+      // (+nadgrids="dir with space/myconus")
+      val raw = raw0.stripPrefix("\"").stripSuffix("\"")
       val canFail = raw.startsWith("@")
       val name = if (canFail) raw.substring(1) else raw
-      if (name == "null") None // null grid: pass-through
+      if (name == "null") nullValue // null grid: whole-world zero shift
       else {
         val cached = cache.get(name)
         if (cached != null) Some(cached)
@@ -573,6 +648,8 @@ object GridShiftOps {
     if (isTiff(bytes)) hTiffGrids(bytes)
     else if (bytes.length >= 9 && new String(bytes, 0, 9, "ASCII") == "CTABLE V2")
       List(new CTable2Grid(bytes))
+    else if (bytes.length >= 192 && new String(bytes, 0, 6, "ASCII") == "HEADER")
+      List(new Ntv1Grid(bytes))
     else new Ntv2GridSet(bytes).grids
 
   def vLoad(bytes: Array[Byte]): List[VGrid] =
@@ -692,9 +769,9 @@ object GridShiftOps {
   def hgridshift(P: PJ): Unit = {
     if (!P.params.has("grids"))
       throw ProjError(ProjErr.INVALID_OP_MISSING_ARG, "hgridshift: +grids parameter missing")
-    val entries = loadList(P.params.s("grids").get, hCache, hLoad _)
+    val entries = loadList(P.params.s("grids").get, hCache, hLoad _,
+      nullValue = Some(List(NullHGrid: HGrid)))
     val roots = entries.flatten.flatten
-    val hasNull = entries.exists(_.isEmpty)
     val tFinal = parseTFinal(P)
     val tEpoch = if (P.params.has("t_epoch")) P.params.d("t_epoch") else 0.0
     P.left = IOUnits.RADIANS; P.right = IOUnits.RADIANS

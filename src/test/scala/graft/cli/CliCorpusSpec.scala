@@ -107,4 +107,17 @@ class CliCorpusSpec extends AnyFunSuite {
       11 -> "operation lookup by name needs iso19111",
       13 -> "WKT COORDINATEOPERATION parsing needs iso19111"))
   }
+
+  test("test_cs2cs_datumfile: grid-based datum shifts (NTv1/conus/MD/NTv2/GTX)") {
+    check("test_cs2cs_datumfile", cs2csApp, expectedPass = 11, skips = Map(
+      3 -> "--area name lookup needs the iso19111 extent database"))
+  }
+
+  test("test_cs2cs_ntv2: NTv2 subgrids and grid-list fallback") {
+    check("test_cs2cs_ntv2", cs2csApp, expectedPass = 6, skips = Map.empty)
+  }
+
+  test("test_cs2cs_flaky: healpix inverse edge points") {
+    check("test_cs2cs_flaky", cs2csApp, expectedPass = 2, skips = Map.empty)
+  }
 }
