@@ -33,6 +33,7 @@ FILES = [
     "test_cs2cs_ntv2.yaml",
     "test_cs2cs_flaky.yaml",
     "test_cct.yaml",
+    "test_gie.yaml",
 ]
 
 

@@ -440,6 +440,42 @@ def main():
         f.write("# Legacy proj4 init-file format: <code> ...definition... <>\n")
         for c in sorted(out):
             f.write("<%d> %s <>\n" % (c, out[c]))
+
+    # ---- authority axis-order sidecar (epsg_axis) --------------------------
+    # The init table above is GIS order (lon,lat / easting,northing); bare
+    # `EPSG:code` usage in cs2cs is authority order. Emit one line per code
+    # whose authority FIRST axis deviates from GIS order, or whose angular
+    # unit is not degree: "code first unit" with first in {north, south,
+    # west} and unit in {deg, grad}.
+    cs_first = {}
+    for cscode, orient, order, uom in db.execute(
+            "SELECT c6, c4, c7, c9 FROM axis WHERE c0='EPSG' AND c7=1"):
+        if cscode is None or orient is None or uom is None:
+            continue
+        cs_first[int(cscode)] = (str(orient), int(uom))
+    geog_cs = {int(code): int(cscode) for code, cscode in db.execute(
+        "SELECT c1, c6 FROM geodetic_crs WHERE c0='EPSG' AND c6 IS NOT NULL")}
+    proj_cs = {int(code): int(cscode) for code, cscode in db.execute(
+        "SELECT c1, c5 FROM projected_crs WHERE c0='EPSG' AND c5 IS NOT NULL")}
+    UNIT = {9105: "grad"}  # anything else in first-axis position is degree/metre
+    axis_out = {}
+    for c in sorted(out):
+        cs = geog_cs.get(c, proj_cs.get(c))
+        if cs is None or cs not in cs_first:
+            continue
+        orient, uom = cs_first[cs]
+        unit = UNIT.get(uom, "deg")
+        if orient in ("north", "south", "west") or unit != "deg":
+            axis_out[c] = "%s %s" % (orient, unit)
+    axis_path = os.path.join(os.path.dirname(OUT), "epsg_axis")
+    with open(axis_path, "w") as f:
+        f.write("# Authority axis-order sidecar generated by\n")
+        f.write("# devtools/epsg_init_gen.py from the EPSG SQL axis table:\n")
+        f.write("# 'code firstAxisOrientation angularUnit' for codes whose\n")
+        f.write("# authority order/unit deviates from the GIS-order table.\n")
+        for c in sorted(axis_out):
+            f.write("%d %s\n" % (c, axis_out[c]))
+    print("axis sidecar: %d deviating codes -> %s" % (len(axis_out), axis_path))
     print("wrote %d entries (projected ok=%d, skip_method=%d, skip_err=%d)" %
           (len(out), stats["ok"], stats["skip_method"], stats["skip_err"]))
     print("skipped methods:", dict(sorted(skipped_methods.items(),

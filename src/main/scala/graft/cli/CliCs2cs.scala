@@ -35,8 +35,9 @@ object CliCs2cs {
     * carries no dimensionality; iso19111 is out of scope). */
   private val geog3dCodes = Set("4979", "4327", "4329", "7912", "7843")
 
-  /** geographic codes whose authority axis unit is grad (NTF Paris family). */
-  private val gradCodes = Set("4807", "4810")
+  // authority axis order/unit comes from the generated epsg_axis sidecar
+  // (Proj.epsgAxisFirst): lat/north-first and grad-unit codes are data,
+  // not a heuristic
 
   /** the handful of CRS names the corpus uses that map 1:1 to codes
     * (general name lookup needs the iso19111 database). */
@@ -79,12 +80,12 @@ object CliCs2cs {
     // (reference #1525): treat it as long/lat in degrees
     val obTranAngular = P.shortName == "ob_tran" &&
       params.s("o_proj").exists(Set("longlat", "latlong", "latlon", "lonlat"))
-    // a bare EPSG code uses authority axis order: geographic codes are
-    // lat-first (the generated table carries no axis metadata; the rare
-    // lon-first geographic codes are out of corpus), NTF(Paris) in grads
-    val latFirst = epsgCode.isDefined && P.isLatlong
+    // a bare EPSG code uses authority axis order, from the generated
+    // sidecar: north/south-first codes swap, NTF(Paris) family is in grads
+    val axisFirst = epsgCode.flatMap(Proj.epsgAxisFirst.get)
+    val latFirst = axisFirst.exists(a => a._1 == "north" || a._1 == "south")
     val toRad =
-      if (epsgCode.exists(gradCodes)) math.Pi / 200.0 else GeoMath.DEG2RAD
+      if (axisFirst.exists(_._2 == "grad")) math.Pi / 200.0 else GeoMath.DEG2RAD
     // +geoc is handled at the app level (geocentric latitude is a property
     // of the CRS axis, not of the hub hop) — neutralize the PJ flag
     val isGeoc = P.geoc

@@ -33,6 +33,7 @@ object Main {
       case "proj" | "invproj" => CliProj.run(args, stdin, prog, diskFiles(args))
       case "cs2cs" | "invcs2cs" => CliCs2cs.run(args, stdin, prog, diskFiles(args))
       case "cct" => CliCct.run(args, stdin, prog, diskFiles(args))
+      case "gie" => CliGie.run(args, stdin, prog, diskFiles(args))
       case other =>
         System.err.println(s"unknown tool: $other")
         sys.exit(1)

@@ -161,6 +161,24 @@ object Proj {
     } finally in.close()
   }
 
+  /** Authority axis-order sidecar (src/main/resources/graft/epsg_axis,
+    * generated from the EPSG SQL axis table): code → (first-axis
+    * orientation, angular unit) for every code whose authority order or
+    * unit deviates from the GIS-order init table. A lookup miss means the
+    * authority order IS the GIS order. */
+  lazy val epsgAxisFirst: Map[String, (String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/epsg_axis")
+    if (in == null) Map.empty
+    else try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filterNot(l => l.startsWith("#") || l.isEmpty)
+        .map { l =>
+          val p = l.split(" ")
+          p(0) -> (p(1), p(2))
+        }.toMap
+    } finally in.close()
+  }
+
   /** Generated-table lookup for the EPSG front-ends (EpsgAliases fall-
     * through, CrsToCrs generic defs): legacy init body for a code. */
   private[proj] def epsgInitLookup(code: String): Option[String] =

@@ -120,4 +120,12 @@ class CliCorpusSpec extends AnyFunSuite {
   test("test_cs2cs_flaky: healpix inverse edge points") {
     check("test_cs2cs_flaky", cs2csApp, expectedPass = 2, skips = Map.empty)
   }
+
+  private def gieApp(args: Seq[String], stdin: String,
+                     files: Map[String, String]): CliResult =
+    CliGie.run(args, stdin, "gie", files)
+
+  test("test_gie: gie front-end argument handling") {
+    check("test_gie", gieApp, expectedPass = 4, skips = Map.empty)
+  }
 }
