@@ -62,8 +62,12 @@ object OracleSql {
 
   // ----------------------------------------------------------- dedup_minhash
 
-  def dedupMinhash(numHashes: Int, bands: Int, thresholdPpm: Long): String =
-    s"""WITH base AS (
+  /** the shared-hash MinHash+LSH candidate CTE chain (base docs with
+    * injected near-dups → shingles → md5 hash family → banded candidate
+    * pairs → signature-agreement jaccard), reused by the pair query and
+    * the cluster query. */
+  private def minhashCtes(numHashes: Int, bands: Int): String =
+    s"""base AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 2000000, text || ' extra' FROM documents WHERE doc_id % 11 = 0),
@@ -87,8 +91,27 @@ object OracleSql {
     jac AS (
       SELECT p.da, p.db, CAST(round(sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / $numHashes.0 * 1000000) AS BIGINT) AS jacc_ppm
       FROM pairs p JOIN hashed ha ON ha.doc_id = p.da JOIN hashed hb ON hb.doc_id = p.db AND ha.k = hb.k
-      GROUP BY 1, 2)
+      GROUP BY 1, 2)"""
+
+  def dedupMinhash(numHashes: Int, bands: Int, thresholdPpm: Long): String =
+    s"""WITH ${minhashCtes(numHashes, bands)}
     SELECT da AS doc_a, db AS doc_b, jacc_ppm FROM jac WHERE jacc_ppm >= $thresholdPpm ORDER BY 1, 2"""
+
+  /** connected components over the near-dup pairs: transitive closure by a
+    * recursive CTE (label = min doc_id reachable), an algorithm genuinely
+    * different from the engine's iterative min-label propagation. */
+  def dedupClusters(numHashes: Int, bands: Int, thresholdPpm: Long): String =
+    s"""WITH RECURSIVE ${minhashCtes(numHashes, bands)},
+    cand AS (SELECT da, db FROM jac WHERE jacc_ppm >= $thresholdPpm),
+    edges AS (SELECT da AS a, db AS b FROM cand UNION SELECT db, da FROM cand),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b),
+    lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+    sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+    SELECT l.doc_id, l.cluster_id, s.cluster_size
+    FROM lab l JOIN sz s USING (cluster_id) ORDER BY 1"""
 
   // --------------------------------------------------------------- ann_brute
 

@@ -347,6 +347,20 @@ object SparkEntry {
         numHashes = 16, bands = 4, threshold = 0.5)
     }),
 
+    "dedup_clusters" -> ((s, dir) => {
+      // near-dup CLUSTERS: the minhash pairs become connected components
+      // (iterative min-label propagation) labelled with min doc_id +
+      // cluster size — the keep-one-representative dedup input. Oracle
+      // computes the same closure with a recursive CTE (different
+      // algorithm, same fixpoint).
+      val d = t(s, dir, "documents")
+      val nearDups = d.where(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("text", concat(col("text"), lit(" extra")))
+      TrainingOps.dedupClustersShared(d.unionByName(nearDups),
+        numHashes = 16, bands = 4, threshold = 0.5)
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // 16-bit SimHash candidate buckets from the shared md5-derived hash
       // (cross-engine identical); the xxhash64 64-bit engine path is
@@ -825,6 +839,7 @@ object SparkEntry {
     "lang_id" -> OracleSql.langId,
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "dedup_minhash" -> OracleSql.dedupMinhash(numHashes = 16, bands = 4, thresholdPpm = 500000L),
+    "dedup_clusters" -> OracleSql.dedupClusters(numHashes = 16, bands = 4, thresholdPpm = 500000L),
     "ann_brute" -> OracleSql.annBrute(k = 3),
     "ann_lsh" -> OracleSql.annLsh(k = 3, planes = 6, tables = 8),
     // same bucketing family + scoring as ann_lsh — the persisted index must

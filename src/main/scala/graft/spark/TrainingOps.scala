@@ -127,19 +127,17 @@ object TrainingOps {
       .select(col("id"), col("sig"), col("band.band_id"), col("band.band_hash"))
     val a = banded.alias("a")
     val b = banded.alias("b")
-    val pairs = a.join(b,
+    // agreement computed in the join projection; distinct runs on the
+    // 3-column pairs, not on pairs carrying two full signatures
+    a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-    pairs
-      .withColumn("jaccard_est",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          e => e)).cast("double") / numHashes)
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          e => e)).cast("double") / numHashes).as("jaccard_est"))
       .where(col("jaccard_est") >= threshold)
-      .select("doc_a", "doc_b", "jaccard_est")
+      .distinct()
   }
 
   /** SimHash (64-bit) over word features: per-bit majority vote of feature
@@ -227,20 +225,20 @@ object TrainingOps {
       .select(col("id"), col("sig"), col("band.band_id"), col("band.band_key"))
     val a = banded.alias("a")
     val b = banded.alias("b")
-    val pairs = a.join(b,
+    // compute the signature agreement inside the join projection and
+    // dedup on the 3-column result — carrying both full signatures through
+    // the distinct exchange shuffled ~10x more bytes for the same rows
+    a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-    pairs
-      .withColumn("jacc",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          e => e)).cast("double") / numHashes)
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          e => e)).cast("double") / numHashes).as("jacc"))
       .where(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("jacc") * 1e6).cast("long").as("jacc_ppm"))
+      .distinct()
   }
 
   /** brute-force cosine top-k over double-cast embeddings, ranked on the
@@ -535,5 +533,60 @@ object TrainingOps {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select("q_id", "c_id", "cos", "rnk")
+  }
+
+  /** Connected components over an undirected pair list → (node, cluster_id
+    * = min node id in the component). The dedup-cluster step of a training
+    * pipeline: near-dup PAIRS (minhash/simhash/embedding) become groups so
+    * one representative per group survives.
+    *
+    * Iterative min-label propagation: each round, every node takes the
+    * minimum label among itself and its neighbours (one shuffled join +
+    * map-side-combinable min aggregate per round), converging in
+    * graph-diameter rounds. Near-dup graphs have tiny diameters (dup
+    * groups are near-cliques), so 2-4 rounds is typical; the iteration is
+    * capped and lineage is truncated per round so the plan stays flat at
+    * any scale. For adversarial long-chain graphs the alternating
+    * large-star/small-star contraction (Kiveris et al.) drops rounds to
+    * O(log n); the propagation core below is the building block either
+    * way. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("dstLabel")), "dst")
+        .groupBy(col("src").as("node")).agg(min("dstLabel").as("nbrMin"))
+      val updated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbrMin"), col("label"))).as("newLabel"))
+        .localCheckpoint(true)
+      changed = updated.where(col("newLabel") < col("label")).count()
+      labels = updated.select(col("node"), col("newLabel").as("label"))
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clusters over the shared-hash minhash pairs: every document
+    * that appears in a candidate pair, labelled with its cluster id (the
+    * component's min doc_id) and the cluster size — the exact input a
+    * keep-one-representative dedup filter consumes. */
+  def dedupClustersShared(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashDedupShared(docs, "doc_id", "text", numHashes, bands, threshold)
+      .select("doc_a", "doc_b")
+    val labels = connectedComponents(pairs)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 }
