@@ -113,6 +113,28 @@ object OracleSql {
     SELECT l.doc_id, l.cluster_id, s.cluster_size
     FROM lab l JOIN sz s USING (cluster_id) ORDER BY 1"""
 
+  /** end-to-end near-dup dedup survivors: corpus minus cluster members,
+    * plus one representative per cluster (longest text, min doc_id). */
+  def dedupKeep(numHashes: Int, bands: Int, thresholdPpm: Long): String =
+    s"""WITH RECURSIVE ${minhashCtes(numHashes, bands)},
+    cand AS (SELECT da, db FROM jac WHERE jacc_ppm >= $thresholdPpm),
+    edges AS (SELECT da AS a, db AS b FROM cand UNION SELECT db, da FROM cand),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b),
+    lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+    members AS (
+      SELECT b.doc_id, b.text, l.cluster_id,
+        row_number() OVER (PARTITION BY l.cluster_id
+          ORDER BY length(b.text) DESC, b.doc_id) AS rnk
+      FROM base b JOIN lab l USING (doc_id)),
+    survivors AS (
+      SELECT doc_id, text FROM base WHERE doc_id NOT IN (SELECT doc_id FROM lab)
+      UNION ALL
+      SELECT doc_id, text FROM members WHERE rnk = 1)
+    SELECT doc_id, md5(text) AS fp FROM survivors ORDER BY doc_id"""
+
   // --------------------------------------------------------------- ann_brute
 
   def annBrute(k: Int): String =

@@ -361,6 +361,18 @@ object SparkEntry {
         numHashes = 16, bands = 4, threshold = 0.5)
     }),
 
+    "dedup_keep" -> ((s, dir) => {
+      // end-to-end near-dup dedup: survivors = corpus minus cluster
+      // members plus one representative per cluster (longest text, min
+      // doc_id) — the table the next pipeline stage actually reads
+      val d = t(s, dir, "documents")
+      val nearDups = d.where(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("text", concat(col("text"), lit(" extra")))
+      TrainingOps.dedupNearShared(d.unionByName(nearDups),
+        numHashes = 16, bands = 4, threshold = 0.5)
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // 16-bit SimHash candidate buckets from the shared md5-derived hash
       // (cross-engine identical); the xxhash64 64-bit engine path is
@@ -840,6 +852,7 @@ object SparkEntry {
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "dedup_minhash" -> OracleSql.dedupMinhash(numHashes = 16, bands = 4, thresholdPpm = 500000L),
     "dedup_clusters" -> OracleSql.dedupClusters(numHashes = 16, bands = 4, thresholdPpm = 500000L),
+    "dedup_keep" -> OracleSql.dedupKeep(numHashes = 16, bands = 4, thresholdPpm = 500000L),
     "ann_brute" -> OracleSql.annBrute(k = 3),
     "ann_lsh" -> OracleSql.annLsh(k = 3, planes = 6, tables = 8),
     // same bucketing family + scoring as ann_lsh — the persisted index must

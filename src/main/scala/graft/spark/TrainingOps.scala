@@ -589,4 +589,25 @@ object TrainingOps {
     labels.join(sizes, "cluster_id")
       .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
   }
+
+  /** End-to-end near-dup dedup: the corpus minus every cluster member
+    * except one representative per cluster (longest text, doc_id as the
+    * tie-break — "keep the richest copy"). Unclustered docs pass through.
+    * Plan shape: the cluster labels (small — only docs that hit a candidate
+    * pair) broadcast against the corpus; representative choice is a
+    * per-cluster top-1 window over that small set only. */
+  def dedupNearShared(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+    val labels = dedupClustersShared(docs, numHashes, bands, threshold)
+      .select("doc_id", "cluster_id")
+    val members = d.join(labels, "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(length(col("text")).desc, col("doc_id"))
+    val reps = members.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1).select("doc_id", "text")
+    val untouched = d.join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+    untouched.unionByName(reps)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+  }
 }
