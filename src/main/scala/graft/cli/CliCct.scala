@@ -92,13 +92,28 @@ object CliCct {
               s"cct: Bad transformation arguments - (${e.getMessage})\n    'cct -h' for help")
         }
       } else if (eargs.nonEmpty) {
-        // operation-code initialization; WKT / object names need iso19111
-        val spec = eargs.remove(0)
-        try Proj.create(opAliases.getOrElse(spec, spec))
-        catch {
+        // operation-code / WKT initialization ('@file' reads the
+        // definition from a file, like proj_create); object NAMES need
+        // iso19111 and stay out of scope
+        val spec0 = eargs.remove(0)
+        val spec =
+          if (spec0.startsWith("@"))
+            files.getOrElse(spec0.substring(1),
+              throw new CliExit(1, s"Cannot open file ${spec0.substring(1)}"))
+          else opAliases.getOrElse(spec0, spec0)
+        try {
+          if (graft.proj.wkt.Wkt.looksLikeWkt(spec)) {
+            graft.proj.wkt.WktMap.toObject(graft.proj.wkt.Wkt.parse(spec)) match {
+              case _: graft.proj.wkt.WktCrsDef =>
+                throw new CliExit(1,
+                  "cct: Input object is not a coordinate operation, but a CRS.")
+              case op: graft.proj.wkt.WktOpDef => Proj.create(op.projString)
+            }
+          } else Proj.create(spec)
+        } catch {
           case _: ProjError =>
             throw new CliExit(1,
-              s"cct: Bad transformation arguments - ('$spec')\n    'cct -h' for help")
+              s"cct: Bad transformation arguments - ('$spec0')\n    'cct -h' for help")
         }
       } else throw new CliExit(1, usage.trim)
 

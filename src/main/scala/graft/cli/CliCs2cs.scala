@@ -46,6 +46,23 @@ object CliCs2cs {
 
   private def makeSide(toks0: Seq[String]): Side = {
     val toks = toks0.map(_.stripPrefix("+"))
+    // WKT: map to a proj string, keeping the authority metadata
+    val joined = toks.mkString(" ")
+    if (graft.proj.wkt.Wkt.looksLikeWkt(joined)) {
+      try {
+        graft.proj.wkt.WktMap.toObject(graft.proj.wkt.Wkt.parse(joined)) match {
+          case c: graft.proj.wkt.WktCrsDef =>
+            val base = makeSide(c.projString.split(" ").toSeq)
+            return base.copy(latFirst = c.latFirst, toRad = c.angularUnitToRad,
+              is3D = base.is3D || c.is3D)
+          case _: graft.proj.wkt.WktOpDef =>
+            throw new CliExit(1, "cannot instantiate coordinate system: WKT object is an operation, not a CRS")
+        }
+      } catch {
+        case e: ProjError =>
+          throw new CliExit(1, s"cannot instantiate coordinate system: ${e.getMessage}")
+      }
+    }
     // a lone token with no '=' is a CRS code or name, not a proj string
     val single = toks.size == 1 && !toks.head.contains('=')
     val str = if (single) nameAliases.getOrElse(toks.head.trim, toks.head)

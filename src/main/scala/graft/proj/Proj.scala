@@ -129,6 +129,13 @@ object Proj {
 
   def create(projString: String): PJ = {
     val s = projString.trim
+    if (graft.proj.wkt.Wkt.looksLikeWkt(s)) {
+      val body = graft.proj.wkt.WktMap.toObject(graft.proj.wkt.Wkt.parse(s)) match {
+        case c: graft.proj.wkt.WktCrsDef => c.projString
+        case o: graft.proj.wkt.WktOpDef => o.projString
+      }
+      return create(ParamList.parse(body))
+    }
     EpsgAliases.resolve(s) match {
       case Some(expanded) => create(ParamList.parse(expanded))
       case None => create(ParamList.parse(s))

@@ -102,10 +102,8 @@ class CliCorpusSpec extends AnyFunSuite {
     CliCct.run(args, stdin, "cct", files)
 
   test("test_cct: 4D filter expectations") {
-    check("test_cct", cctApp, expectedPass = 15, skips = Map(
-      10 -> "WKT CRS parsing needs iso19111",
-      11 -> "operation lookup by name needs iso19111",
-      13 -> "WKT COORDINATEOPERATION parsing needs iso19111"))
+    check("test_cct", cctApp, expectedPass = 17, skips = Map(
+      11 -> "operation lookup by name needs iso19111"))
   }
 
   test("test_cs2cs_datumfile: grid-based datum shifts (NTv1/conus/MD/NTv2/GTX)") {
