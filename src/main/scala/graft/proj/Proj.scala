@@ -129,8 +129,12 @@ object Proj {
 
   def create(projString: String): PJ = {
     val s = projString.trim
-    if (graft.proj.wkt.Wkt.looksLikeWkt(s)) {
-      val body = graft.proj.wkt.WktMap.toObject(graft.proj.wkt.Wkt.parse(s)) match {
+    if (graft.proj.wkt.Wkt.looksLikeWkt(s) ||
+        graft.proj.wkt.ProjJson.looksLikeProjJson(s)) {
+      val objDef =
+        if (s.startsWith("{")) graft.proj.wkt.ProjJson.toObject(s)
+        else graft.proj.wkt.WktMap.toObject(graft.proj.wkt.Wkt.parse(s))
+      val body = objDef match {
         case c: graft.proj.wkt.WktCrsDef => c.projString
         case o: graft.proj.wkt.WktOpDef => o.projString
       }

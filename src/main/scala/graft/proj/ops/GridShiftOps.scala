@@ -55,6 +55,49 @@ object GridShiftOps {
     }
   }
 
+  /** HTTP(S) grid fetcher — the cloud/CDN role of the reference's
+    * networkfilemanager (src/networkfilemanager.cpp), whole-file flavored:
+    * grids are fetched once per executor JVM and then served from the op
+    * layer's in-memory cache, so the per-row cost is unchanged. An
+    * optional local disk cache directory survives JVM restarts (the
+    * equivalent of the reference's proj.db-backed chunk cache, without the
+    * chunking — executors want whole grids anyway). Misses fall through to
+    * `fallback` so bundled/local grids keep working. */
+  final class HttpGridSource(baseUrl: String, fallback: GridSource,
+                             cacheDir: Option[String] = None) extends GridSource {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    def fetch(name: String): Option[Array[Byte]] = {
+      val safe = name.replace('/', '_')
+      val cached = cacheDir.map(d => java.nio.file.Paths.get(d, safe))
+      cached.filter(java.nio.file.Files.isReadable) match {
+        case Some(p) => return Some(java.nio.file.Files.readAllBytes(p))
+        case None => ()
+      }
+      val got =
+        try {
+          val req = java.net.http.HttpRequest.newBuilder()
+            .uri(java.net.URI.create(s"${baseUrl.stripSuffix("/")}/$name"))
+            .timeout(java.time.Duration.ofSeconds(60)).GET().build()
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+          if (resp.statusCode == 200) Some(resp.body) else None
+        } catch { case _: java.io.IOException | _: InterruptedException => None }
+      got match {
+        case Some(bytes) =>
+          for (p <- cached) {
+            java.nio.file.Files.createDirectories(p.getParent)
+            val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+            java.nio.file.Files.write(tmp, bytes)
+            java.nio.file.Files.move(tmp, p,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+          Some(bytes)
+        case None => fallback.fetch(name)
+      }
+    }
+  }
+
   private def defaultRoots: Seq[String] =
     sys.props.get("graft.grid.paths").toSeq.flatMap(_.split(',').toSeq.map(_.trim)) ++
       Seq("/root/reference/data", "/root/reference/data/tests")

@@ -126,4 +126,67 @@ class WktSpec extends AnyFunSuite {
     assert(math.abs(c1.x - c2.x) < 1e-6 && math.abs(c1.y - c2.y) < 1e-6 &&
       math.abs(c1.z - c2.z) < 1e-6)
   }
+
+  test("PROJJSON ProjectedCRS maps through the same path as WKT") {
+    val json = """{
+      "type": "ProjectedCRS",
+      "name": "WGS 84 / UTM zone 31N",
+      "base_crs": {
+        "name": "WGS 84",
+        "datum": {
+          "type": "GeodeticReferenceFrame",
+          "name": "World Geodetic System 1984",
+          "ellipsoid": {"name": "WGS 84", "semi_major_axis": 6378137,
+                        "inverse_flattening": 298.257223563}}},
+      "conversion": {
+        "name": "UTM zone 31N",
+        "method": {"name": "Transverse Mercator", "id": {"authority": "EPSG", "code": 9807}},
+        "parameters": [
+          {"name": "Latitude of natural origin", "value": 0, "unit": "degree", "id": {"authority": "EPSG", "code": 8801}},
+          {"name": "Longitude of natural origin", "value": 3, "unit": "degree", "id": {"authority": "EPSG", "code": 8802}},
+          {"name": "Scale factor at natural origin", "value": 0.9996, "unit": "unity", "id": {"authority": "EPSG", "code": 8805}},
+          {"name": "False easting", "value": 500000, "unit": "metre", "id": {"authority": "EPSG", "code": 8806}},
+          {"name": "False northing", "value": 0, "unit": "metre", "id": {"authority": "EPSG", "code": 8807}}]},
+      "coordinate_system": {
+        "subtype": "Cartesian",
+        "axis": [
+          {"name": "Easting", "abbreviation": "E", "direction": "east", "unit": "metre"},
+          {"name": "Northing", "abbreviation": "N", "direction": "north", "unit": "metre"}]}}"""
+    val viaJson = Proj.create(json)
+    val viaStr = Proj.create("proj=utm zone=31 ellps=WGS84")
+    val (x1, y1) = fwd(viaJson, 2.0, 49.0)
+    val (x2, y2) = fwd(viaStr, 2.0, 49.0)
+    assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6)
+  }
+
+  test("PROJJSON Transformation with rate units matches the WKT operation") {
+    val json = """{
+      "type": "Transformation",
+      "name": "ITRF2014 to ETRF2014 (1)",
+      "method": {"name": "Time-dependent Position Vector tfm (geocentric)", "id": {"authority": "EPSG", "code": 1053}},
+      "parameters": [
+        {"name": "X-axis translation", "value": 0, "unit": {"type": "LinearUnit", "name": "millimetre", "conversion_factor": 0.001}, "id": {"authority": "EPSG", "code": 8605}},
+        {"name": "Rate of change of X-axis rotation", "value": 0.085,
+         "unit": {"type": "AngularUnit", "name": "milliarc-seconds per year", "conversion_factor": 1.53631468932076e-16},
+         "id": {"authority": "EPSG", "code": 1043}},
+        {"name": "Rate of change of Y-axis rotation", "value": 0.531,
+         "unit": {"type": "AngularUnit", "name": "milliarc-seconds per year", "conversion_factor": 1.53631468932076e-16},
+         "id": {"authority": "EPSG", "code": 1044}},
+        {"name": "Rate of change of Z-axis rotation", "value": -0.77,
+         "unit": {"type": "AngularUnit", "name": "milliarc-seconds per year", "conversion_factor": 1.53631468932076e-16},
+         "id": {"authority": "EPSG", "code": 1045}},
+        {"name": "Parameter reference epoch", "value": 1989,
+         "unit": {"type": "TimeUnit", "name": "year", "conversion_factor": 31556925.445},
+         "id": {"authority": "EPSG", "code": 1047}}]}"""
+    val viaJson = Proj.create(json)
+    val viaStr = Proj.create("proj=helmert convention=position_vector " +
+      "drx=8.5e-05 dry=0.000531 drz=-0.00077 t_epoch=1989")
+    val (c1, c2) = (new Coord, new Coord)
+    c1.set(3541657.3778, 948984.2343, 5201383.5231, 2020.5)
+    c2.set(3541657.3778, 948984.2343, 5201383.5231, 2020.5)
+    Dispatch.fwd4d(viaJson, c1)
+    Dispatch.fwd4d(viaStr, c2)
+    assert(math.abs(c1.x - c2.x) < 1e-6 && math.abs(c1.y - c2.y) < 1e-6 &&
+      math.abs(c1.z - c2.z) < 1e-6)
+  }
 }

@@ -8,24 +8,39 @@ import org.scalatest.funsuite.AnyFunSuite
   * zero Exchange and return exactly the plain join's rows; a join on a
   * NON-bucketed key must still shuffle (so the assertion is meaningful). */
 class BucketingSpec extends AnyFunSuite {
-  private val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+  // the suite may inherit another spec's shared session (getOrCreate), so
+  // table state is cleaned explicitly rather than via a custom warehouse
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.sql.warehouse.dir", wh)
     .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   import spark.implicits._
 
+  /** drop the table and remove any stale on-disk location left by a prior
+    * JVM (the in-memory catalog forgets tables, the directory survives). */
+  private def freshTable(name: String): String = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val dir = java.nio.file.Paths.get(wh, name)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    name
+  }
+
   test("same-layout bucketed tables join exchange-free with identical rows") {
     val docs = (0L until 5000L).map(i => (i, s"text $i", (i % 97).toInt))
       .toDF("doc_id", "text", "shard")
     val scores = (0L until 5000L by 2).map(i => (i, i * 0.5))
       .toDF("doc_id", "score")
-    Bucketing.writeBucketed(docs, "b_docs", "doc_id", buckets = 8)
-    Bucketing.writeBucketed(scores, "b_scores", "doc_id", buckets = 8)
+    Bucketing.writeBucketed(docs, freshTable("b_docs"), "doc_id", buckets = 8)
+    Bucketing.writeBucketed(scores, freshTable("b_scores"), "doc_id", buckets = 8)
 
     val joined = Bucketing.colocatedJoin(spark, "b_docs", "b_scores", "doc_id")
     assert(Bucketing.isExchangeFree(joined),
