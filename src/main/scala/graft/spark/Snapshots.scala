@@ -109,6 +109,49 @@ object Snapshots {
     Files.readString(Paths.get(s"$table/manifest-${"%06d".format(id)}.json"))
   }
 
+  /** Bin-packing compaction: rewrite the latest snapshot so each
+    * partition's many small files become ~targetBytes files, committed as
+    * a NEW snapshot through the same atomic pointer swap — readers see
+    * either the fragmented snapshot or the compacted one, never a
+    * half-compacted table, and time-travel to the pre-compaction id keeps
+    * working. This is the standard maintenance pass for a long-lived
+    * 100 TB table fed by many small incremental commits. Returns the new
+    * snapshot id. */
+  def compact(spark: SparkSession, table: String,
+              targetBytes: Long = 128L << 20): Int = {
+    val id = latestId(table)
+    require(id > 0, s"no committed snapshot in $table")
+    val snapDir = Paths.get(s"$table/snapshot-${"%06d".format(id)}")
+    val totalBytes = Files.walk(snapDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    val numFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+
+    // partition/metric columns come from the manifest, not the caller —
+    // compaction must not be able to change the table layout
+    import graft.proj.ops.TinshiftOps.{JObj, JStr, Json}
+    val m = Json.parse(manifest(table, id)).asInstanceOf[JObj]
+    def field(k: String): String = m.fields(k) match {
+      case JStr(s) => s
+      case other => other.toString
+    }
+    val partitionCol = field("partition_col")
+    val metricKey = field("metric_key")
+
+    val df = read(spark, table, id)
+      .repartition(numFiles, col(partitionCol))
+    commit(df, table, partitionCol, metricKey,
+      s"compaction of snapshot $id ($totalBytes bytes -> $numFiles target files)")
+  }
+
+  /** parquet data-file count of a snapshot (compaction's success metric). */
+  def dataFileCount(table: String, snapshot: Int = -1): Int = {
+    val id = if (snapshot > 0) snapshot else latestId(table)
+    val snapDir = Paths.get(s"$table/snapshot-${"%06d".format(id)}")
+    Files.walk(snapDir).iterator().asScala
+      .count(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+  }
+
   /** Resume helper: run `process` over the half-open id range
     * [from, until) in `chunk`-sized batches, committing one snapshot per
     * batch; on restart, already-committed batches are skipped (their count

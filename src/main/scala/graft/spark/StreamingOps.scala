@@ -34,6 +34,19 @@ object StreamingOps {
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col("cell"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup bounded by the watermark: duplicates of a doc
+    * fingerprint arriving within the event-time window are dropped with
+    * BOUNDED state (dropDuplicatesWithinWatermark evicts keys once the
+    * watermark passes them — a plain dropDuplicates would grow state
+    * forever on an unbounded feed). The fingerprint column mirrors the
+    * batch exact-dedup key (md5 of normalized text). */
+  def dedupStream(docs: DataFrame, tsCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   final case class SpanEvent(user: Long, cell: Long, ts: java.sql.Timestamp)
   final case class CellSession(user: Long, nEvents: Long, nCells: Long, lastCell: Long)
 

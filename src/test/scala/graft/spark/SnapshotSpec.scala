@@ -78,6 +78,30 @@ class SnapshotSpec extends AnyFunSuite {
     assert(!found)
   }
 
+  test("compact bin-packs a fragmented snapshot without changing rows") {
+    val dir = Files.createTempDirectory("snapcompact").toString + "/tbl"
+    // a deliberately fragmented commit: 16 shuffle files per partition dir
+    val df = spark.range(0, 4000)
+      .select(col("id"), (col("id") % 4).as("bucket"), (col("id") * 3).as("key"))
+      .repartition(16)
+    val id1 = Snapshots.commit(df, dir, "bucket", "key", "fragmented")
+    val before = Snapshots.dataFileCount(dir, id1)
+    assert(before >= 16, s"expected fragmentation, got $before files")
+
+    val id2 = Snapshots.compact(spark, dir, targetBytes = 1L << 30)
+    assert(id2 == id1 + 1)
+    val after = Snapshots.dataFileCount(dir, id2)
+    assert(after < before, s"compaction did not shrink: $before -> $after")
+
+    // rows identical, old snapshot still time-travelable
+    val a = Snapshots.read(spark, dir, id1).select("id", "bucket", "key")
+      .orderBy("id").collect().toSeq
+    val b = Snapshots.read(spark, dir, id2).select("id", "bucket", "key")
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    assert(Snapshots.manifest(dir, id2).contains("compaction of snapshot"))
+  }
+
   test("multimodal plumbing: fetch -> decode -> frame sampling") {
     val docs = DocsTable.docs(spark, 300)
     val media = MultimodalOps.fetchMedia(docs)

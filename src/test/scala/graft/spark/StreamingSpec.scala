@@ -81,6 +81,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(2) == 2), s"rows: ${rows.mkString(", ")}")
   }
 
+  test("dropDuplicatesWithinWatermark dedups a doc feed with bounded state") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = StreamingOps.dedupStream(
+      in.toDF().toDF("ts", "doc_id", "text"), "ts", watermark = "1 minute")
+    val q = deduped.writeStream.format("memory").queryName("dedup_feed")
+      .outputMode(OutputMode.Append).start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:30")
+    // two exact dups (after normalization) within the watermark + 1 unique
+    in.addData((t(0), 1L, "Alpha  Beta"), (t(0), 2L, "alpha beta"),
+      (t(0), 3L, "unrelated text"))
+    q.processAllAvailable()
+    // advance the watermark far past the first window, then repeat the text:
+    // the state for the old fingerprint is evicted, so it emits again
+    in.addData((t(10), 4L, "advance watermark"))
+    q.processAllAvailable()
+    in.addData((t(11), 5L, "alpha beta"))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_feed").select($"doc_id").collect().map(_.getLong(0))
+    q.stop()
+    assert(rows.toSet.intersect(Set(1L, 2L)).size == 1, s"rows: ${rows.mkString(",")}")
+    assert(rows.contains(3L) && rows.contains(4L))
+    assert(rows.contains(5L), "re-emission after watermark eviction expected")
+  }
+
   test("mapGroupsWithState sessions accumulate per-user cell transitions") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[StreamingOps.SpanEvent]
