@@ -1,0 +1,397 @@
+#!/usr/bin/env python3
+"""Generate the coordinate-operation sidecar `src/main/resources/graft/epsg_ops`
+from the reference's public EPSG SQL data (/root/reference/data/sql/*.sql).
+
+The reference ships the EPSG dataset as plain INSERT scripts (its build
+assembles them into proj.db); we load them into an in-memory sqlite and emit
+a compact line-oriented sidecar that the Scala side (graft.proj.EpsgDb) can
+parse without a SQL engine:
+
+  C|auth:code|kind|datumAuth:code|a|rf|pm_deg|w|s|e|n|name      geodetic CRS
+      kind: g2 geographic-2D, g3 geographic-3D, gc geocentric
+  P|auth:code|baseGeogAuth:code|w|s|e|n|name                    projected CRS
+  V|auth:code|datumAuth:code|w|s|e|n|name                       vertical CRS
+  X|auth:code|horiz|vert|name                                   compound CRS
+  D|auth:code|frameEpoch or -|ensembleAccuracy or -|name        geodetic datum
+  M|ensembleAuth:code|member1,member2,...                       ensemble members
+  N|lowercased name|{C,P,V,X}|auth:code                         name/alias index
+  O|auth:code|{H,G,O,C,S}|method|src|dst|acc|w|s|e|n|dep|extras|areaName|name
+      H helmert (extras k=v: x,y,z m; rx,ry,rz arcsec; s ppm; dx..ds rates /yr;
+        epoch; px,py,pz m), G grid (extras: grid=, grid2=, interp=, orig=),
+      O other (extras: p<EPSG param code>=normalized value, angles in degrees,
+        lengths in metres, scales in ppm-free unity), C concatenated
+      (extras: steps=+auth:code,-auth:code,...), S raw PROJ-string method
+      (extras: projstring base64? no: stored verbatim after 'str=')
+  A|original_grid_name|proj_grid_name|format|proj_method|inverse  grid aliases
+  U|auth:code|auth:code                                          supersession
+
+Only authorities EPSG, PROJ and IAU_2015 are emitted (the reference's
+authority_to_authority_preference for EPSG<->EPSG pairs is 'PROJ,EPSG' plus
+NKG, whose operations all need network grids unavailable in this sandbox).
+"""
+import os, re, sqlite3, sys, base64
+
+SQL_DIR = "/root/reference/data/sql"
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "src/main/resources/graft/epsg_ops")
+
+ORDER = ['unit_of_measure','extent','scope','prime_meridian','ellipsoid',
+ 'geodetic_datum','vertical_datum','coordinate_system','axis',
+ 'geodetic_crs','vertical_crs','conversion','projected_crs','compound_crs',
+ 'helmert_transformation','grid_transformation','grid_alternatives',
+ 'grid_alternatives_generated_noaa','other_transformation',
+ 'concatenated_operation','concatenated_operation_step','alias_name',
+ 'supersession','deprecation','esri','ignf','iau','nkg','nrcan',
+ 'transformations_czechia','customizations_early','customizations',
+ 'nkg_post_customizations','nadcon5_concatenated_operations',
+ 'wgs84_realizations_concatenated_operations','other_transformation_custom',
+ 'grid_transformation_custom','non_imported_operations',
+ 'geodetic_datum_ensemble_member','vertical_datum_ensemble_member','metadata']
+
+AUTHS = ("EPSG", "PROJ", "IAU_2015")
+
+def load():
+    db = sqlite3.connect(':memory:')
+    db.executescript(open(os.path.join(SQL_DIR, 'proj_db_table_defs.sql')).read())
+    for f in ORDER:
+        p = os.path.join(SQL_DIR, f + '.sql')
+        if not os.path.exists(p):
+            continue
+        try:
+            db.executescript(open(p).read())
+        except sqlite3.Error as e:
+            print(f"warning: {f}: {e}", file=sys.stderr)
+    db.row_factory = sqlite3.Row
+    return db
+
+def num(v):
+    """compact numeric formatting."""
+    if v is None:
+        return ''
+    if isinstance(v, int):
+        return str(v)
+    v = round(v, 12)  # strip float noise from unit conversion; the values
+    # are in convenient units (m, arcsec, ppm, deg) so 1e-12 is sub-nm
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+def main():
+    db = load()
+    uom = {}
+    for r in db.execute("select auth_name,code,name,conv_factor,type from unit_of_measure"):
+        uom[(r['auth_name'], str(r['code']))] = (r['name'], r['conv_factor'], r['type'])
+
+    ARCSEC = 4.848136811095355e-06  # radians
+
+    def conv(value, uauth, ucode, target):
+        """normalize a value to target unit: 'm', 'arcsec', 'ppm', 'deg',
+        'year', 'unity'. Rate uoms ('per year') normalize the base unit."""
+        if value is None:
+            return None
+        name, factor, typ = uom[(uauth, str(ucode))]
+        if factor is None and typ == 'angle' and not name.startswith('sexagesimal'):
+            # 'degree minute second [hemisphere]' style: only two operations
+            # use these; value is stored as signed decimal degrees already
+            if target == 'deg':
+                return value
+            if target == 'arcsec':
+                return value * 3600.0
+        if name.startswith('sexagesimal'):
+            # D.MMSSsss / D.MMm signed encodings
+            sign = -1.0 if value < 0 else 1.0
+            v = abs(value)
+            d = int(v)
+            if name == 'sexagesimal DM':
+                deg = sign * (d + (v - d) * 100.0 / 60.0)
+            else:
+                mm = int((v - d) * 100 + 1e-9)
+                ss = (v - d - mm / 100.0) * 10000.0
+                deg = sign * (d + mm / 60.0 + ss / 3600.0)
+            if target == 'deg':
+                return deg
+            if target == 'arcsec':
+                return deg * 3600.0
+            raise ValueError('DMS to ' + target)
+        per_year = 'per year' in name or name.endswith('s per year')
+        si = value * factor          # SI: m, rad, unity (per second for rates)
+        if per_year:
+            si = si * 31556925.445   # back to per-year
+        if target == 'm':
+            return si
+        if target == 'arcsec':
+            return si / ARCSEC
+        if target == 'deg':
+            return si * 180.0 / 3.14159265358979323846
+        if target == 'ppm':
+            return si * 1e6
+        if target == 'unity':
+            return si
+        if target == 'year':
+            return value if typ == 'time' else si
+        raise ValueError(target)
+
+    # extents: usage -> extent bbox + name per (table, auth, code)
+    ext = {}
+    for r in db.execute(
+        "select u.object_table_name t, u.object_auth_name a, u.object_code c,"
+        " e.south_lat s, e.north_lat n, e.west_lon w, e.east_lon e, e.name nm"
+        " from usage u join extent e on e.auth_name=u.extent_auth_name"
+        " and e.code=u.extent_code order by u.code"):
+        k = (r['t'], r['a'], str(r['c']))
+        if k not in ext:
+            ext[k] = (r['w'], r['s'], r['e'], r['n'], r['nm'])
+
+    def extent_of(table, auth, code):
+        e = ext.get((table, auth, str(code)))
+        if e is None:
+            return ('', '', '', '', '')
+        return (num(e[0]), num(e[1]), num(e[2]), num(e[3]), e[4] or '')
+
+    lines = []
+    names = []   # (lowername, kindLetter, auth:code, deprecated)
+
+    ells = {}
+    for r in db.execute("select auth_name,code,semi_major_axis,inv_flattening,"
+                        "semi_minor_axis from ellipsoid"):
+        a = r['semi_major_axis']
+        rf = r['inv_flattening']
+        if rf is None:
+            b = r['semi_minor_axis']
+            rf = 0.0 if (b is None or b == a) else a / (a - b)
+        ells[(r['auth_name'], str(r['code']))] = (a, rf)
+
+    pms = {}
+    for r in db.execute("select auth_name,code,longitude,uom_auth_name,uom_code from prime_meridian"):
+        pms[(r['auth_name'], str(r['code']))] = conv(r['longitude'], r['uom_auth_name'], r['uom_code'], 'deg')
+
+    # ---- geodetic datums
+    dat_ell = {}
+    for r in db.execute("select auth_name,code,name,ellipsoid_auth_name ea,"
+                        "ellipsoid_code ec,prime_meridian_auth_name pa,"
+                        "prime_meridian_code pc,frame_reference_epoch fe,"
+                        "ensemble_accuracy ac,deprecated from geodetic_datum"):
+        if r['auth_name'] not in AUTHS:
+            continue
+        key = f"{r['auth_name']}:{r['code']}"
+        dat_ell[key] = (ells[(r['ea'], str(r['ec']))], pms[(r['pa'], str(r['pc']))])
+        lines.append(f"D|{key}|{num(r['fe']) or '-'}|{num(r['ac']) or '-'}|{r['name']}")
+    for r in db.execute("select ensemble_auth_name a, ensemble_code c,"
+                        " group_concat(member_auth_name||':'||member_code) m"
+                        " from geodetic_datum_ensemble_member group by 1,2 "):
+        if r['a'] in AUTHS:
+            lines.append(f"M|{r['a']}:{r['c']}|{r['m']}")
+
+    # ---- geodetic CRSs
+    kindmap = {'geographic 2D': 'g2', 'geographic 3D': 'g3', 'geocentric': 'gc'}
+    for r in db.execute("select auth_name,code,name,type,datum_auth_name da,"
+                        "datum_code dc,deprecated from geodetic_crs"):
+        if r['auth_name'] not in AUTHS or r['type'] not in kindmap:
+            continue
+        key = f"{r['auth_name']}:{r['code']}"
+        dkey = f"{r['da']}:{r['dc']}"
+        if dkey not in dat_ell:
+            continue
+        (a, rf), pm = dat_ell[dkey]
+        w, s, e, n, _ = extent_of('geodetic_crs', r['auth_name'], r['code'])
+        lines.append(f"C|{key}|{kindmap[r['type']]}|{dkey}|{num(a)}|{num(rf)}|"
+                     f"{num(pm)}|{w}|{s}|{e}|{n}|{r['name']}")
+        names.append((r['name'].lower(), 'C', key, r['deprecated']))
+
+    # ---- projected CRSs (proj-string bodies live in the epsg init sidecar)
+    for r in db.execute("select auth_name,code,name,geodetic_crs_auth_name ga,"
+                        "geodetic_crs_code gc,deprecated from projected_crs"):
+        if r['auth_name'] not in AUTHS:
+            continue
+        key = f"{r['auth_name']}:{r['code']}"
+        w, s, e, n, _ = extent_of('projected_crs', r['auth_name'], r['code'])
+        lines.append(f"P|{key}|{r['ga']}:{r['gc']}|{w}|{s}|{e}|{n}|{r['name']}")
+        names.append((r['name'].lower(), 'P', key, r['deprecated']))
+
+    # ---- vertical CRSs
+    for r in db.execute("select auth_name,code,name,datum_auth_name da,"
+                        "datum_code dc,deprecated from vertical_crs"):
+        if r['auth_name'] not in AUTHS:
+            continue
+        key = f"{r['auth_name']}:{r['code']}"
+        w, s, e, n, _ = extent_of('vertical_crs', r['auth_name'], r['code'])
+        lines.append(f"V|{key}|{r['da']}:{r['dc']}|{w}|{s}|{e}|{n}|{r['name']}")
+        names.append((r['name'].lower(), 'V', key, r['deprecated']))
+
+    # ---- compound CRSs
+    for r in db.execute("select auth_name,code,name,horiz_crs_auth_name ha,"
+                        "horiz_crs_code hc,vertical_crs_auth_name va,"
+                        "vertical_crs_code vc,deprecated from compound_crs"):
+        if r['auth_name'] not in AUTHS:
+            continue
+        key = f"{r['auth_name']}:{r['code']}"
+        lines.append(f"X|{key}|{r['ha']}:{r['hc']}|{r['va']}:{r['vc']}|{r['name']}")
+        names.append((r['name'].lower(), 'X', key, r['deprecated']))
+
+    # ---- alias names
+    kind_for_table = {'geodetic_crs': 'C', 'projected_crs': 'P',
+                      'vertical_crs': 'V', 'compound_crs': 'X'}
+    for r in db.execute("select table_name t, auth_name a, code c, alt_name n"
+                        " from alias_name"):
+        if r['a'] in AUTHS and r['t'] in kind_for_table:
+            names.append((r['n'].lower(), kind_for_table[r['t']], f"{r['a']}:{r['c']}", 0))
+
+    # ---- operations
+    def op_line(auth, code, kind, method, sa, sc, ta, tc, acc, dep, extras, name):
+        w, s, e, n, area = extent_of(table_for_kind[kind], auth, code)
+        return (f"O|{auth}:{code}|{kind}|{method}|{sa}:{sc}|{ta}:{tc}|"
+                f"{num(acc)}|{w}|{s}|{e}|{n}|{1 if dep else 0}|{extras}|{area}|{name}")
+
+    table_for_kind = {'H': 'helmert_transformation', 'G': 'grid_transformation',
+                      'O': 'other_transformation', 'C': 'concatenated_operation',
+                      'S': 'other_transformation'}
+
+    for r in db.execute("select * from helmert_transformation"):
+        if r['auth_name'] not in AUTHS or r['source_crs_auth_name'] not in AUTHS \
+           or r['target_crs_auth_name'] not in AUTHS:
+            continue
+        kv = []
+        ta, tc = r['translation_uom_auth_name'], r['translation_uom_code']
+        kv.append('x=%s' % num(conv(r['tx'], ta, tc, 'm')))
+        kv.append('y=%s' % num(conv(r['ty'], ta, tc, 'm')))
+        kv.append('z=%s' % num(conv(r['tz'], ta, tc, 'm')))
+        if r['rx'] is not None:
+            ra, rc = r['rotation_uom_auth_name'], r['rotation_uom_code']
+            kv.append('rx=%s' % num(conv(r['rx'], ra, rc, 'arcsec')))
+            kv.append('ry=%s' % num(conv(r['ry'], ra, rc, 'arcsec')))
+            kv.append('rz=%s' % num(conv(r['rz'], ra, rc, 'arcsec')))
+        if r['scale_difference'] is not None:
+            kv.append('s=%s' % num(conv(r['scale_difference'],
+                r['scale_difference_uom_auth_name'],
+                r['scale_difference_uom_code'], 'ppm')))
+        if r['rate_tx'] is not None:
+            ra, rc = r['rate_translation_uom_auth_name'], r['rate_translation_uom_code']
+            kv.append('dx=%s' % num(conv(r['rate_tx'], ra, rc, 'm')))
+            kv.append('dy=%s' % num(conv(r['rate_ty'], ra, rc, 'm')))
+            kv.append('dz=%s' % num(conv(r['rate_tz'], ra, rc, 'm')))
+        if r['rate_rx'] is not None:
+            ra, rc = r['rate_rotation_uom_auth_name'], r['rate_rotation_uom_code']
+            kv.append('drx=%s' % num(conv(r['rate_rx'], ra, rc, 'arcsec')))
+            kv.append('dry=%s' % num(conv(r['rate_ry'], ra, rc, 'arcsec')))
+            kv.append('drz=%s' % num(conv(r['rate_rz'], ra, rc, 'arcsec')))
+        if r['rate_scale_difference'] is not None:
+            kv.append('ds=%s' % num(conv(r['rate_scale_difference'],
+                r['rate_scale_difference_uom_auth_name'],
+                r['rate_scale_difference_uom_code'], 'ppm')))
+        if r['epoch'] is not None:
+            kv.append('epoch=%s' % num(conv(r['epoch'],
+                r['epoch_uom_auth_name'], r['epoch_uom_code'], 'year')))
+        if r['px'] is not None:
+            pa, pc = r['pivot_uom_auth_name'], r['pivot_uom_code']
+            kv.append('px=%s' % num(conv(r['px'], pa, pc, 'm')))
+            kv.append('py=%s' % num(conv(r['py'], pa, pc, 'm')))
+            kv.append('pz=%s' % num(conv(r['pz'], pa, pc, 'm')))
+        lines.append(op_line(r['auth_name'], r['code'], 'H', r['method_code'],
+            r['source_crs_auth_name'], r['source_crs_code'],
+            r['target_crs_auth_name'], r['target_crs_code'],
+            r['accuracy'], r['deprecated'], ';'.join(kv), r['name']))
+
+    # grid alternatives (EPSG grid name -> PROJ-delivered file)
+    galt = {}
+    for r in db.execute("select original_grid_name o, proj_grid_name p,"
+                        " old_proj_grid_name old, proj_grid_format f,"
+                        " proj_method m, inverse_direction i"
+                        " from grid_alternatives"):
+        galt[r['o']] = (r['p'], r['f'], r['m'], r['i'])
+        lines.append(f"A|{r['o']}|{r['p']}|{r['old'] or ''}|{r['f']}|{r['m']}|{r['i']}")
+
+    for r in db.execute("select * from grid_transformation"):
+        if r['auth_name'] not in AUTHS or r['source_crs_auth_name'] not in AUTHS \
+           or r['target_crs_auth_name'] not in AUTHS:
+            continue
+        kv = ['grid=%s' % r['grid_name']]
+        if r['grid2_name']:
+            kv.append('grid2=%s' % r['grid2_name'])
+        if r['interpolation_crs_auth_name']:
+            kv.append('interp=%s:%s' % (r['interpolation_crs_auth_name'],
+                                        r['interpolation_crs_code']))
+        if r['param1_value'] is not None:
+            kv.append('p%s=%s' % (r['param1_code'], num(r['param1_value'])))
+        lines.append(op_line(r['auth_name'], r['code'], 'G', r['method_code'],
+            r['source_crs_auth_name'], r['source_crs_code'],
+            r['target_crs_auth_name'], r['target_crs_code'],
+            r['accuracy'], r['deprecated'], ';'.join(kv), r['name']))
+
+    for r in db.execute("select * from other_transformation"):
+        if r['auth_name'] not in AUTHS or r['source_crs_auth_name'] not in AUTHS \
+           or r['target_crs_auth_name'] not in AUTHS:
+            continue
+        if r['method_auth_name'] == 'PROJ':
+            # raw PROJ-string method: keep verbatim (base64 to survive the
+            # pipe-separated format)
+            b64 = base64.b64encode(r['method_name'].encode()).decode()
+            lines.append(op_line(r['auth_name'], r['code'], 'S', 'projstring',
+                r['source_crs_auth_name'], r['source_crs_code'],
+                r['target_crs_auth_name'], r['target_crs_code'],
+                r['accuracy'], r['deprecated'], 'str=' + b64, r['name']))
+            continue
+        kv = []
+        for i in range(1, 10):
+            pc = r[f'param{i}_code']
+            if pc is None:
+                continue
+            v = r[f'param{i}_value']
+            ua, uc = r[f'param{i}_uom_auth_name'], r[f'param{i}_uom_code']
+            typ = uom[(ua, str(uc))][2] if (ua and uc is not None) else 'scale'
+            if typ == 'angle':
+                v = conv(v, ua, uc, 'deg')
+            elif typ == 'length':
+                v = conv(v, ua, uc, 'm')
+            # scale params keep their raw value (similarity scale is unity)
+            kv.append('p%s=%s' % (pc, num(v)))
+        if r['grid_name']:
+            kv.append('grid=%s' % r['grid_name'])
+        if r['interpolation_crs_auth_name']:
+            kv.append('interp=%s:%s' % (r['interpolation_crs_auth_name'],
+                                        r['interpolation_crs_code']))
+        lines.append(op_line(r['auth_name'], r['code'], 'O', r['method_code'],
+            r['source_crs_auth_name'], r['source_crs_code'],
+            r['target_crs_auth_name'], r['target_crs_code'],
+            r['accuracy'], r['deprecated'], ';'.join(kv), r['name']))
+
+    steps = {}
+    for r in db.execute("select operation_auth_name a, operation_code c,"
+                        " step_auth_name sa, step_code sc, step_direction d"
+                        " from concatenated_operation_step order by a, c, step_number"):
+        sgn = '-' if (r['d'] or 'forward') == 'reverse' else '+'
+        steps.setdefault((r['a'], str(r['c'])), []).append(f"{sgn}{r['sa']}:{r['sc']}")
+    for r in db.execute("select * from concatenated_operation"):
+        if r['auth_name'] not in AUTHS or r['source_crs_auth_name'] not in AUTHS \
+           or r['target_crs_auth_name'] not in AUTHS:
+            continue
+        st = steps.get((r['auth_name'], str(r['code'])), [])
+        lines.append(op_line(r['auth_name'], r['code'], 'C', '',
+            r['source_crs_auth_name'], r['source_crs_code'],
+            r['target_crs_auth_name'], r['target_crs_code'],
+            r['accuracy'], r['deprecated'], 'steps=' + ','.join(st), r['name']))
+
+    for r in db.execute("select superseded_auth_name a, superseded_code c,"
+                        " replacement_auth_name ra, replacement_code rc,"
+                        " same_source_target_crs s from supersession"):
+        if r['a'] in AUTHS and r['ra'] in AUTHS:
+            lines.append(f"U|{r['a']}:{r['c']}|{r['ra']}:{r['rc']}|{r['s']}")
+
+    # name index: non-deprecated objects first so lookups prefer them
+    names.sort(key=lambda t: (t[3], t[0]))
+    seen = set()
+    for nm, k, key, dep in names:
+        if (nm, k, key) in seen:
+            continue
+        seen.add((nm, k, key))
+        lines.append(f"N|{nm}|{k}|{key}")
+
+    with open(OUT, 'w') as f:
+        f.write("# Coordinate-operation sidecar generated by devtools/"
+                "epsg_ops_gen.py\n# from the reference's public EPSG SQL data"
+                " (data/sql/*.sql). Format: see generator docstring.\n")
+        f.write('\n'.join(lines))
+        f.write('\n')
+    print(f"wrote {OUT}: {len(lines)} lines")
+
+if __name__ == '__main__':
+    main()

@@ -144,10 +144,11 @@ object CliCs2cs {
   }
 
   def run(args: Seq[String], stdin: String, progName: String = "cs2cs",
-          files: Map[String, String] = Map.empty): CliResult = {
+          files: Map[String, String] = Map.empty,
+          env: Map[String, String] = Map.empty): CliResult = {
     val io = new CliOut
     try {
-      runInner(args, stdin, progName, io, files)
+      runInner(args, stdin, progName, io, files, env)
       CliResult(io.stdout, io.stderr, io.combined, 0)
     } catch {
       case ex: CliExit =>
@@ -158,7 +159,8 @@ object CliCs2cs {
   }
 
   private def runInner(args: Seq[String], stdin: String, progName: String,
-                       io: CliOut, files: Map[String, String]): Unit = {
+                       io: CliOut, files: Map[String, String],
+                       env: Map[String, String]): Unit = {
     var echoin = false
     var inverse = progName.startsWith("inv")
     var reversein = false
@@ -166,6 +168,11 @@ object CliCs2cs {
     var promoteTo3D = false
     var noBallpark = false
     var accuracySet = false
+    var accuracy: Option[Double] = None
+    var authority: Option[String] = None
+    var onlyBest: Option[Boolean] = None
+    var sEpoch: Option[Double] = None
+    var tEpoch: Option[Double] = None
     var oform: Option[String] = None
     var oterr = "*\t*"
     var tag = '#'
@@ -189,10 +196,15 @@ object CliCs2cs {
         arg match {
           case "--3d" => promoteTo3D = true
           case "--no-ballpark" => noBallpark = true
-          case "--only-best" | "--only-best=yes" | "--only-best=no" => ()
-          case "--accuracy" => nextArg(arg); accuracySet = true
-          case "--area" | "--bbox" | "--authority" |
-               "--s_epoch" | "--t_epoch" => nextArg(arg)
+          case "--only-best" | "--only-best=yes" => onlyBest = Some(true)
+          case "--only-best=no" => onlyBest = Some(false)
+          case "--accuracy" =>
+            val v = nextArg(arg); accuracySet = true
+            accuracy = v.toDoubleOption
+          case "--authority" => authority = Some(nextArg(arg))
+          case "--s_epoch" => sEpoch = nextArg(arg).toDoubleOption
+          case "--t_epoch" => tEpoch = nextArg(arg).toDoubleOption
+          case "--area" | "--bbox" => nextArg(arg)
           case other => throw new CliExit(1, s"invalid option: $other")
         }
       } else if (arg.length > 1 && arg.charAt(0) == '-') {
@@ -245,6 +257,37 @@ object CliCs2cs {
     if (inverse) { val t = fromToks; fromToks = toToks; toToks = t }
     if (fromToks.isEmpty && toToks.isEmpty)
       throw new CliExit(1, "missing source and target coordinate systems")
+
+    // ---- database path: both sides are CRS codes/names the EPSG sidecar
+    // resolves (reference: proj_create_crs_to_crs over the iso19111
+    // database). Proj-string / WKT / missing sides keep the legacy hub path.
+    // a real WKT string (GEOGCRS["..."]) never resolves as a CRS name, so
+    // the DB attempt safely precedes the WKT/proj-string path — names like
+    // "NAD83(HARN)" would otherwise be mistaken for WKT syntax
+    def isDbSpec(toks: Vector[String]): Boolean =
+      toks.size == 1 && !toks.head.contains('=')
+    if (!isProj4Style && fromToks.nonEmpty && toToks.nonEmpty &&
+        isDbSpec(fromToks) && isDbSpec(toToks)) {
+      val pair = for {
+        s <- graft.proj.OpFactory.resolve(fromToks.head)
+        d <- graft.proj.OpFactory.resolve(toToks.head)
+      } yield (s, d)
+      pair match {
+        case Some((srcR, dstR)) =>
+          val inputText0 =
+            if (eargs.isEmpty) stdin
+            else CliIo.concatInputs(eargs.toSeq, stdin, files)
+          runDb(srcR, dstR, io, files, env, inputText0, DbFlags(
+            echoin = echoin, reversein = reversein, reverseout = reverseout,
+            promoteTo3D = promoteTo3D, noBallpark = noBallpark,
+            accuracy = if (accuracySet) accuracy.orElse(Some(0.0)) else None,
+            authority = authority, onlyBest = onlyBest,
+            sEpoch = sEpoch, tEpoch = tEpoch,
+            oform = oform, oterr = oterr, tag = tag, rtodms = rtodms))
+          return
+        case None => ()
+      }
+    }
 
     // a missing side resolves to the other side's geographic base
     // (cs2cs.cpp get_geog_crs_proj_string_from_proj_crs)
@@ -371,6 +414,217 @@ object CliCs2cs {
         io.out(line.substring(math.min(pos, line.length)))
         io.out("\n")
       }
+    }
+  }
+
+  // ------------------------------------------------------- database path
+
+  private final case class DbFlags(
+      echoin: Boolean, reversein: Boolean, reverseout: Boolean,
+      promoteTo3D: Boolean, noBallpark: Boolean,
+      accuracy: Option[Double], authority: Option[String],
+      onlyBest: Option[Boolean], sEpoch: Option[Double], tEpoch: Option[Double],
+      oform: Option[String], oterr: String, tag: Char, rtodms: Rtodms)
+
+  /** Transform with a candidate-operation list from the EPSG sidecar —
+    * the reference's proj_create_crs_to_crs + per-point proj_trans
+    * selection, driven by the same cs2cs I/O conventions as the legacy hub
+    * path. */
+  private def runDb(src: graft.proj.OpFactory.Resolved,
+                    dst: graft.proj.OpFactory.Resolved,
+                    io: CliOut, files: Map[String, String],
+                    env: Map[String, String], inputText: String,
+                    flags: DbFlags): Unit = {
+    import CliIo._
+    import graft.proj.{EpsgDb, OpFactory, OpRuntime}
+    import graft.proj.ops.GridShiftOps
+
+    val debug = env.get("PROJ_DEBUG").exists(v =>
+      v == "2" || v == "3" || v.equalsIgnoreCase("on"))
+
+    // PROJ_DATA semantics: '$tmpdir' / '$PWD' components resolve against the
+    // test-provided in-memory files; '$PROJ_DATA'-style components keep the
+    // default search roots.
+    val projData = env.get("PROJ_DATA")
+    val memRoots = projData.exists(_.split(':').exists(p =>
+      p.contains("$tmpdir") || p.contains("$PWD")))
+    val defRoots = projData.forall(_.split(':').exists(p =>
+      p.contains("$PROJ_DATA") || p.contains("${PROJ_DATA}")))
+    val scopedSource: Option[GridShiftOps.GridSource] = projData.map { _ =>
+      new GridShiftOps.GridSource {
+        def fetch(name: String): Option[Array[Byte]] =
+          (if (memRoots) files.get(name).map(_.getBytes("ISO-8859-1")) else None)
+            .orElse(if (defRoots) GridShiftOps.gridSource.fetch(name) else None)
+      }
+    }
+
+    // only-best default: flag > PROJ_ONLY_BEST_DEFAULT env > proj.ini
+    // only_best_default; otherwise the reference's warn-mode default
+    val iniOnlyBest: Option[Boolean] =
+      (if (memRoots) files.get("proj.ini") else None).flatMap(
+        _.split('\n').collectFirst {
+          case l if l.trim.startsWith("only_best_default") =>
+            val v = l.substring(l.indexOf('=') + 1).trim
+            v.equalsIgnoreCase("on") || v.equalsIgnoreCase("yes")
+        })
+    val envOnlyBest = env.get("PROJ_ONLY_BEST_DEFAULT").filter(_.nonEmpty)
+      .map(v => v.equalsIgnoreCase("yes") || v.equalsIgnoreCase("true") ||
+        v.equalsIgnoreCase("on") || v == "1")
+    val effOnlyBest = flags.onlyBest.orElse(envOnlyBest).orElse(iniOnlyBest)
+    val onlyBestError = effOnlyBest.getOrElse(false)
+    val onlyBestWarn = effOnlyBest.isEmpty
+
+    def body(): Unit = {
+      val opts = OpFactory.Options(
+        authority = flags.authority,
+        accuracy = flags.accuracy.getOrElse(-1.0),
+        allowBallpark = !flags.noBallpark,
+        onlyBestError = onlyBestError,
+        onlyBestWarn = onlyBestWarn,
+        epoch = flags.sEpoch.orElse(flags.tEpoch))
+
+      val cands = OpFactory.createList(src, dst, opts)
+      if (cands.isEmpty)
+        throw new CliExit(3, "cannot initialize transformation\ncause: (null)")
+      if (onlyBestError && cands.length == 1 && !cands.head.instantiable) {
+        val rt0 = new OpRuntime(cands, onlyBestError, onlyBestWarn,
+          s => io.err(s + "\n"), _ => ())
+        io.err(rt0.missingGridMessage(cands.head) + "\n")
+        throw new CliExit(3,
+          "cannot initialize transformation\ncause: File not found or invalid")
+      }
+
+      val runtime = new OpRuntime(cands, onlyBestError, onlyBestWarn,
+        s => io.err(s + "\n"),
+        s => if (debug) io.err(s + "\n"))
+
+      val srcDynamic = flags.sEpoch.isEmpty && EpsgDb.db.isDynamicDatum(src.geod.datum)
+      val dstDynamic = flags.tEpoch.isEmpty && EpsgDb.db.isDynamicDatum(dst.geod.datum)
+
+      def axisOf(r: OpFactory.Resolved): (Boolean, Double) = {
+        val num = r.code.substring(r.code.indexOf(':') + 1)
+        val ax = if (r.code.startsWith("EPSG:")) graft.proj.Proj.epsgAxisFirst.get(num)
+          else None
+        val latFirst = ax.exists(a => a._1 == "north" || a._1 == "south")
+        val toRad = if (ax.exists(_._2 == "grad")) math.Pi / 200.0
+          else graft.core.GeoMath.DEG2RAD
+        (latFirst, toRad)
+      }
+      val (srcLatFirst, srcToRad) = axisOf(src)
+      val (dstLatFirst, _) = axisOf(dst)
+
+      val srcBase: Option[graft.proj.PJ] =
+        src.projBody.map(b => graft.proj.Proj.create(b))
+      val srcCart: Option[graft.proj.PJ] =
+        if (src.isGeocentric)
+          Some(graft.proj.Proj.create("proj=cart " + src.geod.ellTokens))
+        else None
+
+      val srcIsLL = src.isLongLat
+      val dstLL = dst.isLongLat && dst.vert.isEmpty
+      val srcDms = srcIsLL && src.vert.isEmpty &&
+        math.abs(srcToRad - graft.core.GeoMath.DEG2RAD) < 1e-10
+      val informat: (String, Int) => (Double, Int) =
+        if (srcDms) dmstorTok else strtodTok
+      val effOform = if (!dstLL && flags.oform.isEmpty) Some("%.2f") else flags.oform
+
+      for (line <- lines(inputText)) {
+        if (line.nonEmpty && line.charAt(0) == flags.tag) io.out(line + "\n")
+        else {
+          var pos = 0
+          var u = 0.0
+          var v = 0.0
+          if (flags.reversein) {
+            val (a, p1) = informat(line, 0); v = a
+            val (b, p2) = informat(line, p1); u = b; pos = p2
+          } else {
+            val (a, p1) = informat(line, 0); u = a
+            val (b, p2) = informat(line, p1); v = b; pos = p2
+          }
+          var z = { val (zv, p) = strtodTok(line, pos); if (p != pos) { val r = zv; pos = p; r } else 0.0 }
+          val beforeTime = pos
+          val (tv, tEnd) = strtodTok(line, pos)
+          val hasT = tEnd != pos
+          val t = if (hasT) tv else HUGE
+          if (!hasT) {
+            if (srcDynamic)
+              io.err("Input coordinates lack a coordinate epoch, whereas the " +
+                "source CRS is dynamic. Results might be inaccurate.\n")
+            else if (dstDynamic)
+              io.err("Input coordinates lack a coordinate epoch, " +
+                "whereas the destination CRS is dynamic. " +
+                "Results might be inaccurate.\n")
+          }
+          pos = beforeTime
+
+          if (v == HUGE) u = HUGE
+          if (flags.echoin) { io.out(line.substring(0, math.min(pos, line.length))); io.out("\t") }
+
+          var x = u
+          var y = v
+          if (u != HUGE) {
+            if (srcLatFirst) { val tmp = x; x = y; y = tmp }
+            if (srcIsLL && !srcDms) { x *= srcToRad; y *= srcToRad }
+            // the point in source geographic degrees, for extent checks
+            var lonDeg = 0.0
+            var latDeg = 0.0
+            if (srcIsLL) {
+              lonDeg = x * graft.core.GeoMath.RAD2DEG
+              latDeg = y * graft.core.GeoMath.RAD2DEG
+            } else {
+              val c2 = new graft.core.Coord
+              c2.set(x, y, z, t)
+              srcBase.foreach(pj => graft.proj.Dispatch.trans(pj, forward = false, c2))
+              srcCart.foreach(pj => graft.proj.Dispatch.trans(pj, forward = false, c2))
+              if (!c2.isError) {
+                lonDeg = c2.x * graft.core.GeoMath.RAD2DEG
+                latDeg = c2.y * graft.core.GeoMath.RAD2DEG
+              }
+            }
+            val c = new graft.core.Coord
+            c.set(x, y, z, opts.epoch.getOrElse(t))
+            val ok = runtime.trans(c, lonDeg, latDeg)
+            if (!ok) { x = HUGE; y = HUGE; z = HUGE }
+            else { x = c.x; y = c.y; z = c.z }
+          } else x = HUGE
+
+          if (x == HUGE) io.out(flags.oterr)
+          else if (dstLL && effOform.isEmpty) {
+            val latF = dstLatFirst ^ flags.reverseout
+            if (latF) {
+              io.out(flags.rtodms.format(y, 'N', 'S')); io.out("\t")
+              io.out(flags.rtodms.format(x, 'E', 'W'))
+            } else {
+              io.out(flags.rtodms.format(x, 'E', 'W')); io.out("\t")
+              io.out(flags.rtodms.format(y, 'N', 'S'))
+            }
+          } else {
+            var ox = x
+            var oy = y
+            if (dst.isLongLat) {
+              ox *= graft.core.GeoMath.RAD2DEG
+              oy *= graft.core.GeoMath.RAD2DEG
+            }
+            if (dstLatFirst ^ flags.reverseout) { val tmp = ox; ox = oy; oy = tmp }
+            val f = effOform.getOrElse("%.2f")
+            io.out(CFormat.format(f, ox)); io.out("\t"); io.out(CFormat.format(f, oy))
+          }
+
+          io.out(" ")
+          io.out(effOform match {
+            case Some(f) => CFormat.format(f, z)
+            case None => CFormat.format("%.3f", z)
+          })
+          io.out(line.substring(math.min(pos, line.length)))
+          io.out("\n")
+        }
+      }
+    }
+
+    scopedSource match {
+      case Some(s) =>
+        GridShiftOps.withGridSource(projData.getOrElse("") + "#" + files.keySet.hashCode, s)(body())
+      case None => body()
     }
   }
 }

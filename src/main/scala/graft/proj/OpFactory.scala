@@ -1,0 +1,688 @@
+package graft.proj
+
+import graft.core.Coord
+import EpsgDb.{Bbox, CompCrs, Db, GeodCrs, Geog2D, Geog3D, Geocentric, Op, VertCrs}
+
+/** Coordinate-operation factory over the generated EPSG sidecar — the
+  * engine's equivalent of the reference's createOperations +
+  * proj_create_crs_to_crs (reference src/iso19111/operation/
+  * coordinateoperationfactory.cpp, src/crs_to_crs.cpp, src/trans.cpp),
+  * re-derived for the subset of operation methods the EPSG dataset actually
+  * uses: Helmert families (geocentric / geog2D / geog3D domains, time-
+  * dependent and Molodensky-Badekas variants), grid transformations
+  * (NTv2/NTv1/NADCON/NADCON5/CTable2/GeoTIFF, geoid height models, vertical
+  * offset grids, geocentric interpolation), similarity / affine / offset
+  * methods, and concatenated operations.
+  *
+  * Candidates carry the operation extent; per-point selection mirrors the
+  * reference's pj_get_suggested_operation (best accuracy among extent
+  * matches, smaller pseudo-area breaking ties, retry on failure, gridless
+  * fallback), including the ONLY_BEST error/warn protocol and its exact
+  * missing-grid message text (reference src/trans.cpp:47-211).
+  */
+object OpFactory {
+
+  private def db: Db = EpsgDb.db
+
+  // ------------------------------------------------------------ resolution
+
+  /** A CRS resolved from a user spec (code, name, compound): the geodetic
+    * core plus optional projection body and vertical component. */
+  final case class Resolved(
+      geod: GeodCrs,
+      kind: Int,                       // of the full horizontal CRS
+      projBody: Option[String],        // proj-string body (projected CRS)
+      projCode: Option[String],        // projected CRS code
+      vert: Option[VertCrs],
+      name: String,
+      /** code of the horizontal CRS as given (geodetic or projected) */
+      code: String) {
+    def is3D: Boolean = kind == Geog3D || kind == Geocentric || vert.isDefined
+    def isGeocentric: Boolean = kind == Geocentric && projBody.isEmpty
+    def isLongLat: Boolean = projBody.isEmpty && kind != Geocentric
+  }
+
+  /** resolve an auth:code ("EPSG:4326", "4326+5773" handled by caller). */
+  def resolveCode(code0: String): Option[Resolved] = {
+    val code = normCode(code0)
+    db.geodetic.get(code).map { g =>
+      Resolved(g, g.kind, None, None, None, g.name, code)
+    }.orElse(db.projected.get(code).flatMap { p =>
+      for {
+        g <- db.geodetic.get(p.baseGeog)
+        body <- projBodyOf(code)
+      } yield Resolved(g, g.kind, Some(body), Some(code), None, p.name, code)
+    }).orElse(db.compound.get(code).flatMap { x =>
+      for {
+        h <- resolveCode(x.horiz)
+        v <- db.vertical.get(x.vert)
+      } yield h.copy(vert = Some(v), name = x.name)
+    }).orElse(db.vertical.get(code).flatMap { v =>
+      // a bare vertical CRS used as a side: the reference promotes it with
+      // an unspecified horizontal; cs2cs pairs it against the other side's
+      // geographic CRS. Caller handles; not resolvable standalone here.
+      None
+    })
+  }
+
+  /** "EPSG:4326", "epsg:4326", "4326" (EPSG implied by callers that know) */
+  private def normCode(c: String): String = {
+    val t = c.trim
+    val i = t.indexOf(':')
+    if (i < 0) "EPSG:" + t
+    else t.substring(0, i).toUpperCase match {
+      case "EPSG" => "EPSG:" + t.substring(i + 1)
+      case a => a + ":" + t.substring(i + 1)
+    }
+  }
+
+  /** proj-string body for a projected/geodetic CRS code, from the generated
+    * init table (strips +towgs84/+no_defs, keeps projection + ellipsoid). */
+  def projBodyOf(code: String): Option[String] = {
+    val num = code.substring(code.indexOf(':') + 1)
+    if (!code.startsWith("EPSG:")) return None
+    Proj.epsgInitLookup(num).map { raw =>
+      raw.split("\\s+").iterator.filter(_.nonEmpty).map(_.stripPrefix("+"))
+        .filterNot(t => t.startsWith("towgs84=") || t == "no_defs")
+        .mkString(" ")
+    }
+  }
+
+  /** resolve a user CRS spec: auth:code, code+code compound, a CRS name,
+    * or "name + name" compound (reference io.cpp createFromUserInput name
+    * path: prefer geographic 2D, then 3D, when several objects share the
+    * name). */
+  def resolve(spec: String): Option[Resolved] = {
+    val t = spec.trim
+    // EPSG:a+b compound code form (also "EPSG:a+EPSG:b")
+    val codeLike = t.nonEmpty &&
+      (t.indexOf(':') > 0 && t.substring(0, t.indexOf(':')).forall(c =>
+        c.isLetterOrDigit || c == '_')) && !t.contains(' ')
+    if (codeLike) {
+      val plus = t.indexOf('+')
+      if (plus > 0) {
+        val horiz = t.substring(0, plus)
+        val vertPart0 = t.substring(plus + 1)
+        val vertPart = if (vertPart0.contains(':')) normCode(vertPart0)
+          else "EPSG:" + vertPart0
+        for {
+          h <- resolveCode(horiz)
+          v <- db.vertical.get(vertPart)
+        } yield h.copy(vert = Some(v),
+          name = h.name + " + " + v.name)
+      } else resolveCode(t)
+    } else if (t.contains(" + ")) {
+      val i = t.indexOf(" + ")
+      for {
+        h <- resolve(t.substring(0, i))
+        vname <- Some(t.substring(i + 3))
+        vcode <- db.byName(vname, "V").headOption
+        v <- db.vertical.get(vcode._2)
+      } yield h.copy(vert = Some(v), name = h.name + " + " + v.name)
+    } else {
+      // name lookup over CRS kinds; prefer geographic 2D then 3D, then
+      // any single match
+      val cands = db.byName(t, "CPX")
+      val geo = cands.collect { case ('C', c) => db.geodetic(c) }
+      geo.find(_.kind == Geog2D).orElse(geo.find(_.kind == Geog3D)) match {
+        case Some(g) => resolveCode(g.code)
+        case None => cands.headOption.flatMap { case (_, c) => resolveCode(c) }
+      }
+    }
+  }
+
+  // --------------------------------------------------------- candidates
+
+  final case class Options(
+      authority: Option[String] = None,
+      accuracy: Double = -1.0,
+      allowBallpark: Boolean = true,
+      onlyBestError: Boolean = false,
+      onlyBestWarn: Boolean = false,
+      /** epoch forced onto input coordinates (--s_epoch / --t_epoch) */
+      epoch: Option[Double] = None,
+      /** grid availability probe (name -> available); tmpdir scenarios
+        * replace it */
+      gridAvailable: String => Boolean = OpFactory.defaultGridAvailable)
+
+  /** grid availability through the engine's pluggable grid source; a grid
+    * counts as available under its PROJ-delivered name or the original EPSG
+    * name. */
+  def defaultGridAvailable(name: String): Boolean =
+    graft.proj.ops.GridShiftOps.activeSource.fetch(name).isDefined
+
+  /** resolve an EPSG grid name to (name our readers can open, available?):
+    * the PROJ-delivered name, the legacy (old) PROJ name, the original EPSG
+    * name, or the bare stem NADCON .las/.los pairs ship under locally. */
+  private def gridFile(orig: String, opts: Options): (String, Boolean) = {
+    val alias = db.gridAlias.get(orig)
+    val projName = alias.map(_.proj).getOrElse(orig)
+    val tries = Seq(projName) ++ alias.map(_.old).filter(_.nonEmpty) ++
+      Seq(orig, orig.toLowerCase) ++ {
+        val stem = orig.stripSuffix(".las").stripSuffix(".los")
+        if (stem != orig) Seq(stem) else Seq.empty
+      }
+    tries.distinct.find(opts.gridAvailable) match {
+      case Some(n) => (n, true)
+      case None => (projName, false)
+    }
+  }
+
+  /** one geodetic-hop step (between geodetic CRS forms) */
+  private final case class Hop(op: Op, inv: Boolean) {
+    def name: String = if (inv) "Inverse of " + op.name else op.name
+    def srcEnd: String = if (inv) op.dstCrs else op.srcCrs
+    def dstEnd: String = if (inv) op.srcCrs else op.dstCrs
+  }
+
+  /** a candidate coordinate operation between the two full CRSs */
+  final case class Candidate(
+      name: String,
+      accuracy: Double,
+      /** extent boxes in geographic degrees (antimeridian split) */
+      boxes: Seq[Bbox],
+      pseudoArea: Double,
+      areaName: String,
+      /** grids used: (resolved file, available) */
+      grids: Seq[(String, Boolean)],
+      ballpark: Boolean,
+      ballparkVertical: Boolean,
+      stepCount: Int,
+      pipeline: String) {
+    def gridsAvailable: Boolean = grids.forall(_._2)
+    def hasGrids: Boolean = grids.nonEmpty
+    lazy val pj: Either[String, PJ] =
+      try Right(Proj.create(pipeline))
+      catch { case e: graft.core.ProjError => Left(e.getMessage) }
+    def instantiable: Boolean = gridsAvailable && pj.isRight
+  }
+
+  private def boxesOf(b: Option[Bbox]): Seq[Bbox] = b match {
+    case None => Seq(Bbox(-180, -90, 180, 90))
+    case Some(bb) if bb.west > bb.east =>
+      Seq(Bbox(bb.west, bb.south, 180, bb.north),
+        Bbox(-180, bb.south, bb.east, bb.north))
+    case Some(bb) => Seq(bb)
+  }
+
+  private def pseudoArea(b: Option[Bbox]): Double = {
+    val bb = b.getOrElse(Bbox(-180, -90, 180, 90))
+    val w = math.toRadians(bb.west)
+    var e = math.toRadians(bb.east)
+    val s = math.toRadians(bb.south)
+    val n = math.toRadians(bb.north)
+    if (w > e) e += 2 * math.Pi
+    (e - w) * (math.sin(n) - math.sin(s))
+  }
+
+  private def intersect(a: Option[Bbox], b: Option[Bbox]): Option[Bbox] =
+    (a, b) match {
+      case (None, x) => x
+      case (x, None) => x
+      case (Some(p), Some(q)) =>
+        // antimeridian-crossing intersection only matters when one side
+        // wraps; conservatively take the wrapping box if the other is world
+        def wraps(x: Bbox) = x.west > x.east
+        if (wraps(p) || wraps(q)) Some(if (wraps(p)) p else q)
+        else {
+          val w = math.max(p.west, q.west); val e = math.min(p.east, q.east)
+          val s = math.max(p.south, q.south); val n = math.min(p.north, q.north)
+          if (w <= e && s <= n) Some(Bbox(w, s, e, n)) else Some(p)
+        }
+    }
+
+  // ------------------------------------------------- pipeline assembly
+
+  private val RAD = 0
+  private val XYZ = 1
+
+  /** builds the proj pipeline string for a hop sequence between the two
+    * resolved CRSs; returns (pipeline, grids, stepCount). */
+  private def assemble(src: Resolved, dst: Resolved, hops: Seq[Hop],
+                       opts: Options): (String, Seq[(String, Boolean)], Int) = {
+    val sb = new StringBuilder("proj=pipeline")
+    val grids = Seq.newBuilder[(String, Boolean)]
+    var steps = 0
+
+    var form = RAD
+    var curEll = src.geod.ellTokens
+
+    // Geographic ends are lon/lat RADIANS relative to GREENWICH inside the
+    // hop chain (the caller's I/O layer deals in the CRS's own prime
+    // meridian and units); projected ends are the CRS's projected units.
+    src.projBody match {
+      case Some(body) => sb ++= s" step $body inv"; form = RAD
+      case None =>
+        if (src.kind == Geocentric) form = XYZ
+        else if (src.geod.pmDeg != 0.0) {
+          sb ++= s" step proj=geogoffset dlon=${src.geod.pmDeg * 3600.0}"
+          steps += 1
+        }
+    }
+
+    def toForm(f: Int): Unit = {
+      if (form == f) return
+      if (f == XYZ) sb ++= s" step proj=cart $curEll"
+      else sb ++= s" step proj=cart inv $curEll"
+      form = f
+    }
+
+    def helmertParams(op: Op, inv: Boolean, pv: Boolean): String = {
+      val x = op.extras
+      val b = new StringBuilder(
+        if (x.contains("px")) "proj=molobadekas" else "proj=helmert")
+      def p(k: String, pk: String): Unit =
+        x.get(k).foreach(v => b ++= s" $pk=$v")
+      p("x", "x"); p("y", "y"); p("z", "z")
+      p("rx", "rx"); p("ry", "ry"); p("rz", "rz"); p("s", "s")
+      p("dx", "dx"); p("dy", "dy"); p("dz", "dz")
+      p("drx", "drx"); p("dry", "dry"); p("drz", "drz"); p("ds", "ds")
+      p("epoch", "t_epoch")
+      p("px", "px"); p("py", "py"); p("pz", "pz")
+      b ++= (if (pv) " convention=position_vector" else " convention=coordinate_frame")
+      if (inv) b ++= " inv"
+      b.toString
+    }
+
+    for (hop <- hops) {
+      val op = hop.op
+      val srcEndCrs = db.geodetic.get(hop.srcEnd)
+      val dstEndCrs = db.geodetic.get(hop.dstEnd)
+      srcEndCrs.foreach(g => curEll = g.ellTokens)
+      op.kind match {
+        case 'H' =>
+          val m = op.method
+          val geog2dDomain = m == "9603" || m == "9606" || m == "9607" ||
+            m == "9636" || m == "1063" || m == "1133"
+          val pv = m == "9606" || m == "1033" || m == "1037" || m == "1053" ||
+            m == "1054" || m == "1055" || m == "1063" || m == "1061" ||
+            m == "1065"
+          if (geog2dDomain) {
+            toForm(RAD)
+            sb ++= " step proj=push v_3"
+            sb ++= s" step proj=cart $curEll"
+            sb ++= " step " + helmertParams(op, hop.inv, pv)
+            curEll = dstEndCrs.map(_.ellTokens).getOrElse(curEll)
+            sb ++= s" step proj=cart inv $curEll"
+            sb ++= " step proj=pop v_3"
+            steps += 5
+          } else {
+            toForm(XYZ)
+            sb ++= " step " + helmertParams(op, hop.inv, pv)
+            curEll = dstEndCrs.map(_.ellTokens).getOrElse(curEll)
+            steps += 1
+          }
+        case 'G' =>
+          val method = op.method
+          val (file, avail) = gridFile(op.extras("grid"), opts)
+          grids += ((file, avail))
+          op.extras.get("grid2").foreach { g2 =>
+            // NADCON lat/lon pairs resolve to one local stem; only track
+            // the second file when it maps to a distinct artifact
+            val (f2, a2) = gridFile(g2, opts)
+            if (f2 != file) grids += ((f2, a2))
+          }
+          val alias = db.gridAlias.get(op.extras("grid"))
+          val inv = hop.inv ^ alias.exists(_.inverse)
+          val pm = alias.map(_.method).getOrElse("hgridshift")
+          toForm(RAD)
+          pm match {
+            case "geoid_like" =>
+              // Geographic3D <-> GravityRelatedHeight: fwd (h -> H) removes
+              // the geoid undulation, i.e. vgridshift inv
+              val vinv = !inv
+              sb ++= s" step proj=vgridshift grids=$file multiplier=1" +
+                (if (vinv) " inv" else "")
+              steps += 1
+            case "vgridshift" =>
+              sb ++= s" step proj=vgridshift grids=$file multiplier=1" +
+                (if (inv) " inv" else "")
+              steps += 1
+            case "geocentricoffset" =>
+              // France geocentric interpolation (gr3df97a)
+              toForm(XYZ)
+              sb ++= s" step proj=xyzgridshift grids=$file grid_ref=output_crs" +
+                (if (inv) " inv" else "")
+              curEll = dstEndCrs.map(_.ellTokens).getOrElse(curEll)
+              steps += 1
+            case _ =>
+              sb ++= s" step proj=hgridshift grids=$file" +
+                (if (inv) " inv" else "")
+              steps += 1
+          }
+          if (pm != "geocentricoffset")
+            curEll = dstEndCrs.map(_.ellTokens).getOrElse(curEll)
+        case 'O' =>
+          val x = op.extras
+          op.method match {
+            case "9621" => // similarity (between projected CRSs; caller
+              // guarantees the hop list is exactly this op)
+              val xt0 = x.getOrElse("p8621", "0").toDouble
+              val yt0 = x.getOrElse("p8622", "0").toDouble
+              val m = x.getOrElse("p8611", x.getOrElse("p1061", "1")).toDouble
+              val thDeg = x.getOrElse("p8614", "0").toDouble
+              val th = math.toRadians(thDeg)
+              val c = m * math.cos(th); val s = m * math.sin(th)
+              val aff = f"proj=affine xoff=$xt0%.17g yoff=$yt0%.17g " +
+                f"s11=$c%.17g s12=$s%.17g s21=${-s}%.17g s22=$c%.17g"
+              sb ++= " step " + aff + (if (hop.inv) " inv" else "")
+              steps += 1
+            case "9619" | "9618" => // geographic offsets (+ height offset)
+              toForm(RAD)
+              // sidecar angles are degrees; geogoffset takes arcsec
+              val dlat = x.getOrElse("p8601", "0").toDouble * 3600.0
+              val dlon = x.getOrElse("p8602", "0").toDouble * 3600.0
+              val dh = x.getOrElse("p8604", x.getOrElse("p8603", "0")).toDouble
+              sb ++= s" step proj=geogoffset dlat=$dlat dlon=$dlon dh=$dh" +
+                (if (hop.inv) " inv" else "")
+              steps += 1
+            case "9616" => // vertical offset (m)
+              toForm(RAD)
+              val dh = x.getOrElse("p8603", "0").toDouble
+              sb ++= s" step proj=geogoffset dh=$dh" + (if (hop.inv) " inv" else "")
+              steps += 1
+            case "9601" =>
+              // longitude rotation: the rotation value IS the prime-meridian
+              // difference between the op's end CRSs; the hop chain is
+              // already Greenwich-normalized at the ends, so only the part
+              // not explained by the end pms remains (usually zero)
+              toForm(RAD)
+              val pmSrc = db.geodetic.get(hop.srcEnd).map(_.pmDeg).getOrElse(0.0)
+              val pmDst = db.geodetic.get(hop.dstEnd).map(_.pmDeg).getOrElse(0.0)
+              val raw = x.getOrElse("p8602", "0").toDouble *
+                (if (hop.inv) -1 else 1)
+              val eff = raw - (pmSrc - pmDst)
+              if (math.abs(eff) > 1e-12) {
+                sb ++= s" step proj=geogoffset dlon=${eff * 3600.0}"
+                steps += 1
+              }
+            case "9843" => // axis order reversal: identity in GIS order
+              ()
+            case "9624" => // affine parametric
+              val aff = "proj=affine " +
+                s"xoff=${x.getOrElse("p8623", "0")} s11=${x.getOrElse("p8624", "1")} s12=${x.getOrElse("p8625", "0")} " +
+                s"yoff=${x.getOrElse("p8639", "0")} s21=${x.getOrElse("p8640", "0")} s22=${x.getOrElse("p8641", "1")}"
+              sb ++= " step " + aff + (if (hop.inv) " inv" else "")
+              steps += 1
+            case other =>
+              throw graft.core.ProjError(graft.core.ProjErr.INVALID_OP, s"unsupported method $other")
+          }
+        case 'S' =>
+          val str = new String(java.util.Base64.getDecoder.decode(
+            op.extras("str")), "UTF-8")
+          throw graft.core.ProjError(graft.core.ProjErr.INVALID_OP, s"PROJ-string method not supported: $str")
+        case other =>
+          throw graft.core.ProjError(graft.core.ProjErr.INVALID_OP, s"unexpected op kind $other")
+      }
+    }
+
+    // destination end: conversions use the destination CRS's ellipsoid
+    // (a ballpark hop reinterprets the coordinates on the target datum)
+    if (form == RAD) curEll = dst.geod.ellTokens
+    dst.projBody match {
+      case Some(body) =>
+        toForm(RAD)
+        sb ++= s" step $body"
+      case None =>
+        if (dst.kind == Geocentric) toForm(XYZ)
+        else {
+          toForm(RAD)
+          if (dst.geod.pmDeg != 0.0) {
+            sb ++= s" step proj=geogoffset dlon=${dst.geod.pmDeg * 3600.0} inv"
+            steps += 1
+          }
+        }
+    }
+    val pipe = sb.toString
+    // a hop-free chain between identical forms has no steps at all
+    (if (pipe == "proj=pipeline") "proj=noop" else pipe, grids.result(), steps)
+  }
+
+  // --------------------------------------------- candidate generation
+
+  private lazy val opsByCode: Map[String, Op] =
+    db.ops.iterator.map(o => o.code -> o).toMap
+
+  private def expandConcat(op: Op, inv: Boolean): Option[Seq[Hop]] = {
+    val steps = op.extras.getOrElse("steps", "")
+    if (steps.isEmpty) return None
+    val hops = Seq.newBuilder[Hop]
+    for (s <- steps.split(',')) {
+      val stepInv = s.startsWith("-")
+      opsByCode.get(s.substring(1)) match {
+        case Some(o) if o.kind != 'C' && o.kind != 'S' => hops += Hop(o, stepInv)
+        case _ => return None // nested concats / raw PROJ strings unsupported
+      }
+    }
+    val seq = hops.result()
+    Some(if (inv) seq.reverse.map(h => Hop(h.op, !h.inv)) else seq)
+  }
+
+  private def allowedAuth(op: Op, opts: Options): Boolean = opts.authority match {
+    case Some("any") => true
+    case Some(a) => op.auth == a
+    case None => op.auth == "EPSG" || op.auth == "PROJ"
+  }
+
+  private def usableOps(a: String, b: String, opts: Options): Vector[Hop] =
+    db.opsBetween(a, b).collect {
+      case (op, inv) if !op.deprecated && !db.superseded.contains(op.code) &&
+        allowedAuth(op, opts) && op.kind != 'S' => Hop(op, inv)
+    }
+
+  /** similarity (9621), affine parametric (9624) and cartesian grid
+    * offsets (9656) between projected CRSs, as a direct projected-space
+    * affine. */
+  private def wholeCrsPipeline(op: Op, inv: Boolean): Option[String] = {
+    val x = op.extras
+    val aff = op.method match {
+      case "9621" =>
+        val xt0 = x.getOrElse("p8621", "0").toDouble
+        val yt0 = x.getOrElse("p8622", "0").toDouble
+        val m = x.getOrElse("p8611", x.getOrElse("p1061", "1")).toDouble
+        val th = math.toRadians(x.getOrElse("p8614", "0").toDouble)
+        val c = m * math.cos(th); val s = m * math.sin(th)
+        Some(f"proj=affine xoff=$xt0%.17g yoff=$yt0%.17g " +
+          f"s11=$c%.17g s12=$s%.17g s21=${-s}%.17g s22=$c%.17g")
+      case "9624" =>
+        Some("proj=affine " +
+          s"xoff=${x.getOrElse("p8623", "0")} s11=${x.getOrElse("p8624", "1")} s12=${x.getOrElse("p8625", "0")} " +
+          s"yoff=${x.getOrElse("p8639", "0")} s21=${x.getOrElse("p8640", "0")} s22=${x.getOrElse("p8641", "1")}")
+      case "9656" =>
+        Some(s"proj=affine xoff=${x.getOrElse("p8645", "0")} yoff=${x.getOrElse("p8646", "0")}")
+      case _ => None
+    }
+    // a bare op string has no way to carry the inversion (the `inv` flag is
+    // a pipeline-step notion, reference src/pipeline.cpp); wrap in a
+    // single-step pipeline when inverted
+    aff.map(a => if (inv) s"proj=pipeline step $a inv" else a)
+  }
+
+  private def hopsToCandidate(src: Resolved, dst: Resolved, hops: Seq[Hop],
+                              hopName: String, opts: Options): Option[Candidate] =
+    try {
+      val (pipe, grids, n) = assemble(src, dst, hops, opts)
+      val bbox = hops.foldLeft(Option.empty[Bbox])((acc, h) =>
+        intersect(acc, h.op.bbox))
+      val acc = hops.map(_.op.accuracy).foldLeft(0.0) { (s, x) =>
+        if (s < 0 || x < 0) -1.0 else s + x
+      }
+      val name = if (hops.isEmpty) nullOpName(src, dst) else hopName
+      Some(Candidate(name, if (hops.isEmpty) 0.0 else acc,
+        boxesOf(bbox), pseudoArea(bbox),
+        hops.headOption.map(_.op.areaName).getOrElse(""), grids,
+        ballpark = false, ballparkVertical = false,
+        n + hops.length, pipe))
+    } catch { case _: graft.core.ProjError => None }
+
+  /** one factory pass: direct ops (datum-level plus whole-CRS similarity),
+    * datum pivots only when no direct op survives the grid filter, ballpark
+    * last — the shape of the reference's createOperations under a given
+    * grid-availability mode. */
+  private def generate(src: Resolved, dst: Resolved, opts: Options,
+                       discardMissingGrids: Boolean): Vector[Candidate] = {
+    def keep(c: Candidate): Boolean = !discardMissingGrids || c.gridsAvailable
+
+    // whole-CRS operations (similarity / affine / cartesian grid offsets
+    // between projected CRSs) apply directly in projected coordinates —
+    // no inverse-projection wrapping
+    val whole: Vector[Candidate] =
+      (src.projCode, dst.projCode) match {
+        case (Some(sc), Some(dc)) =>
+          db.opsBetween(sc, dc).collect {
+            case (op, inv) if !op.deprecated && !db.superseded.contains(op.code) &&
+              allowedAuth(op, opts) && op.kind == 'O' =>
+              wholeCrsPipeline(op, inv).map { pipe =>
+                Candidate((if (inv) "Inverse of " + op.name else op.name),
+                  op.accuracy, boxesOf(op.bbox),
+                  pseudoArea(op.bbox), op.areaName, Seq.empty,
+                  ballpark = false, ballparkVertical = false, 1, pipe)
+              }
+          }.flatten.filter(keep)
+        case _ => Vector.empty
+      }
+
+    val a = src.geod.datum
+    val b = dst.geod.datum
+    val direct: Vector[Candidate] =
+      if (db.sameDatum(a, b))
+        hopsToCandidate(src, dst, Nil, "", opts).toVector
+      else usableOps(a, b, opts).flatMap { h =>
+        val hopSeqs =
+          if (h.op.kind == 'C') expandConcat(h.op, h.inv).map((_, h.name))
+          else Some((Seq(h), h.name))
+        hopSeqs.flatMap { case (hops, nm) =>
+          hopsToCandidate(src, dst, hops, nm, opts) }
+      }.filter(keep)
+
+    // the reference searches intermediates only when nothing direct exists
+    // at all (coordinateoperationfactory.cpp:4448 — the
+    // "!resFindDirectNonEmptyBeforeFiltering" guard); a desired-accuracy
+    // filter applies afterwards and can leave the list empty without
+    // triggering a pivot search
+    val viaPivot: Vector[Candidate] =
+      if ((whole ++ direct).nonEmpty || db.sameDatum(a, b)) Vector.empty
+      else pivotHops(a, b, opts).flatMap { case (hops, nm) =>
+        hopsToCandidate(src, dst, hops, nm, opts)
+      }.filter(keep)
+
+    val nonBallpark0 = whole ++ direct ++ viaPivot
+    val nonBallpark =
+      if (opts.accuracy < 0) nonBallpark0
+      else nonBallpark0.filter(c => c.accuracy >= 0 && c.accuracy <= opts.accuracy)
+
+    val ballpark: Vector[Candidate] =
+      if (!opts.allowBallpark || opts.accuracy >= 0 ||
+          db.sameDatum(a, b) && nonBallpark.nonEmpty) Vector.empty
+      else {
+        try {
+          val (pipe, grids, n) = assemble(src, dst, Nil, opts)
+          Vector(Candidate(
+            s"Ballpark geographic offset from ${src.name} to ${dst.name}",
+            -1.0, boxesOf(None), pseudoArea(None), "", grids,
+            ballpark = true, ballparkVertical = false, n, pipe))
+        } catch { case _: graft.core.ProjError => Vector.empty }
+      }
+
+    sort(nonBallpark) ++ ballpark
+  }
+
+  /** datum-pivot hop pairs A -> I -> B (reference
+    * createOperationsWithDatumPivot), including ensemble-aware joins. */
+  private def pivotHops(a: String, b: String,
+                        opts: Options): Vector[(Seq[Hop], String)] = {
+    val fromA = scala.collection.mutable.Map.empty[String, Vector[Hop]]
+    val toB = scala.collection.mutable.Map.empty[String, Vector[Hop]]
+    for (op <- db.ops
+         if !op.deprecated && !db.superseded.contains(op.code) &&
+           allowedAuth(op, opts) && op.kind != 'S' && op.kind != 'C') {
+      val s = db.endKey(op.srcCrs); val d = db.endKey(op.dstCrs)
+      if (s == a && d != b) fromA(d) = fromA.getOrElse(d, Vector.empty) :+ Hop(op, inv = false)
+      if (d == a && s != b) fromA(s) = fromA.getOrElse(s, Vector.empty) :+ Hop(op, inv = true)
+      if (s == b && d != a) toB(d) = toB.getOrElse(d, Vector.empty) :+ Hop(op, inv = true)
+      if (d == b && s != a) toB(s) = toB.getOrElse(s, Vector.empty) :+ Hop(op, inv = false)
+    }
+    // the two legs' extents must intersect (reference
+    // createFromCRSCodesWithIntermediates: "the extents of the two
+    // intermediate operations must intersect each other") — this is what
+    // keeps NAD27->ETRS89 from being bridged through WGS 84 by gluing a
+    // North-America op to a Europe op
+    def legsIntersect(h1: Hop, h2: Hop): Boolean = (h1.op.bbox, h2.op.bbox) match {
+      case (Some(p), Some(q)) =>
+        def boxes(b: Bbox) = boxesOf(Some(b))
+        boxes(p).exists(x => boxes(q).exists(y =>
+          math.max(x.west, y.west) <= math.min(x.east, y.east) &&
+            math.max(x.south, y.south) <= math.min(x.north, y.north)))
+      case _ => true
+    }
+    val out = Vector.newBuilder[(Seq[Hop], String)]
+    for (p <- fromA.keySet.intersect(toB.keySet).toVector.sorted;
+         h1 <- fromA(p); h2 <- toB(p) if legsIntersect(h1, h2))
+      out += ((Seq(h1, h2), h1.name + " + " + h2.name))
+    if (out.result().isEmpty) {
+      for ((p1, hs1) <- fromA; (p2, hs2) <- toB
+           if p1 != p2 && db.sameDatum(p1, p2); h1 <- hs1; h2 <- hs2
+           if legsIntersect(h1, h2))
+        out += ((Seq(h1, h2), h1.name + " + " + h2.name))
+    }
+    out.result()
+  }
+
+  /** The operation list the reference's proj_create_crs_to_crs ends up
+    * with (crs_to_crs.cpp:481-795): a KNOWN_AVAILABLE pass when the
+    * only-best warn/error protocol is active, re-run with grid-discarding
+    * (which enables the datum-pivot fallback) when nothing instantiable and
+    * non-ballpark survived, the two lists concatenated. */
+  def createList(src: Resolved, dst: Resolved, opts: Options): Vector[Candidate] = {
+    val knownMode = opts.onlyBestError || opts.onlyBestWarn
+    val listA = generate(src, dst, opts, discardMissingGrids = !knownMode)
+    if (!knownMode) return listA
+    val ok = listA.exists(c => !c.ballpark && !c.ballparkVertical && c.instantiable)
+    if (ok) return listA
+    val listB = generate(src, dst, opts, discardMissingGrids = true)
+    if (listB.isEmpty) listA
+    else listA.filterNot(c => c.ballpark || c.ballparkVertical) ++ listB
+  }
+
+  private def nullOpName(src: Resolved, dst: Resolved): String =
+    s"Null geographic offset from ${src.name} to ${dst.name}"
+
+  // ----------------------------------------------------------- sorting
+
+  /** the reference's SortFunction (coordinateoperationfactory.cpp:913-1160),
+    * reduced to the characteristics this factory produces. */
+  def sort(cands: Vector[Candidate]): Vector[Candidate] = {
+    def less(x: Candidate, y: Candidate): Boolean = {
+      if (!x.ballpark && y.ballpark) return true
+      if (x.ballpark && !y.ballpark) return false
+      if (!x.ballparkVertical && y.ballparkVertical) return true
+      if (x.ballparkVertical && !y.ballparkVertical) return false
+      if (x.gridsAvailable && !y.gridsAvailable) return true
+      if (y.gridsAvailable && !x.gridsAvailable) return false
+      val accA = x.accuracy; val accB = y.accuracy
+      if (accA >= 0 && accB < 0) return true
+      if (accB >= 0 && accA < 0) return false
+      if (accA < 0 && accB < 0) {
+        if (x.hasGrids && !y.hasGrids) return true
+        if (!x.hasGrids && y.hasGrids) return false
+      }
+      val areaA = x.pseudoArea; val areaB = y.pseudoArea
+      if (areaA > 0) {
+        if (areaA > areaB) return true
+        if (areaA < areaB) return false
+      } else if (areaB > 0) return false
+      if (accA >= 0 && accA < accB) return true
+      if (accB >= 0 && accB < accA) return false
+      if (accA >= 0 && accA == accB) {
+        if (!x.hasGrids && y.hasGrids) return true
+        if (x.hasGrids && !y.hasGrids) return false
+      }
+      if (x.stepCount < y.stepCount) return true
+      if (y.stepCount < x.stepCount) return false
+      if (x.name.length < y.name.length) return true
+      if (y.name.length < x.name.length) return false
+      x.name > y.name
+    }
+    cands.sortWith(less)
+  }
+}

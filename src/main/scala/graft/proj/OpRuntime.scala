@@ -1,0 +1,163 @@
+package graft.proj
+
+import graft.core.Coord
+import OpFactory.Candidate
+
+/** Per-point operation selection over a prepared candidate list — the
+  * engine's mirror of the reference's proj_trans alternative-operation
+  * protocol (reference src/trans.cpp:47-345): pick the best-accuracy
+  * candidate whose area of use contains the point (smaller pseudo-area
+  * breaking accuracy ties, onshore preferred over offshore), retry at most
+  * twice on failure, fall back to the first gridless operation, and speak
+  * the ONLY_BEST error/warn protocol with the reference's exact
+  * missing-grid message text.
+  */
+final class OpRuntime(cands: Vector[Candidate],
+                      onlyBestError: Boolean,
+                      onlyBestWarn: Boolean,
+                      /** error-level log (reaches stderr) */
+                      logError: String => Unit,
+                      /** debug-level log (PROJ_DEBUG >= 2) */
+                      logDebug: String => Unit) {
+
+  private var warnPending = onlyBestWarn
+  private var iCur: Int = -1
+
+  private def isOffshore(c: Candidate): Boolean =
+    c.areaName.contains("- offshore")
+  private def isUnknownArea(c: Candidate): Boolean =
+    c.areaName.isEmpty || c.areaName == "unknown"
+
+  /** pj_get_suggested_operation: lonDeg/latDeg are the point in the source
+    * CRS's geographic degrees. */
+  private def suggest(lonDeg: Double, latDeg: Double,
+                      excluded: Array[Int], skipNonInstantiable: Boolean): Int = {
+    def normLon(x0: Double): Double = {
+      var x = x0
+      if (x > 180.0) { x -= 360.0; if (x > 180.0) x = ((x + 180.0) % 360.0) - 180.0 }
+      else if (x < -180.0) { x += 360.0; if (x < -180.0) x = ((x + 180.0) % 360.0) - 180.0 }
+      x
+    }
+    val lon = normLon(lonDeg)
+    var iBest = -1
+    var bestAccuracy = Double.MaxValue
+    var i = 0
+    while (i < cands.length) {
+      if (i != excluded(0) && i != excluded(1)) {
+        val c = cands(i)
+        val ok = c.boxes.exists(b =>
+          latDeg >= b.south && latDeg <= b.north &&
+            lon >= b.west && lon <= b.east)
+        if (ok) {
+          val better = iBest < 0 ||
+            (((c.accuracy >= 0 && c.accuracy < bestAccuracy) ||
+              (c.accuracy == bestAccuracy &&
+                c.pseudoArea < cands(iBest).pseudoArea &&
+                !(isUnknownArea(c) && !isUnknownArea(cands(iBest))))) &&
+              !isOffshore(c))
+          if (better && !(skipNonInstantiable && !c.instantiable)) {
+            iBest = i
+            bestAccuracy = c.accuracy
+          }
+        }
+      }
+      i += 1
+    }
+    iBest
+  }
+
+  def missingGridMessage(c: Candidate): String = {
+    val sb = new StringBuilder(s"Attempt to use coordinate operation ${c.name} failed.")
+    for ((g, avail) <- c.grids if !avail) {
+      sb ++= s" Grid $g is not available. Consult " +
+        "https://proj.org/resource_files.html for guidance."
+    }
+    sb.toString
+  }
+
+  private def warnAboutMissingGrid(c: Candidate): Unit = {
+    var msg = missingGridMessage(c)
+    if (!onlyBestError && warnPending) {
+      msg += " This might become an error in a future PROJ major release. " +
+        "Set the ONLY_BEST option to YES or NO. " +
+        "This warning will no longer be emitted (for the current " +
+        "transformation instance)."
+      warnPending = false
+    }
+    if (onlyBestError) logError(msg) else logDebug(msg)
+  }
+
+  /** the name of the most recently used operation (for -v style output) */
+  def currentName: Option[String] = if (iCur >= 0) Some(cands(iCur).name) else None
+
+  /** transform `c` (source-CRS native form) in place; (lonDeg, latDeg) is
+    * the same point in source geographic degrees for extent checks. Returns
+    * false on failure (coord left in error state). */
+  def trans(c: Coord, lonDeg: Double, latDeg: Double): Boolean = {
+    val excluded = Array(-1, -1)
+    var skipNonInstantiable = false
+    var iRetry = 0
+    while (iRetry <= 2) {
+      val iBest = suggest(lonDeg, latDeg, excluded, skipNonInstantiable)
+      if (iBest < 0) {
+        // no extent match: fall through to the gridless fallback below
+        return fallbackGridless(c)
+      }
+      val cand = cands(iBest)
+      if (iCur != iBest) {
+        logDebug(s"Using coordinate operation ${cand.name}")
+        iCur = iBest
+      }
+      val saved = new Coord
+      saved.copyFrom(c)
+      var failed = false
+      cand.pj match {
+        case Right(pj) if cand.gridsAvailable =>
+          Dispatch.fwd4d(pj, c)
+          failed = c.isError
+        case _ => failed = true
+      }
+      if (!failed) return true
+      if (onlyBestError || warnPending) {
+        warnAboutMissingGrid(cand)
+        if (onlyBestError) {
+          c.copyFrom(saved)
+          c.setError(graft.core.ProjErr.COORD_TRANSFM_NO_OPERATION)
+          return false
+        }
+        warnPending = false
+        skipNonInstantiable = true
+      }
+      c.copyFrom(saved)
+      if (iRetry == 2) return fallbackGridless(c)
+      excluded(iRetry) = iBest
+      iRetry += 1
+    }
+    fallbackGridless(c)
+  }
+
+  /** trans.cpp:305-345 — first operation that needs no grids, regardless of
+    * extent. */
+  private def fallbackGridless(c: Coord): Boolean = {
+    var i = 0
+    while (i < cands.length) {
+      val cand = cands(i)
+      if (!cand.hasGrids) {
+        cand.pj match {
+          case Right(pj) =>
+            if (iCur != i) {
+              logDebug(s"Using coordinate operation ${cand.name} as a " +
+                "fallback due to lack of more appropriate operations")
+              iCur = i
+            }
+            Dispatch.fwd4d(pj, c)
+            return !c.isError
+          case Left(_) => ()
+        }
+      }
+      i += 1
+    }
+    c.setError(graft.core.ProjErr.COORD_TRANSFM_NO_OPERATION)
+    false
+  }
+}

@@ -152,12 +152,13 @@ object GenericGrids {
     * search roots by default; cloud fetchers swap in without touching the
     * kernels). */
   def load(filename: String): Option[List[GenGrid]] = {
-    val cached = cache.get(filename)
+    val key = graft.proj.ops.GridShiftOps.cacheScope + filename
+    val cached = cache.get(key)
     if (cached != null) return Some(cached)
-    graft.proj.ops.GridShiftOps.gridSource.fetch(filename).map { bytes =>
+    graft.proj.ops.GridShiftOps.activeSource.fetch(filename).map { bytes =>
       val grids = open(bytes, filename)
-      cache.putIfAbsent(filename, grids)
-      cache.get(filename)
+      cache.putIfAbsent(key, grids)
+      cache.get(key)
     }
   }
 }

@@ -104,7 +104,30 @@ object GridShiftOps {
 
   @volatile var gridSource: GridSource = new FileGridSource(defaultRoots)
 
-  private def resolve(name: String): Option[Array[Byte]] = gridSource.fetch(name)
+  /** Scoped override for the grid source (CLI replay of the reference's
+    * PROJ_DATA environment semantics: a test can point grid resolution at a
+    * tmpdir or an in-memory file set without touching the process-global
+    * source). Grid caches are keyed per scope so availability changes are
+    * not masked by earlier loads. */
+  private val scopedSource = new ThreadLocal[(String, GridSource)]
+
+  def withGridSource[T](scopeKey: String, source: GridSource)(f: => T): T = {
+    val prev = scopedSource.get
+    scopedSource.set((scopeKey, source))
+    try f finally scopedSource.set(prev)
+  }
+
+  private[proj] def activeSource: GridSource = {
+    val s = scopedSource.get
+    if (s != null) s._2 else gridSource
+  }
+
+  private[proj] def cacheScope: String = {
+    val s = scopedSource.get
+    if (s != null) s._1 + "|" else ""
+  }
+
+  private def resolve(name: String): Option[Array[Byte]] = activeSource.fetch(name)
 
   private def isTiff(bytes: Array[Byte]): Boolean =
     bytes.length > 4 &&
@@ -659,7 +682,8 @@ object GridShiftOps {
       val name = if (canFail) raw.substring(1) else raw
       if (name == "null") nullValue // null grid: whole-world zero shift
       else {
-        val cached = cache.get(name)
+        val key = cacheScope + name
+        val cached = cache.get(key)
         if (cached != null) Some(cached)
         else resolve(name) match {
           case Some(bytes) =>
@@ -674,7 +698,7 @@ object GridShiftOps {
                   if (canFail) None else throw e
               }
             gOpt match {
-              case Some(g) => cache.putIfAbsent(name, g); Some(cache.get(name))
+              case Some(g) => cache.putIfAbsent(key, g); Some(cache.get(key))
               case None => None
             }
           case None =>

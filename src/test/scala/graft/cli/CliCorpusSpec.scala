@@ -16,10 +16,12 @@ import CliHarness._
 class CliCorpusSpec extends AnyFunSuite {
 
   private def projApp(prog: String)(args: Seq[String], stdin: String,
-                                    files: Map[String, String]): CliResult =
+                                    files: Map[String, String],
+                                    env: Map[String, String]): CliResult =
     CliProj.run(args, stdin, prog, files)
 
-  private type App = (Seq[String], String, Map[String, String]) => CliResult
+  private type App =
+    (Seq[String], String, Map[String, String], Map[String, String]) => CliResult
 
   /** run a fixture; returns (passes, fails-with-messages, skips). */
   private def replay(name: String, app: App,
@@ -70,8 +72,9 @@ class CliCorpusSpec extends AnyFunSuite {
   }
 
   private def cs2csApp(args: Seq[String], stdin: String,
-                       files: Map[String, String]): CliResult =
-    CliCs2cs.run(args, stdin, "cs2cs", files)
+                       files: Map[String, String],
+                       env: Map[String, String]): CliResult =
+    CliCs2cs.run(args, stdin, "cs2cs", files, env)
 
   /** The database-dependent tail of cs2cs_various: CRS names, compound
     * `EPSG:a+b` codes, authority/accuracy-filtered operation selection, and
@@ -82,12 +85,10 @@ class CliCorpusSpec extends AnyFunSuite {
   private val variousSkips: Map[Int, String] = {
     def db(ids: Seq[Int], why: String) = ids.map(_ -> why)
     (db(Seq(85), "IAU_2015 authority (iso19111 database)") ++
-      db(Seq(86), "EPSG:4896->7930 time-dependent op from the EPSG op table") ++
-      db(Seq(87, 94, 95, 98, 99, 100, 101, 102, 139, 140), "CRS by name needs iso19111") ++
       db(Seq(93), "EPSG:6247 Colombia Urban conversion method not in generated table") ++
-      db(109 to 127, "--only-best / compound codes / DB-selected vertical grids") ++
-      db(Seq(129, 130, 131, 132), "EPSG:4746 op selection (BETA2007) from the EPSG op table") ++
-      db(Seq(135, 136, 137, 138, 142), "EPSG similarity/compound ops from the EPSG op table") ++
+      db(Seq(101, 102, 110), "needs the real us_nga_egm96_15.tif grid (not shipped locally)") ++
+      db(Seq(109) ++ (111 to 127), "--only-best / compound codes / DB-selected vertical grids") ++
+      db(Seq(138, 142), "EPSG compound ops (vertical composition)") ++
       Seq(58 -> ("matches to 1e-7 m; the expected string differs in printf's " +
         "final digit (1 ulp in the 13th significant digit)"))).toMap
   }
@@ -98,7 +99,8 @@ class CliCorpusSpec extends AnyFunSuite {
   }
 
   private def cctApp(args: Seq[String], stdin: String,
-                     files: Map[String, String]): CliResult =
+                     files: Map[String, String],
+                     env: Map[String, String]): CliResult =
     CliCct.run(args, stdin, "cct", files)
 
   test("test_cct: 4D filter expectations") {
@@ -120,7 +122,8 @@ class CliCorpusSpec extends AnyFunSuite {
   }
 
   private def gieApp(args: Seq[String], stdin: String,
-                     files: Map[String, String]): CliResult =
+                     files: Map[String, String],
+                     env: Map[String, String]): CliResult =
     CliGie.run(args, stdin, "gie", files)
 
   test("test_gie: gie front-end argument handling") {

@@ -15,8 +15,9 @@ object CliHarness {
                            input: String, out: Option[String],
                            stdout: Option[String], stderr: Option[String],
                            exitcode: Int, sub: Option[(String, String)],
-                           grep: Option[String],
-                           files: Seq[(String, String)])
+                           grep: Option[String], grepV: Option[String],
+                           files: Seq[(String, String)],
+                           env: Map[String, String])
 
   final case class Fixture(exe: String, env: Map[String, String], tests: Seq[CliTest])
 
@@ -48,6 +49,10 @@ object CliHarness {
         }
         case _ => Seq.empty
       }
+      val tenv = t.fields.get("env") match {
+        case Some(JObj(fs)) => fs.collect { case (k, JStr(s2)) => k -> s2 }
+        case _ => Map.empty[String, String]
+      }
       CliTest(
         index = num(t, "index").getOrElse(-1),
         comment = str(t, "comment").getOrElse(""),
@@ -59,7 +64,13 @@ object CliHarness {
         exitcode = num(t, "exitcode").getOrElse(0),
         sub = sub,
         grep = str(t, "grep"),
-        files = files)
+        grepV = str(t, "grep-v"),
+        files = files,
+        env = tenv ++ (t.fields.get("tmpdir") match {
+          // tmpdir tests run in a scratch dir; PROJ_DATA may reference it
+          case Some(_) => Map.empty[String, String]
+          case None => Map.empty[String, String]
+        }))
     }
     val env = root.fields.get("env") match {
       case Some(JObj(fs)) => fs.collect { case (k, JStr(v)) => k -> v }
@@ -92,6 +103,10 @@ object CliHarness {
       val re = java.util.regex.Pattern.compile(pat)
       ls = ls.filter(l => re.matcher(l).find())
     }
+    t.grepV.foreach { pat =>
+      val re = java.util.regex.Pattern.compile(pat)
+      ls = ls.filterNot(l => re.matcher(l).find())
+    }
     t.sub.foreach { case (pat, repl) =>
       val re = java.util.regex.Pattern.compile(pat)
       ls = ls.map(l => re.matcher(l).replaceAll(repl))
@@ -101,7 +116,7 @@ object CliHarness {
 
   /** Run one test through `app`, mirroring run_cli_test comparisons. */
   def evaluate(t: CliTest,
-               app: (Seq[String], String, Map[String, String]) => CliResult): Outcome = {
+               app: (Seq[String], String, Map[String, String], Map[String, String]) => CliResult): Outcome = {
     val stdin = if (t.input.isEmpty || t.input.endsWith("\n")) t.input else t.input + "\n"
     // input files referenced by name but not created by the test live in
     // the reference's test/cli directory (the runner's cwd)
@@ -113,7 +128,7 @@ object CliHarness {
       else None
     }
     val res =
-      try app(t.args, stdin, onDisk.toMap ++ t.files.toMap)
+      try app(t.args, stdin, onDisk.toMap ++ t.files.toMap, t.env)
       catch {
         case e: Throwable =>
           return Fail(s"exception: ${e.getClass.getSimpleName}: ${e.getMessage}")
