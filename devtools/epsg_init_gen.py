@@ -324,6 +324,10 @@ def main():
             return ("+proj=tmerc +lat_0=%s +lon_0=%s +k=%s +x_0=%s +y_0=%s" % (
                 fmt(A(8801)), fmt(A(8802)), repr(S(8805, 1.0)),
                 fmt(L(8806, 0.0)), fmt(L(8807, 0.0))), "")
+        if method == 1052:      # Colombia Urban
+            return ("+proj=col_urban +lat_0=%s +lon_0=%s +x_0=%s +y_0=%s +h_0=%s" % (
+                fmt(A(8801)), fmt(A(8802)), fmt(L(8806, 0.0)),
+                fmt(L(8807, 0.0)), fmt(L(1039, 0.0))), "")
         if method == 9808:      # TM South Orientated -> tmerc +axis=wsu
             if L(8806, 0.0) != 0 or L(8807, 0.0) != 0:
                 return None

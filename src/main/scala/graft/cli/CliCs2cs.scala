@@ -289,6 +289,71 @@ object CliCs2cs {
       }
     }
 
+    // ---- GH-3607 / GH-3613 fallback: proj-string sides naming a +datum=
+    // whose grids are ALL unavailable route through the EPSG registry
+    // operations for the named datums (the reference resolves proj strings
+    // through createFromUserInput and createOperations, which falls back to
+    // e.g. "NAD27 to WGS 84 (6)" when @conus cannot be found)
+    if (isProj4Style && fromToks.nonEmpty && toToks.nonEmpty) {
+      import graft.proj.{Datums, OpFactory}
+      val datumCrs = Map(
+        "WGS84" -> "EPSG:4326", "NAD83" -> "EPSG:4269", "NAD27" -> "EPSG:4267",
+        "GGRS87" -> "EPSG:4121", "potsdam" -> "EPSG:4314",
+        "carthage" -> "EPSG:4223", "hermannskogel" -> "EPSG:4312",
+        "militargeographische_institut" -> "EPSG:4312",
+        "ire65" -> "EPSG:4299", "nzgd49" -> "EPSG:4272",
+        "OSGB36" -> "EPSG:4277", "ch1903" -> "EPSG:4149")
+      def datumOf(toks: Vector[String]): Option[String] =
+        toks.map(_.stripPrefix("+")).collectFirst {
+          case t if t.startsWith("datum=") => t.substring(6) }
+      def sideResolved(toks: Vector[String]): Option[OpFactory.Resolved] =
+        for {
+          dn <- datumOf(toks)
+          code <- datumCrs.get(dn)
+          base <- OpFactory.resolveCode(code)
+          ell <- Datums.toEllps.get(dn)
+        } yield {
+          val clean = toks.map(_.stripPrefix("+"))
+          val projName = clean.collectFirst {
+            case t if t.startsWith("proj=") => t.substring(5) }
+          val isLL = projName.exists(p => p == "latlong" || p == "longlat" ||
+            p == "latlon" || p == "lonlat")
+          val body =
+            if (isLL) None
+            else Some((clean.filterNot(t => t.startsWith("datum=") ||
+              t == "no_defs") :+ s"ellps=$ell").mkString(" "))
+          base.copy(projBody = body, projCode = None, code = "PROJ4:" + dn)
+        }
+      val scoped = gridScope(files, env)
+      def gridsAllMissing(toks: Vector[String]): Boolean =
+        datumOf(toks).flatMap(Datums.toDefn.get) match {
+          case Some(("nadgrids", list)) =>
+            def avail(n: String): Boolean = scoped match {
+              case Some((_, s)) => s.fetch(n).isDefined
+              case None => graft.proj.ops.GridShiftOps.gridSource.fetch(n).isDefined
+            }
+            !list.split(',').map(_.stripPrefix("@")).exists(avail)
+          case _ => false
+        }
+      if (gridsAllMissing(fromToks) || gridsAllMissing(toToks)) {
+        (sideResolved(fromToks), sideResolved(toToks)) match {
+          case (Some(srcR), Some(dstR)) =>
+            val inputText0 =
+              if (eargs.isEmpty) stdin
+              else CliIo.concatInputs(eargs.toSeq, stdin, files)
+            runDb(srcR, dstR, io, files, env, inputText0, DbFlags(
+              echoin = echoin, reversein = reversein, reverseout = reverseout,
+              promoteTo3D = promoteTo3D, noBallpark = noBallpark,
+              accuracy = if (accuracySet) accuracy.orElse(Some(0.0)) else None,
+              authority = authority, onlyBest = onlyBest,
+              sEpoch = sEpoch, tEpoch = tEpoch,
+              oform = oform, oterr = oterr, tag = tag, rtodms = rtodms))
+            return
+          case _ => ()
+        }
+      }
+    }
+
     // a missing side resolves to the other side's geographic base
     // (cs2cs.cpp get_geog_crs_proj_string_from_proj_crs)
     def geogBase(of: Side, missing: String): Side = {
@@ -442,26 +507,13 @@ object CliCs2cs {
     val debug = env.get("PROJ_DEBUG").exists(v =>
       v == "2" || v == "3" || v.equalsIgnoreCase("on"))
 
-    // PROJ_DATA semantics: '$tmpdir' / '$PWD' components resolve against the
-    // test-provided in-memory files; '$PROJ_DATA'-style components keep the
-    // default search roots.
-    val projData = env.get("PROJ_DATA")
-    val memRoots = projData.exists(_.split(':').exists(p =>
-      p.contains("$tmpdir") || p.contains("$PWD")))
-    val defRoots = projData.forall(_.split(':').exists(p =>
-      p.contains("$PROJ_DATA") || p.contains("${PROJ_DATA}")))
-    val scopedSource: Option[GridShiftOps.GridSource] = projData.map { _ =>
-      new GridShiftOps.GridSource {
-        def fetch(name: String): Option[Array[Byte]] =
-          (if (memRoots) files.get(name).map(_.getBytes("ISO-8859-1")) else None)
-            .orElse(if (defRoots) GridShiftOps.gridSource.fetch(name) else None)
-      }
-    }
+    val scoped = gridScope(files, env)
+    val scopedSource: Option[GridShiftOps.GridSource] = scoped.map(_._2)
 
     // only-best default: flag > PROJ_ONLY_BEST_DEFAULT env > proj.ini
     // only_best_default; otherwise the reference's warn-mode default
     val iniOnlyBest: Option[Boolean] =
-      (if (memRoots) files.get("proj.ini") else None).flatMap(
+      (if (scoped.isDefined) files.get("proj.ini") else None).flatMap(
         _.split('\n').collectFirst {
           case l if l.trim.startsWith("only_best_default") =>
             val v = l.substring(l.indexOf('=') + 1).trim
@@ -483,20 +535,31 @@ object CliCs2cs {
         onlyBestWarn = onlyBestWarn,
         epoch = flags.sEpoch.orElse(flags.tEpoch))
 
-      val cands = OpFactory.createList(src, dst, opts)
+      val prepared = OpFactory.prepare(src, dst, opts)
+      val cands = prepared.cands
       if (cands.isEmpty)
         throw new CliExit(3, "cannot initialize transformation\ncause: (null)")
-      if (onlyBestError && cands.length == 1 && !cands.head.instantiable) {
-        val rt0 = new OpRuntime(cands, onlyBestError, onlyBestWarn,
-          s => io.err(s + "\n"), _ => ())
-        io.err(rt0.missingGridMessage(cands.head) + "\n")
+      val rt0 = new OpRuntime(cands, onlyBestError, onlyBestWarn,
+        s => io.err(s + "\n"), _ => ())
+      prepared.initFail.foreach { c =>
+        io.err(rt0.missingGridMessage(c) + "\n")
         throw new CliExit(3,
           "cannot initialize transformation\ncause: File not found or invalid")
+      }
+      prepared.initWarn.foreach { c =>
+        // warn-mode single-op protocol: the message (with the future-error
+        // notice) is emitted at creation time, at debug level
+        if (debug) io.err(rt0.missingGridMessage(c) +
+          " This might become an error in a future PROJ major release. " +
+          "Set the ONLY_BEST option to YES or NO. " +
+          "This warning will no longer be emitted (for the current " +
+          "transformation instance).\n")
       }
 
       val runtime = new OpRuntime(cands, onlyBestError, onlyBestWarn,
         s => io.err(s + "\n"),
-        s => if (debug) io.err(s + "\n"))
+        s => if (debug) io.err(s + "\n"),
+        startSkipNonInstantiable = prepared.initWarn.isDefined)
 
       val srcDynamic = flags.sEpoch.isEmpty && EpsgDb.db.isDynamicDatum(src.geod.datum)
       val dstDynamic = flags.tEpoch.isEmpty && EpsgDb.db.isDynamicDatum(dst.geod.datum)
@@ -621,10 +684,31 @@ object CliCs2cs {
       }
     }
 
-    scopedSource match {
-      case Some(s) =>
-        GridShiftOps.withGridSource(projData.getOrElse("") + "#" + files.keySet.hashCode, s)(body())
+    scoped match {
+      case Some((key, s)) => GridShiftOps.withGridSource(key, s)(body())
       case None => body()
+    }
+  }
+
+  /** PROJ_DATA semantics: '$tmpdir' / '$PWD' components resolve against the
+    * test-provided in-memory files; '$PROJ_DATA'-style components keep the
+    * default search roots. Returns (cache scope key, source) when the
+    * environment overrides grid resolution. */
+  private def gridScope(files: Map[String, String], env: Map[String, String])
+      : Option[(String, graft.proj.ops.GridShiftOps.GridSource)] = {
+    import graft.proj.ops.GridShiftOps
+    val projData = env.get("PROJ_DATA")
+    val memRoots = projData.exists(_.split(':').exists(p =>
+      p.contains("$tmpdir") || p.contains("$PWD")))
+    val defRoots = projData.forall(_.split(':').exists(p =>
+      p.contains("$PROJ_DATA") || p.contains("${PROJ_DATA}")))
+    projData.map { pd =>
+      (pd + "#" + files.keySet.hashCode,
+        new GridShiftOps.GridSource {
+          def fetch(name: String): Option[Array[Byte]] =
+            (if (memRoots) files.get(name).map(_.getBytes("ISO-8859-1")) else None)
+              .orElse(if (defRoots) GridShiftOps.gridSource.fetch(name) else None)
+        })
     }
   }
 }

@@ -84,6 +84,15 @@ object OpFactory {
     Proj.epsgInitLookup(num).map { raw =>
       raw.split("\\s+").iterator.filter(_.nonEmpty).map(_.stripPrefix("+"))
         .filterNot(t => t.startsWith("towgs84=") || t == "no_defs")
+        .map { t =>
+          // a bare ellipsoid instead of datum=: factory pipelines express
+          // datum changes as explicit hops, and a datum= token would drag
+          // the legacy cs2cs emulation (towgs84/nadgrids sub-ops) into the
+          // step, perturbing z through an unguarded cart round-trip
+          if (t.startsWith("datum="))
+            Datums.toEllps.get(t.substring(6)).map("ellps=" + _).getOrElse(t)
+          else t
+        }
         .mkString(" ")
     }
   }
@@ -188,9 +197,26 @@ object OpFactory {
       ballpark: Boolean,
       ballparkVertical: Boolean,
       stepCount: Int,
-      pipeline: String) {
+      pipeline: String,
+      /** pipeline step count after peephole pruning (identity helmerts
+        * dropped) — the reference's projStepCount sort key */
+      projSteps: Int = 0,
+      /** every grid is registered in the grid-alias table (CDN-published);
+        * in the only-best/warn protocol such grids sort as if available
+        * (reference "considerKnownGridsAsAvailable") */
+      gridsKnown: Boolean = true) {
     def gridsAvailable: Boolean = grids.forall(_._2)
     def hasGrids: Boolean = grids.nonEmpty
+    /** the reference's hardcoded null-transformation priority ops
+      * (coord_operation.cpp:58-75): once selected, a same-accuracy
+      * smaller-area candidate may not displace them */
+    val isPriorityOp: Boolean =
+      name.contains("GDA94 to WGS 84 (1)") ||
+        name.contains("GDA2020 to WGS 84 (2)") ||
+        name.contains("NAD83 to NAD83(HARN) (47)") ||
+        name.contains("NAD83 to NAD83(HARN) (48)") ||
+        name.contains("NAD83 to NAD83(HARN) (49)") ||
+        name.contains("NAD83 to NAD83(HARN) (50)")
     lazy val pj: Either[String, PJ] =
       try Right(Proj.create(pipeline))
       catch { case e: graft.core.ProjError => Left(e.getMessage) }
@@ -237,11 +263,12 @@ object OpFactory {
   private val XYZ = 1
 
   /** builds the proj pipeline string for a hop sequence between the two
-    * resolved CRSs; returns (pipeline, grids, stepCount). */
+    * resolved CRSs; returns (pipeline, grids, stepCount, gridsKnown). */
   private def assemble(src: Resolved, dst: Resolved, hops: Seq[Hop],
-                       opts: Options): (String, Seq[(String, Boolean)], Int) = {
+                       opts: Options): (String, Seq[(String, Boolean)], Int, Boolean) = {
     val sb = new StringBuilder("proj=pipeline")
     val grids = Seq.newBuilder[(String, Boolean)]
+    var gridsKnown = true
     var steps = 0
 
     var form = RAD
@@ -297,30 +324,41 @@ object OpFactory {
           val pv = m == "9606" || m == "1033" || m == "1037" || m == "1053" ||
             m == "1054" || m == "1055" || m == "1063" || m == "1061" ||
             m == "1065"
+          // identity helmert steps are dropped, as in the reference's
+          // PROJStringFormatter peephole (io.cpp:8891-8901) — this also
+          // drives the projStepCount sort criterion that ranks the null
+          // "GDA94 to WGS 84 (1)" above its non-null sibling (2)
+          val identity = !op.extras.exists { case (k, v) =>
+            Set("x", "y", "z", "rx", "ry", "rz", "s", "dx", "dy", "dz",
+              "drx", "dry", "drz", "ds", "px", "py", "pz").contains(k) &&
+              v.toDouble != 0.0
+          }
           if (geog2dDomain) {
             toForm(RAD)
             sb ++= " step proj=push v_3"
             sb ++= s" step proj=cart $curEll"
-            sb ++= " step " + helmertParams(op, hop.inv, pv)
+            if (!identity) { sb ++= " step " + helmertParams(op, hop.inv, pv); steps += 1 }
             curEll = dstEndCrs.map(_.ellTokens).getOrElse(curEll)
             sb ++= s" step proj=cart inv $curEll"
             sb ++= " step proj=pop v_3"
-            steps += 5
+            steps += 4
           } else {
             toForm(XYZ)
-            sb ++= " step " + helmertParams(op, hop.inv, pv)
+            if (!identity) { sb ++= " step " + helmertParams(op, hop.inv, pv); steps += 1 }
             curEll = dstEndCrs.map(_.ellTokens).getOrElse(curEll)
-            steps += 1
           }
         case 'G' =>
           val method = op.method
           val (file, avail) = gridFile(op.extras("grid"), opts)
           grids += ((file, avail))
+          if (!avail && !db.gridAlias.contains(op.extras("grid")))
+            gridsKnown = false
           op.extras.get("grid2").foreach { g2 =>
-            // NADCON lat/lon pairs resolve to one local stem; only track
-            // the second file when it maps to a distinct artifact
+            // a lat/lon grid pair (NADCON, NADCON5) collapses into the single
+            // PROJ-delivered artifact of the first file; only track grid2 as
+            // its own artifact when the alias table knows it as one
             val (f2, a2) = gridFile(g2, opts)
-            if (f2 != file) grids += ((f2, a2))
+            if (f2 != file && db.gridAlias.contains(g2)) grids += ((f2, a2))
           }
           val alias = db.gridAlias.get(op.extras("grid"))
           val inv = hop.inv ^ alias.exists(_.inverse)
@@ -435,7 +473,8 @@ object OpFactory {
     }
     val pipe = sb.toString
     // a hop-free chain between identical forms has no steps at all
-    (if (pipe == "proj=pipeline") "proj=noop" else pipe, grids.result(), steps)
+    (if (pipe == "proj=pipeline") "proj=noop" else pipe, grids.result(), steps,
+      gridsKnown)
   }
 
   // --------------------------------------------- candidate generation
@@ -499,21 +538,172 @@ object OpFactory {
   }
 
   private def hopsToCandidate(src: Resolved, dst: Resolved, hops: Seq[Hop],
-                              hopName: String, opts: Options): Option[Candidate] =
+                              hopName: String, opts: Options,
+                              ballparkVertical: Boolean = false,
+                              hopCount: Option[Int] = None,
+                              /** hops driving the extent (a compound
+                                * operation's area of use follows its
+                                * horizontal transformation) */
+                              extentHops: Option[Seq[Hop]] = None): Option[Candidate] =
     try {
-      val (pipe, grids, n) = assemble(src, dst, hops, opts)
-      val bbox = hops.foldLeft(Option.empty[Bbox])((acc, h) =>
-        intersect(acc, h.op.bbox))
+      val (pipe, grids, n, known) = assemble(src, dst, hops, opts)
+      // an empty intersection of hop extents invalidates the combination
+      // (reference: "the extents of the two intermediate operations must
+      // intersect each other")
+      var disjoint = false
+      hops.foldLeft(Option.empty[Bbox]) { (acc, h) =>
+        (acc, h.op.bbox) match {
+          case (Some(p), Some(q)) if p.west <= p.east && q.west <= q.east &&
+            (math.max(p.west, q.west) > math.min(p.east, q.east) ||
+              math.max(p.south, q.south) > math.min(p.north, q.north)) =>
+            disjoint = true
+          case _ => ()
+        }
+        intersect(acc, h.op.bbox)
+      }
+      if (disjoint) return None
+      val bbox = extentHops.getOrElse(hops).foldLeft(Option.empty[Bbox])(
+        (acc, h) => intersect(acc, h.op.bbox))
       val acc = hops.map(_.op.accuracy).foldLeft(0.0) { (s, x) =>
         if (s < 0 || x < 0) -1.0 else s + x
       }
-      val name = if (hops.isEmpty) nullOpName(src, dst) else hopName
+      val name = if (hopName.nonEmpty) hopName
+        else if (hops.isEmpty) nullOpName(src, dst) else hopName
       Some(Candidate(name, if (hops.isEmpty) 0.0 else acc,
         boxesOf(bbox), pseudoArea(bbox),
         hops.headOption.map(_.op.areaName).getOrElse(""), grids,
-        ballpark = false, ballparkVertical = false,
-        n + hops.length, pipe))
+        ballpark = false, ballparkVertical = ballparkVertical,
+        hopCount.getOrElse(hops.length max 1), pipe,
+        projSteps = n, gridsKnown = known))
     } catch { case _: graft.core.ProjError => None }
+
+  // --------------------------------------------------- vertical legs
+
+  /** a vertical-transformation plan: hops applied before (`pre`) and after
+    * (`post`) the horizontal hop chain, with the name parts that make up the
+    * reference's "A + B using C" operation names. */
+  private final case class VPlan(
+      pre: Seq[Hop], post: Seq[Hop],
+      preNames: Seq[String], postNames: Seq[String],
+      usingNames: Seq[String],
+      ballparkVertical: Boolean) {
+    def isReal: Boolean = !ballparkVertical && (pre.nonEmpty || post.nonEmpty)
+  }
+  private val VNull = VPlan(Nil, Nil, Nil, Nil, Nil, ballparkVertical = false)
+  private val VBallpark = VPlan(Nil, Nil, Nil, Nil, Nil, ballparkVertical = true)
+
+  private def usableVertOp(op: Op, opts: Options): Boolean =
+    !op.deprecated && !db.superseded.contains(op.code) &&
+      allowedAuth(op, opts) && (op.kind == 'G' || op.kind == 'O')
+
+  /** ops touching the vertical CRS `vcode`, oriented vcode -> other end;
+    * paired with the other end's key (a geodetic datum or a vertical code). */
+  private def vertEndHops(vcode: String, opts: Options): Vector[(Hop, String)] =
+    db.ops.iterator.flatMap { op =>
+      if (!usableVertOp(op, opts)) Iterator.empty
+      else if (db.endKey(op.srcCrs) == vcode)
+        Iterator((Hop(op, inv = false), db.endKey(op.dstCrs)))
+      else if (db.endKey(op.dstCrs) == vcode)
+        Iterator((Hop(op, inv = true), db.endKey(op.srcCrs)))
+      else Iterator.empty
+    }.toVector
+
+  /** single-op helmert glue between two geodetic datums */
+  private def glueOps(a: String, b: String, opts: Options): Vector[Hop] =
+    usableOps(a, b, opts).filter(_.op.kind == 'H')
+
+  /** vertical plans between the two CRSs' height frames. Returns (real
+    * plans, ballpark plan list). The ballpark plan exists for
+    * vertical<->ellipsoidal sides; for vertical-to-vertical the reference
+    * only materializes it when the real per-leg candidates are discarded
+    * (grid-availability DISCARD mode) — the caller enforces that rule. */
+  private def verticalPlans(src: Resolved, dst: Resolved,
+                            opts: Options): (Vector[VPlan], Vector[VPlan]) = {
+    val sv = src.vert
+    val dv = dst.vert
+    if (sv.isEmpty && dv.isEmpty) return (Vector(VNull), Vector.empty)
+    if (sv.isDefined && dv.isDefined && sv.get.code == dv.get.code)
+      return (Vector(VNull), Vector.empty)
+
+    val srcDatum = src.geod.datum
+    val dstDatum = dst.geod.datum
+    val real = Vector.newBuilder[VPlan]
+
+    /** a one-sided leg: hops (with any datum glue) + name + using parts.
+      * `up` = orthometric->ellipsoidal (source side), else ellipsoidal->
+      * orthometric (destination side). Returns (hops, atSrcSide, name,
+      * using) tuples. */
+    def leg(vcode: String, up: Boolean): Vector[(Seq[Hop], Boolean, String, Seq[String])] = {
+      val out = Vector.newBuilder[(Seq[Hop], Boolean, String, Seq[String])]
+      for ((h0, other) <- vertEndHops(vcode, opts)
+           if db.datums.contains(other) || db.geodetic.values.exists(_.datum == other)) {
+        val h = if (up) h0 else Hop(h0.op, !h0.inv)
+        if (other == srcDatum) out += ((Seq(h), true, h.name, Nil))
+        else if (other == dstDatum) out += ((Seq(h), false, h.name, Nil))
+        else {
+          // glue the leg's home datum to the side it applies on; legs homed
+          // on a member realization of the side's datum ensemble are
+          // redundant duplicates of the ensemble-level op (the PROJ-authority
+          // "(from ...)" derivations) and are skipped
+          val side = if (up) srcDatum else dstDatum
+          if (!db.sameDatum(side, other))
+            for (g <- glueOps(side, other, opts))
+              out += ((Seq(g, h, Hop(g.op, !g.inv)),
+                up, h.name, Seq(g.op.name)))
+        }
+      }
+      out.result()
+    }
+
+    (sv, dv) match {
+      case (Some(v), None) =>
+        for ((hops, atSrc, nm, using) <- leg(v.code, up = true))
+          real += (if (atSrc) VPlan(hops, Nil, Seq(nm), Nil, using, false)
+            else VPlan(Nil, hops, Nil, Seq(nm), using, false))
+        (real.result(), Vector(VBallpark))
+      case (None, Some(v)) =>
+        for ((hops, atSrc, nm, using) <- leg(v.code, up = false))
+          real += (if (atSrc) VPlan(hops, Nil, Seq(nm), Nil, using, false)
+            else VPlan(Nil, hops, Nil, Seq(nm), using, false))
+        (real.result(), Vector(VBallpark))
+      case (Some(v1), Some(v2)) =>
+        // direct vertical-to-vertical operations
+        for ((h, other) <- vertEndHops(v1.code, opts) if other == v2.code)
+          real += VPlan(Seq(h), Nil, Seq(h.name), Nil, Nil, false)
+        // geoid-pivot: v1 -> ellipsoidal(home1), glue home1/home2,
+        // ellipsoidal(home2) -> v2
+        val ups = vertEndHops(v1.code, opts).filter(p => db.datums.contains(p._2))
+        val downs = vertEndHops(v2.code, opts).filter(p => db.datums.contains(p._2))
+        for ((h1, o1) <- ups if o1 == srcDatum;
+             (h2raw, o2) <- downs) {
+          val h2 = Hop(h2raw.op, !h2raw.inv)
+          if (o2 == o1)
+            real += VPlan(Seq(h1), Seq(h2), Seq(h1.name), Seq(h2.name), Nil, false)
+          else for (g <- glueOps(o1, o2, opts))
+            real += VPlan(Seq(h1), Seq(g, h2, Hop(g.op, !g.inv)),
+              Seq(h1.name), Seq(h2.name), Seq(g.op.name), false)
+        }
+        (real.result().distinct, Vector(VBallpark))
+      case _ => (Vector.empty, Vector(VBallpark))
+    }
+  }
+
+  /** name of a combined horizontal+vertical candidate */
+  private def combinedName(src: Resolved, dst: Resolved, horizName: String,
+                           vp: VPlan): String = {
+    if (vp.ballparkVertical) {
+      val base = if (horizName.nonEmpty) horizName + " + " else ""
+      val from = src.vert.map(_.name).getOrElse(src.name)
+      val to = dst.vert.map(_.name).getOrElse(dst.name)
+      base + s"Transformation from $from to $to (ballpark vertical transformation)"
+    } else {
+      val parts = vp.preNames ++
+        (if (horizName.nonEmpty) Seq(horizName) else Nil) ++ vp.postNames
+      val head = if (parts.nonEmpty) parts.mkString(" + ") else nullOpName(src, dst)
+      if (vp.usingNames.nonEmpty) head + " using " + vp.usingNames.mkString(" and ")
+      else head
+    }
+  }
 
   /** one factory pass: direct ops (datum-level plus whole-CRS similarity),
     * datum pivots only when no direct op survives the grid filter, ballpark
@@ -521,22 +711,42 @@ object OpFactory {
     * grid-availability mode. */
   private def generate(src: Resolved, dst: Resolved, opts: Options,
                        discardMissingGrids: Boolean): Vector[Candidate] = {
-    def keep(c: Candidate): Boolean = !discardMissingGrids || c.gridsAvailable
+    // DISCARD mode drops every op with a missing grid; KNOWN_AVAILABLE mode
+    // keeps ops whose grids are registered (CDN-published) but still drops
+    // ops needing grids PROJ has never heard of (reference factory.cpp
+    // createFromCoordinateReferenceSystemCodes: discardIfMissingGrid +
+    // considerKnownGridsAsAvailable)
+    def keep(c: Candidate): Boolean =
+      if (discardMissingGrids) c.gridsAvailable
+      else c.gridsAvailable || c.gridsKnown
+
+    val hasVert = src.vert.isDefined || dst.vert.isDefined
+    val vertVert = src.vert.isDefined && dst.vert.isDefined &&
+      src.vert.get.code != dst.vert.get.code
+    val (vReal, _) = verticalPlans(src, dst, opts)
+    /** vertical plans crossed with every geographic hop sequence; VNull
+      * when no vertical component is in play */
+    val plans: Vector[VPlan] = if (!hasVert) Vector(VNull) else vReal
+
+    def nameOf(hn: String, vp: VPlan): String =
+      if (!hasVert) hn else combinedName(src, dst, hn, vp)
 
     // whole-CRS operations (similarity / affine / cartesian grid offsets
-    // between projected CRSs) apply directly in projected coordinates —
-    // no inverse-projection wrapping
-    val whole: Vector[Candidate] =
+    // between projected CRSs) apply directly in projected coordinates — no
+    // inverse-projection wrapping; z passes through, so a vertical component
+    // can only ride along as a ballpark vertical transformation
+    val wholeAll: Vector[Candidate] =
       (src.projCode, dst.projCode) match {
         case (Some(sc), Some(dc)) =>
           db.opsBetween(sc, dc).collect {
             case (op, inv) if !op.deprecated && !db.superseded.contains(op.code) &&
               allowedAuth(op, opts) && op.kind == 'O' =>
               wholeCrsPipeline(op, inv).map { pipe =>
-                Candidate((if (inv) "Inverse of " + op.name else op.name),
+                val nm = if (inv) "Inverse of " + op.name else op.name
+                Candidate(nameOf(nm, VBallpark),
                   op.accuracy, boxesOf(op.bbox),
                   pseudoArea(op.bbox), op.areaName, Seq.empty,
-                  ballpark = false, ballparkVertical = false, 1, pipe)
+                  ballpark = false, ballparkVertical = hasVert, 1, pipe)
               }
           }.flatten.filter(keep)
         case _ => Vector.empty
@@ -544,16 +754,22 @@ object OpFactory {
 
     val a = src.geod.datum
     val b = dst.geod.datum
-    val direct: Vector[Candidate] =
-      if (db.sameDatum(a, b))
-        hopsToCandidate(src, dst, Nil, "", opts).toVector
+    val horizSeqs: Vector[(Seq[Hop], String)] =
+      if (db.sameDatum(a, b)) Vector((Nil, ""))
       else usableOps(a, b, opts).flatMap { h =>
-        val hopSeqs =
-          if (h.op.kind == 'C') expandConcat(h.op, h.inv).map((_, h.name))
-          else Some((Seq(h), h.name))
-        hopSeqs.flatMap { case (hops, nm) =>
-          hopsToCandidate(src, dst, hops, nm, opts) }
-      }.filter(keep)
+        if (h.op.kind == 'C') expandConcat(h.op, h.inv).map((_, h.name))
+        else Some((Seq(h), h.name))
+      }
+
+    def combine(seqs: Vector[(Seq[Hop], String)]): Vector[Candidate] =
+      (for ((hs, hn) <- seqs; vp <- plans;
+            c <- hopsToCandidate(src, dst, vp.pre ++ hs ++ vp.post,
+              nameOf(hn, vp), opts, ballparkVertical = vp.ballparkVertical,
+              hopCount = Some(hs.length + vp.pre.length + vp.post.length max 1),
+              extentHops = if (hs.nonEmpty) Some(hs) else None))
+        yield c).filter(keep)
+
+    val direct: Vector[Candidate] = combine(horizSeqs)
 
     // the reference searches intermediates only when nothing direct exists
     // at all (coordinateoperationfactory.cpp:4448 — the
@@ -561,12 +777,24 @@ object OpFactory {
     // filter applies afterwards and can leave the list empty without
     // triggering a pivot search
     val viaPivot: Vector[Candidate] =
-      if ((whole ++ direct).nonEmpty || db.sameDatum(a, b)) Vector.empty
-      else pivotHops(a, b, opts).flatMap { case (hops, nm) =>
-        hopsToCandidate(src, dst, hops, nm, opts)
-      }.filter(keep)
+      if ((wholeAll ++ direct).nonEmpty || db.sameDatum(a, b)) Vector.empty
+      else combine(pivotHops(a, b, opts).map { case (hops, nm) => (hops, nm) })
 
-    val nonBallpark0 = whole ++ direct ++ viaPivot
+    // ballpark vertical transformation: always an alternative against an
+    // ellipsoidal side; between two vertical datums the reference only
+    // materializes it when the real per-leg candidates were discarded
+    val sameVertCode = src.vert.isDefined && dst.vert.isDefined && !vertVert
+    val vertBallpark: Vector[Candidate] =
+      if (!hasVert || !opts.allowBallpark || sameVertCode ||
+          (vertVert && (direct.exists(!_.ballparkVertical) ||
+            viaPivot.exists(!_.ballparkVertical)))) Vector.empty
+      else (for ((hs, hn) <- horizSeqs;
+                 c <- hopsToCandidate(src, dst, hs, "", opts,
+                   ballparkVertical = true, hopCount = Some(hs.length max 1)))
+        yield c.copy(name = nameOf(hn, VBallpark), accuracy = -1.0))
+        .filter(keep)
+
+    val nonBallpark0 = wholeAll ++ direct ++ viaPivot ++ vertBallpark
     val nonBallpark =
       if (opts.accuracy < 0) nonBallpark0
       else nonBallpark0.filter(c => c.accuracy >= 0 && c.accuracy <= opts.accuracy)
@@ -576,15 +804,16 @@ object OpFactory {
           db.sameDatum(a, b) && nonBallpark.nonEmpty) Vector.empty
       else {
         try {
-          val (pipe, grids, n) = assemble(src, dst, Nil, opts)
+          val (pipe, grids, n, known) = assemble(src, dst, Nil, opts)
           Vector(Candidate(
             s"Ballpark geographic offset from ${src.name} to ${dst.name}",
             -1.0, boxesOf(None), pseudoArea(None), "", grids,
-            ballpark = true, ballparkVertical = false, n, pipe))
+            ballpark = true, ballparkVertical = hasVert, n, pipe,
+            projSteps = n, gridsKnown = known))
         } catch { case _: graft.core.ProjError => Vector.empty }
       }
 
-    sort(nonBallpark) ++ ballpark
+    sort(nonBallpark, knownAsAvailable = !discardMissingGrids) ++ ballpark
   }
 
   /** datum-pivot hop pairs A -> I -> B (reference
@@ -633,15 +862,37 @@ object OpFactory {
     * only-best warn/error protocol is active, re-run with grid-discarding
     * (which enables the datum-pivot fallback) when nothing instantiable and
     * non-ballpark survived, the two lists concatenated. */
-  def createList(src: Resolved, dst: Resolved, opts: Options): Vector[Candidate] = {
+  def createList(src: Resolved, dst: Resolved, opts: Options): Vector[Candidate] =
+    prepare(src, dst, opts).cands
+
+  /** result of the full creation protocol (reference crs_to_crs.cpp
+    * proj_create_crs_to_crs_from_pj:596-760): the candidate list plus the
+    * single-operation missing-grid outcomes the CLI layer must speak —
+    * `initFail` (error mode: print the missing-grid message and abort) and
+    * `initWarn` (warn mode: the message was conceptually emitted at creation
+    * time; the runtime starts with non-instantiable candidates skipped). */
+  final case class Prepared(cands: Vector[Candidate],
+                            initFail: Option[Candidate],
+                            initWarn: Option[Candidate])
+
+  def prepare(src: Resolved, dst: Resolved, opts: Options): Prepared = {
     val knownMode = opts.onlyBestError || opts.onlyBestWarn
     val listA = generate(src, dst, opts, discardMissingGrids = !knownMode)
-    if (!knownMode) return listA
+    if (!knownMode) return Prepared(listA, None, None)
+    def merged: Vector[Candidate] = {
+      val listB = generate(src, dst, opts, discardMissingGrids = true)
+      if (listB.isEmpty) listA
+      else listA.filterNot(c => c.ballpark || c.ballparkVertical) ++ listB
+    }
+    if (listA.length == 1 && !listA.head.instantiable) {
+      // reference: op_count == 1 short-circuits before the re-run in error
+      // mode; warn mode warns at creation time, then falls through to it
+      if (opts.onlyBestError) return Prepared(listA, Some(listA.head), None)
+      return Prepared(merged, None, Some(listA.head))
+    }
     val ok = listA.exists(c => !c.ballpark && !c.ballparkVertical && c.instantiable)
-    if (ok) return listA
-    val listB = generate(src, dst, opts, discardMissingGrids = true)
-    if (listB.isEmpty) listA
-    else listA.filterNot(c => c.ballpark || c.ballparkVertical) ++ listB
+    if (ok) return Prepared(listA, None, None)
+    Prepared(merged, None, None)
   }
 
   private def nullOpName(src: Resolved, dst: Resolved): String =
@@ -651,14 +902,21 @@ object OpFactory {
 
   /** the reference's SortFunction (coordinateoperationfactory.cpp:913-1160),
     * reduced to the characteristics this factory produces. */
-  def sort(cands: Vector[Candidate]): Vector[Candidate] = {
+  def sort(cands: Vector[Candidate],
+           knownAsAvailable: Boolean = false): Vector[Candidate] = {
+    // in the only-best/warn protocol, grids registered in the alias table
+    // rank as available even when missing on disk (the reference's
+    // considerKnownGridsAsAvailable), so a local fallback cannot outrank
+    // the canonical operation
+    def avail(c: Candidate): Boolean =
+      c.gridsAvailable || (knownAsAvailable && c.gridsKnown)
     def less(x: Candidate, y: Candidate): Boolean = {
       if (!x.ballpark && y.ballpark) return true
       if (x.ballpark && !y.ballpark) return false
       if (!x.ballparkVertical && y.ballparkVertical) return true
       if (x.ballparkVertical && !y.ballparkVertical) return false
-      if (x.gridsAvailable && !y.gridsAvailable) return true
-      if (y.gridsAvailable && !x.gridsAvailable) return false
+      if (avail(x) && !avail(y)) return true
+      if (avail(y) && !avail(x)) return false
       val accA = x.accuracy; val accB = y.accuracy
       if (accA >= 0 && accB < 0) return true
       if (accB >= 0 && accA < 0) return false
@@ -679,6 +937,11 @@ object OpFactory {
       }
       if (x.stepCount < y.stepCount) return true
       if (y.stepCount < x.stepCount) return false
+      // fewer PROJ pipeline steps preferred (reference projStepCount)
+      if (x.projSteps != 0 && y.projSteps != 0) {
+        if (x.projSteps < y.projSteps) return true
+        if (y.projSteps < x.projSteps) return false
+      }
       if (x.name.length < y.name.length) return true
       if (y.name.length < x.name.length) return false
       x.name > y.name

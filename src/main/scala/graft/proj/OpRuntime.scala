@@ -18,9 +18,13 @@ final class OpRuntime(cands: Vector[Candidate],
                       /** error-level log (reaches stderr) */
                       logError: String => Unit,
                       /** debug-level log (PROJ_DEBUG >= 2) */
-                      logDebug: String => Unit) {
+                      logDebug: String => Unit,
+                      /** the warn-mode single-op protocol already warned at
+                        * creation time: start with non-instantiable
+                        * candidates skipped (reference crs_to_crs.cpp:609) */
+                      startSkipNonInstantiable: Boolean = false) {
 
-  private var warnPending = onlyBestWarn
+  private var warnPending = onlyBestWarn && !startSkipNonInstantiable
   private var iCur: Int = -1
 
   private def isOffshore(c: Candidate): Boolean =
@@ -53,7 +57,8 @@ final class OpRuntime(cands: Vector[Candidate],
             (((c.accuracy >= 0 && c.accuracy < bestAccuracy) ||
               (c.accuracy == bestAccuracy &&
                 c.pseudoArea < cands(iBest).pseudoArea &&
-                !(isUnknownArea(c) && !isUnknownArea(cands(iBest))))) &&
+                !(isUnknownArea(c) && !isUnknownArea(cands(iBest))) &&
+                !cands(iBest).isPriorityOp)) &&
               !isOffshore(c))
           if (better && !(skipNonInstantiable && !c.instantiable)) {
             iBest = i
@@ -68,7 +73,8 @@ final class OpRuntime(cands: Vector[Candidate],
 
   def missingGridMessage(c: Candidate): String = {
     val sb = new StringBuilder(s"Attempt to use coordinate operation ${c.name} failed.")
-    for ((g, avail) <- c.grids if !avail) {
+    // the reference enumerates gridsNeeded (an ordered set) — name order
+    for ((g, avail) <- c.grids.sortBy(_._1) if !avail) {
       sb ++= s" Grid $g is not available. Consult " +
         "https://proj.org/resource_files.html for guidance."
     }
@@ -95,7 +101,11 @@ final class OpRuntime(cands: Vector[Candidate],
     * false on failure (coord left in error state). */
   def trans(c: Coord, lonDeg: Double, latDeg: Double): Boolean = {
     val excluded = Array(-1, -1)
-    var skipNonInstantiable = false
+    // reference trans.cpp:237: skip = P->skipNonInstantiable && !warn &&
+    // !error — in warn mode, once the one-shot warning is consumed, every
+    // later point starts with non-instantiable candidates skipped
+    var skipNonInstantiable = startSkipNonInstantiable ||
+      (onlyBestWarn && !warnPending && !onlyBestError)
     var iRetry = 0
     while (iRetry <= 2) {
       val iBest = suggest(lonDeg, latDeg, excluded, skipNonInstantiable)
@@ -105,7 +115,9 @@ final class OpRuntime(cands: Vector[Candidate],
       }
       val cand = cands(iBest)
       if (iCur != iBest) {
-        logDebug(s"Using coordinate operation ${cand.name}")
+        // a single-op list is returned as a bare PJ by the reference
+        // (crs_to_crs.cpp:760) — no alternative-operation logging
+        if (cands.length > 1) logDebug(s"Using coordinate operation ${cand.name}")
         iCur = iBest
       }
       val saved = new Coord

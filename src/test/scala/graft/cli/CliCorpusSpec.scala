@@ -85,10 +85,7 @@ class CliCorpusSpec extends AnyFunSuite {
   private val variousSkips: Map[Int, String] = {
     def db(ids: Seq[Int], why: String) = ids.map(_ -> why)
     (db(Seq(85), "IAU_2015 authority (iso19111 database)") ++
-      db(Seq(93), "EPSG:6247 Colombia Urban conversion method not in generated table") ++
       db(Seq(101, 102, 110), "needs the real us_nga_egm96_15.tif grid (not shipped locally)") ++
-      db(Seq(109) ++ (111 to 127), "--only-best / compound codes / DB-selected vertical grids") ++
-      db(Seq(138, 142), "EPSG compound ops (vertical composition)") ++
       Seq(58 -> ("matches to 1e-7 m; the expected string differs in printf's " +
         "final digit (1 ulp in the 13th significant digit)"))).toMap
   }
