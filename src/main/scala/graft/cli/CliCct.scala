@@ -109,7 +109,13 @@ object CliCct {
                   "cct: Input object is not a coordinate operation, but a CRS.")
               case op: graft.proj.wkt.WktOpDef => Proj.create(op.projString)
             }
-          } else Proj.create(spec)
+          } else if (!spec.contains('=') && spec.contains(' '))
+            // coordinate-operation lookup by name ("ITRF2014 to ETRF2014 (1)")
+            graft.proj.OpFactory.operationByName(spec0)
+              .flatMap(_.pj.toOption)
+              .getOrElse(throw graft.core.ProjError(
+                graft.core.ProjErr.INVALID_OP, s"unknown operation $spec0"))
+          else Proj.create(spec)
         } catch {
           case _: ProjError =>
             throw new CliExit(1,

@@ -173,6 +173,7 @@ object CliCs2cs {
     var onlyBest: Option[Boolean] = None
     var sEpoch: Option[Double] = None
     var tEpoch: Option[Double] = None
+    var area: Option[graft.proj.EpsgDb.Bbox] = None
     var oform: Option[String] = None
     var oterr = "*\t*"
     var tag = '#'
@@ -204,7 +205,16 @@ object CliCs2cs {
           case "--authority" => authority = Some(nextArg(arg))
           case "--s_epoch" => sEpoch = nextArg(arg).toDoubleOption
           case "--t_epoch" => tEpoch = nextArg(arg).toDoubleOption
-          case "--area" | "--bbox" => nextArg(arg)
+          case "--area" =>
+            val v = nextArg(arg)
+            area = graft.proj.OpFactory.areaBboxByName(v)
+            if (area.isEmpty)
+              throw new CliExit(1, s"Invalid value for option --area: $v")
+          case "--bbox" =>
+            val v = nextArg(arg).split(',')
+            if (v.length == 4)
+              area = Some(graft.proj.EpsgDb.Bbox(
+                v(0).toDouble, v(1).toDouble, v(2).toDouble, v(3).toDouble))
           case other => throw new CliExit(1, s"invalid option: $other")
         }
       } else if (arg.length > 1 && arg.charAt(0) == '-') {
@@ -282,7 +292,7 @@ object CliCs2cs {
             promoteTo3D = promoteTo3D, noBallpark = noBallpark,
             accuracy = if (accuracySet) accuracy.orElse(Some(0.0)) else None,
             authority = authority, onlyBest = onlyBest,
-            sEpoch = sEpoch, tEpoch = tEpoch,
+            sEpoch = sEpoch, tEpoch = tEpoch, area = area,
             oform = oform, oterr = oterr, tag = tag, rtodms = rtodms))
           return
         case None => ()
@@ -346,7 +356,7 @@ object CliCs2cs {
               promoteTo3D = promoteTo3D, noBallpark = noBallpark,
               accuracy = if (accuracySet) accuracy.orElse(Some(0.0)) else None,
               authority = authority, onlyBest = onlyBest,
-              sEpoch = sEpoch, tEpoch = tEpoch,
+              sEpoch = sEpoch, tEpoch = tEpoch, area = area,
               oform = oform, oterr = oterr, tag = tag, rtodms = rtodms))
             return
           case _ => ()
@@ -489,6 +499,7 @@ object CliCs2cs {
       promoteTo3D: Boolean, noBallpark: Boolean,
       accuracy: Option[Double], authority: Option[String],
       onlyBest: Option[Boolean], sEpoch: Option[Double], tEpoch: Option[Double],
+      area: Option[graft.proj.EpsgDb.Bbox],
       oform: Option[String], oterr: String, tag: Char, rtodms: Rtodms)
 
   /** Transform with a candidate-operation list from the EPSG sidecar —
@@ -533,7 +544,8 @@ object CliCs2cs {
         allowBallpark = !flags.noBallpark,
         onlyBestError = onlyBestError,
         onlyBestWarn = onlyBestWarn,
-        epoch = flags.sEpoch.orElse(flags.tEpoch))
+        epoch = flags.sEpoch.orElse(flags.tEpoch),
+        area = flags.area)
 
       val prepared = OpFactory.prepare(src, dst, opts)
       val cands = prepared.cands

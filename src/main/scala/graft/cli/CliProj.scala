@@ -171,7 +171,18 @@ object CliProj {
       // target's datum — no hub shift, so the cs2cs emulation must not fire
       P =
         try {
-          val expanded = graft.proj.EpsgAliases.resolve(crsStr).getOrElse(crsStr)
+          // a compound code projects through its horizontal member; any
+          // projected EPSG code falls back to the generated init table
+          val horiz = {
+            val t = crsStr.trim
+            val norm = if (t.indexOf(':') < 0) "EPSG:" + t else
+              t.substring(0, t.indexOf(':')).toUpperCase + t.substring(t.indexOf(':'))
+            graft.proj.EpsgDb.db.compound.get(norm).map(_.horiz).getOrElse(crsStr)
+          }
+          val expanded = graft.proj.EpsgAliases.resolve(horiz)
+            .orElse(graft.proj.OpFactory.projBodyOf(
+              if (horiz.indexOf(':') < 0) "EPSG:" + horiz else horiz))
+            .getOrElse(horiz)
           Proj.create(new ParamList(
             ParamList.parse(expanded).entries :+ ("break_cs2cs_recursion" -> "")))
         } catch { case _: ProjError => throw new CliExit(1, "CRS is not parseable") }

@@ -150,6 +150,9 @@ object OpFactory {
       onlyBestWarn: Boolean = false,
       /** epoch forced onto input coordinates (--s_epoch / --t_epoch) */
       epoch: Option[Double] = None,
+      /** explicit area of interest (--area / --bbox): candidates must
+        * intersect it, and no ballpark fallback is synthesized */
+      area: Option[Bbox] = None,
       /** grid availability probe (name -> available); tmpdir scenarios
         * replace it */
       gridAvailable: String => Boolean = OpFactory.defaultGridAvailable)
@@ -794,13 +797,28 @@ object OpFactory {
         yield c.copy(name = nameOf(hn, VBallpark), accuracy = -1.0))
         .filter(keep)
 
-    val nonBallpark0 = wholeAll ++ direct ++ viaPivot ++ vertBallpark
+    // an explicit area of interest clips every candidate's extent: points
+    // outside the area match no candidate even when an op's own extent
+    // covers them
+    def clipArea(c: Candidate): Option[Candidate] = opts.area match {
+      case None => Some(c)
+      case Some(ar) =>
+        val clipped = c.boxes.flatMap { b =>
+          val w = math.max(b.west, ar.west); val e = math.min(b.east, ar.east)
+          val s = math.max(b.south, ar.south); val n = math.min(b.north, ar.north)
+          if (w <= e && s <= n) Some(Bbox(w, s, e, n)) else None
+        }
+        if (clipped.isEmpty) None else Some(c.copy(boxes = clipped))
+    }
+
+    val nonBallpark0 =
+      (wholeAll ++ direct ++ viaPivot ++ vertBallpark).flatMap(clipArea)
     val nonBallpark =
       if (opts.accuracy < 0) nonBallpark0
       else nonBallpark0.filter(c => c.accuracy >= 0 && c.accuracy <= opts.accuracy)
 
     val ballpark: Vector[Candidate] =
-      if (!opts.allowBallpark || opts.accuracy >= 0 ||
+      if (!opts.allowBallpark || opts.accuracy >= 0 || opts.area.isDefined ||
           db.sameDatum(a, b) && nonBallpark.nonEmpty) Vector.empty
       else {
         try {
@@ -893,6 +911,32 @@ object OpFactory {
     val ok = listA.exists(c => !c.ballpark && !c.ballparkVertical && c.instantiable)
     if (ok) return Prepared(listA, None, None)
     Prepared(merged, None, None)
+  }
+
+  /** resolve an area-of-use name ("USA - CONUS including EEZ") to its
+    * bounding box through the operations that cite it. */
+  def areaBboxByName(name: String): Option[Bbox] = {
+    val key = EpsgDb.canonName(name)
+    db.ops.collectFirst {
+      case o if o.bbox.isDefined && EpsgDb.canonName(o.areaName) == key =>
+        o.bbox.get
+    }
+  }
+
+  /** look up a single coordinate operation by its exact name (cct's
+    * "object name initialization") and build it between the operation's own
+    * CRS ends. */
+  def operationByName(name: String): Option[Candidate] = {
+    val key = EpsgDb.canonName(name)
+    db.ops.find(o => !o.deprecated && EpsgDb.canonName(o.name) == key)
+      .flatMap { op =>
+        for {
+          s <- resolveCode(op.srcCrs)
+          d <- resolveCode(op.dstCrs)
+          c <- hopsToCandidate(s, d, Seq(Hop(op, inv = false)), op.name,
+            Options())
+        } yield c
+      }
   }
 
   private def nullOpName(src: Resolved, dst: Resolved): String =

@@ -55,8 +55,7 @@ class CliCorpusSpec extends AnyFunSuite {
   }
 
   test("test_proj: basic proj command expectations") {
-    check("test_proj", projApp("proj"), expectedPass = 3, skips = Map(
-      3 -> "EPSG:5972 is a compound CRS — iso19111 database out of scope"))
+    check("test_proj", projApp("proj"), expectedPass = 4, skips = Map.empty)
   }
 
   test("test_invproj: basic invproj expectations") {
@@ -76,12 +75,12 @@ class CliCorpusSpec extends AnyFunSuite {
                        env: Map[String, String]): CliResult =
     CliCs2cs.run(args, stdin, "cs2cs", files, env)
 
-  /** The database-dependent tail of cs2cs_various: CRS names, compound
-    * `EPSG:a+b` codes, authority/accuracy-filtered operation selection, and
-    * EPSG transformation operations (similarity, time-dependent, national
-    * grids) all need the iso19111 database, which is deliberately out of
-    * scope (SURVEY.md §2; the generated init table carries CRS definitions
-    * only). */
+  /** The few cs2cs_various expectations that cannot pass in this sandbox:
+    * a non-EPSG authority, grids the reference's CI has but we do not ship,
+    * and one final-digit printf divergence. Everything else — CRS names,
+    * compound `EPSG:a+b` codes, only-best/accuracy selection, similarity /
+    * time-dependent / vertical operations — runs through the generated
+    * coordinate-operation sidecar (graft.proj.EpsgDb / OpFactory). */
   private val variousSkips: Map[Int, String] = {
     def db(ids: Seq[Int], why: String) = ids.map(_ -> why)
     (db(Seq(85), "IAU_2015 authority (iso19111 database)") ++
@@ -101,13 +100,11 @@ class CliCorpusSpec extends AnyFunSuite {
     CliCct.run(args, stdin, "cct", files)
 
   test("test_cct: 4D filter expectations") {
-    check("test_cct", cctApp, expectedPass = 17, skips = Map(
-      11 -> "operation lookup by name needs iso19111"))
+    check("test_cct", cctApp, expectedPass = 18, skips = Map.empty)
   }
 
   test("test_cs2cs_datumfile: grid-based datum shifts (NTv1/conus/MD/NTv2/GTX)") {
-    check("test_cs2cs_datumfile", cs2csApp, expectedPass = 11, skips = Map(
-      3 -> "--area name lookup needs the iso19111 extent database"))
+    check("test_cs2cs_datumfile", cs2csApp, expectedPass = 12, skips = Map.empty)
   }
 
   test("test_cs2cs_ntv2: NTv2 subgrids and grid-list fallback") {
