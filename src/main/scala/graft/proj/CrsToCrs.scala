@@ -147,6 +147,36 @@ object CrsToCrs {
     }
   }
 
+  /** registry-grade src→dst pipeline in GIS axis order (lon,lat degrees on
+    * geographic ends): the best instantiable non-ballpark candidate from
+    * the EPSG coordinate-operation sidecar (OpFactory — real datum
+    * operations, grids when resolvable, compound codes, CRS names). None
+    * when either spec does not resolve or no instantiable candidate
+    * exists. */
+  def pipelineRegistry(srcSpec: String, dstSpec: String): Option[String] =
+    for {
+      s <- OpFactory.resolve(srcSpec)
+      d <- OpFactory.resolve(dstSpec)
+      c <- OpFactory.createList(s, d, OpFactory.Options())
+        .filter(c => c.instantiable && !c.ballpark)
+        // plan-time pick mirrors the runtime's accuracy preference
+        // (pj_get_suggested_operation): best known accuracy wins; the sorted
+        // order breaks ties
+        .minByOption(c => if (c.accuracy >= 0) c.accuracy else Double.MaxValue)
+    } yield {
+      val steps =
+        if (c.pipeline == "proj=noop") ""
+        else if (c.pipeline.startsWith("proj=pipeline"))
+          " " + c.pipeline.stripPrefix("proj=pipeline").trim
+        else " step " + c.pipeline // bare whole-CRS op (similarity/affine)
+      val pre =
+        if (s.isLongLat) " step proj=unitconvert xy_in=deg xy_out=rad" else ""
+      val post =
+        if (d.isLongLat) " step proj=unitconvert xy_in=rad xy_out=deg" else ""
+      if (pre.isEmpty && post.isEmpty && steps.isEmpty) "proj=noop"
+      else "proj=pipeline" + pre + steps + post
+    }
+
   private def helmStep(t: Seq[Double], inv: Boolean): String =
     if (t.forall(_ == 0.0)) ""
     else {

@@ -375,10 +375,14 @@ object ProjFunctions {
   /** cs2cs-style CRS→CRS in GIS axis order (lon,lat degrees for geographic
     * ends, x,y for projected ends): the pipeline — including any towgs84
     * datum hop through geocentric — is planned from the ~7k-code EPSG init
-    * table at PLAN time and compiled once (CrsToCrs.pipelineGis). */
+    * table at PLAN time and compiled once (CrsToCrs.pipelineGis). Pairs the
+    * init table cannot serve (compound codes, CRS names, registry-only
+    * datum routes) fall back to the coordinate-operation sidecar
+    * (CrsToCrs.pipelineRegistry). */
   def crsToCrs2(x: Column, y: Column, srcCrs: String, dstCrs: String): Column =
-    projTrans2(x, y, graft.proj.CrsToCrs.pipelineGis(srcCrs, dstCrs).getOrElse(
-      throw new IllegalArgumentException(
+    projTrans2(x, y, graft.proj.CrsToCrs.pipelineGis(srcCrs, dstCrs)
+      .orElse(graft.proj.CrsToCrs.pipelineRegistry(srcCrs, dstCrs))
+      .getOrElse(throw new IllegalArgumentException(
         s"crsToCrs2: unsupported pair $srcCrs -> $dstCrs")))
 
   /** Reproject a point into its own inferred UTM zone CRS (per-row zone

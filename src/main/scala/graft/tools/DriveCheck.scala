@@ -78,6 +78,20 @@ object DriveCheck {
         6 * GeoMath.DEG2RAD, 40 * GeoMath.DEG2RAD,
         12 * GeoMath.DEG2RAD, 55 * GeoMath.DEG2RAD)
       println(f"trans_bounds utm32 of 6-12E 40-55N: x [$bx0%.1f, $bx1%.1f] y [$by0%.1f, $by1%.1f]")
+
+      // registry-grade CRS->CRS planning over the EPSG operation sidecar:
+      // name resolution, grid-backed datum shift, GN7.2 similarity
+      val ntf = graft.proj.CrsToCrs.pipelineRegistry("NTF", "RGF93")
+        .getOrElse(sys.error("registry NTF->RGF93 missing"))
+      val pr = Proj.create(ntf)
+      val cr = new Coord; cr.set(-5.5, 52.0, 0, Double.PositiveInfinity)
+      Dispatch.fwd4d(pr, cr)
+      val sim = graft.proj.CrsToCrs.pipelineRegistry("EPSG:23031", "EPSG:25831")
+        .map(p => { val c2 = new Coord; c2.set(300000, 4500000, 0, Double.PositiveInfinity)
+          Dispatch.fwd4d(Proj.create(p), c2); (c2.x, c2.y) })
+        .getOrElse(sys.error("registry similarity missing"))
+      println(f"registry: NTF->RGF93(-5.5,52) = (${cr.x}%.9f, ${cr.y}%.9f); " +
+        f"GN7.2 similarity = (${sim._1}%.3f, ${sim._2}%.3f) expect (299905.060, 4499796.515)")
     }
     val t0 = System.nanoTime
     var i = 0; val cc = new Coord; var acc = 0.0
