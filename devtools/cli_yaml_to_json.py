@@ -32,6 +32,7 @@ FILES = [
     "test_cs2cs_datumfile.yaml",
     "test_cs2cs_ntv2.yaml",
     "test_cs2cs_flaky.yaml",
+    "test_cs2cs_ignf.yaml",
     "test_cct.yaml",
     "test_gie.yaml",
 ]

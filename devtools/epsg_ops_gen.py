@@ -48,7 +48,7 @@ ORDER = ['unit_of_measure','extent','scope','prime_meridian','ellipsoid',
  'grid_transformation_custom','non_imported_operations',
  'geodetic_datum_ensemble_member','vertical_datum_ensemble_member','metadata']
 
-AUTHS = ("EPSG", "PROJ", "IAU_2015")
+AUTHS = ("EPSG", "PROJ", "IAU_2015", "IGNF")
 
 def load():
     db = sqlite3.connect(':memory:')
@@ -184,6 +184,8 @@ def main():
 
     # ---- geodetic CRSs
     kindmap = {'geographic 2D': 'g2', 'geographic 3D': 'g3', 'geocentric': 'gc'}
+    geod_ell = {}  # geod CRS key -> (a, rf, pmDeg) for inline projected bodies
+    crs_datum = {}  # geod CRS key -> datum key (concat direction inference)
     for r in db.execute("select auth_name,code,name,type,datum_auth_name da,"
                         "datum_code dc,deprecated from geodetic_crs"):
         if r['auth_name'] not in AUTHS or r['type'] not in kindmap:
@@ -193,19 +195,112 @@ def main():
         if dkey not in dat_ell:
             continue
         (a, rf), pm = dat_ell[dkey]
+        geod_ell[key] = (a, rf, pm)
+        crs_datum[key] = dkey
         w, s, e, n, _ = extent_of('geodetic_crs', r['auth_name'], r['code'])
         lines.append(f"C|{key}|{kindmap[r['type']]}|{dkey}|{num(a)}|{num(rf)}|"
                      f"{num(pm)}|{w}|{s}|{e}|{n}|{r['name']}")
         names.append((r['name'].lower(), 'C', key, r['deprecated']))
 
-    # ---- projected CRSs (proj-string bodies live in the epsg init sidecar)
+    # ---- projected CRSs. EPSG bodies live in the epsg init sidecar; for
+    # other authorities (IGNF) the proj-string body is emitted inline,
+    # covering exactly the conversion methods those registries use.
+    conv_rows = {}
+    for r in db.execute("select * from conversion"):
+        conv_rows[(r['auth_name'], str(r['code']))] = r
+
+    def conv_params(r):
+        p = {}
+        for k in range(1, 8):
+            pc = r[f'param{k}_code']
+            if pc is None:
+                continue
+            p[int(pc)] = (r[f'param{k}_value'],
+                          r[f'param{k}_uom_auth_name'], r[f'param{k}_uom_code'])
+        return p
+
+    def body_of(conv_key, geod_key):
+        """proj-string body for a non-EPSG projected CRS, or None."""
+        r = conv_rows.get(conv_key)
+        if r is None or geod_key not in geod_ell:
+            return None
+        p = conv_params(r)
+        def A(c, d=None):
+            if c not in p:
+                return d
+            v, ua, uc = p[c]
+            return conv(v, ua, uc, 'deg')
+        def L(c, d=0.0):
+            if c not in p:
+                return d
+            v, ua, uc = p[c]
+            return conv(v, ua, uc, 'm')
+        def S(c, d=1.0):
+            if c not in p:
+                return d
+            v, ua, uc = p[c]
+            return conv(v, ua, uc, 'unity')
+        try:
+            m = int(r['method_code'])
+        except (TypeError, ValueError):
+            # raw PROJ-method conversions ('PROJ','mill','PROJ mill'):
+            # parameterless legacy registry projections
+            if r['method_auth_name'] == 'PROJ' and r['method_code'] and \
+               str(r['method_code']).isalnum():
+                a, rf, pm = geod_ell[geod_key]
+                ell = f" a={num(a)} rf={num(rf)}" if rf else f" a={num(a)} b={num(a)}"
+                pmtok = f" pm={num(pm)}" if pm else ""
+                return f"proj={r['method_code']}{ell}{pmtok} units=m"
+            return None
+        if m == 9807:
+            core = (f"proj=tmerc lat_0={num(A(8801, 0.0))} lon_0={num(A(8802, 0.0))}"
+                    f" k={num(S(8805))} x_0={num(L(8806))} y_0={num(L(8807))}")
+        elif m == 9801:
+            la = num(A(8801, 0.0))
+            core = (f"proj=lcc lat_1={la} lat_0={la} lon_0={num(A(8802, 0.0))}"
+                    f" k_0={num(S(8805))} x_0={num(L(8806))} y_0={num(L(8807))}")
+        elif m == 9802:
+            core = (f"proj=lcc lat_0={num(A(8821, 0.0))} lon_0={num(A(8822, 0.0))}"
+                    f" lat_1={num(A(8823, 0.0))} lat_2={num(A(8824, 0.0))}"
+                    f" x_0={num(L(8826))} y_0={num(L(8827))}")
+        elif m == 1028 or m == 1029:
+            core = (f"proj=eqc lat_ts={num(A(8823, 0.0))} lat_0=0"
+                    f" lon_0={num(A(8802, 0.0))} x_0={num(L(8806))} y_0={num(L(8807))}")
+        elif m == 9804:
+            core = (f"proj=merc lat_0={num(A(8801, 0.0))} lon_0={num(A(8802, 0.0))}"
+                    f" k={num(S(8805))} x_0={num(L(8806))} y_0={num(L(8807))}")
+        elif m == 9827:
+            core = (f"proj=bonne lat_1={num(A(8801, 0.0))} lon_0={num(A(8802, 0.0))}"
+                    f" x_0={num(L(8806))} y_0={num(L(8807))}")
+        elif m == 9820:
+            core = (f"proj=laea lat_0={num(A(8801, 0.0))} lon_0={num(A(8802, 0.0))}"
+                    f" x_0={num(L(8806))} y_0={num(L(8807))}")
+        elif m == 9810:
+            core = (f"proj=stere lat_0={num(A(8801, 0.0))} lon_0={num(A(8802, 0.0))}"
+                    f" k={num(S(8805))} x_0={num(L(8806))} y_0={num(L(8807))}")
+        elif m == 1024:
+            core = (f"proj=webmerc lat_0={num(A(8801, 0.0))} lon_0={num(A(8802, 0.0))}"
+                    f" x_0={num(L(8806))} y_0={num(L(8807))}")
+        else:
+            return None
+        a, rf, pm = geod_ell[geod_key]
+        ell = f" a={num(a)} rf={num(rf)}" if rf else f" a={num(a)} b={num(a)}"
+        pmtok = f" pm={num(pm)}" if pm else ""
+        return core + ell + pmtok + " units=m"
+
     for r in db.execute("select auth_name,code,name,geodetic_crs_auth_name ga,"
-                        "geodetic_crs_code gc,deprecated from projected_crs"):
+                        "geodetic_crs_code gc,conversion_auth_name ca,"
+                        "conversion_code cc,deprecated from projected_crs"):
         if r['auth_name'] not in AUTHS:
             continue
         key = f"{r['auth_name']}:{r['code']}"
         w, s, e, n, _ = extent_of('projected_crs', r['auth_name'], r['code'])
-        lines.append(f"P|{key}|{r['ga']}:{r['gc']}|{w}|{s}|{e}|{n}|{r['name']}")
+        body = ''
+        if r['auth_name'] != 'EPSG':
+            body = body_of((r['ca'], str(r['cc'])),
+                           f"{r['ga']}:{r['gc']}") or ''
+            body = base64.b64encode(body.encode()).decode() if body else ''
+        lines.append(f"P|{key}|{r['ga']}:{r['gc']}|{w}|{s}|{e}|{n}|{r['name']}|{body}")
         names.append((r['name'].lower(), 'P', key, r['deprecated']))
 
     # ---- vertical CRSs
@@ -237,8 +332,11 @@ def main():
             names.append((r['n'].lower(), kind_for_table[r['t']], f"{r['a']}:{r['c']}", 0))
 
     # ---- operations
+    op_ends = {}  # "auth:code" -> (srcCrsKey, dstCrsKey) for direction inference
+
     def op_line(auth, code, kind, method, sa, sc, ta, tc, acc, dep, extras, name):
         w, s, e, n, area = extent_of(table_for_kind[kind], auth, code)
+        op_ends[f"{auth}:{code}"] = (f"{sa}:{sc}", f"{ta}:{tc}")
         return (f"O|{auth}:{code}|{kind}|{method}|{sa}:{sc}|{ta}:{tc}|"
                 f"{num(acc)}|{w}|{s}|{e}|{n}|{1 if dep else 0}|{extras}|{area}|{name}")
 
@@ -358,17 +456,44 @@ def main():
     for r in db.execute("select operation_auth_name a, operation_code c,"
                         " step_auth_name sa, step_code sc, step_direction d"
                         " from concatenated_operation_step order by a, c, step_number"):
-        sgn = '-' if (r['d'] or 'forward') == 'reverse' else '+'
-        steps.setdefault((r['a'], str(r['c'])), []).append(f"{sgn}{r['sa']}:{r['sc']}")
+        steps.setdefault((r['a'], str(r['c'])), []).append(
+            (r['d'], f"{r['sa']}:{r['sc']}"))
+
+    def end_key(crs):
+        # datum for geodetic CRSs so 2D/3D realizations chain; code otherwise
+        return crs_datum.get(crs, crs)
+
     for r in db.execute("select * from concatenated_operation"):
         if r['auth_name'] not in AUTHS or r['source_crs_auth_name'] not in AUTHS \
            or r['target_crs_auth_name'] not in AUTHS:
             continue
-        st = steps.get((r['auth_name'], str(r['code'])), [])
+        # a NULL step_direction means "whichever direction continues the
+        # chain" (the schema requires explicit directions all-or-nothing) —
+        # infer by walking from the concatenation's source CRS
+        cur = end_key(f"{r['source_crs_auth_name']}:{r['source_crs_code']}")
+        toks = []
+        for d, code in steps.get((r['auth_name'], str(r['code'])), []):
+            ends = op_ends.get(code)
+            if d == 'reverse':
+                toks.append('-' + code)
+                if ends:
+                    cur = end_key(ends[0])
+            elif d == 'forward' or ends is None:
+                toks.append('+' + code)
+                if ends:
+                    cur = end_key(ends[1])
+            else:
+                skey, dkey2 = end_key(ends[0]), end_key(ends[1])
+                if dkey2 == cur and skey != cur:
+                    toks.append('-' + code)
+                    cur = skey
+                else:
+                    toks.append('+' + code)
+                    cur = dkey2
         lines.append(op_line(r['auth_name'], r['code'], 'C', '',
             r['source_crs_auth_name'], r['source_crs_code'],
             r['target_crs_auth_name'], r['target_crs_code'],
-            r['accuracy'], r['deprecated'], 'steps=' + ','.join(st), r['name']))
+            r['accuracy'], r['deprecated'], 'steps=' + ','.join(toks), r['name']))
 
     for r in db.execute("select superseded_auth_name a, superseded_code c,"
                         " replacement_auth_name ra, replacement_code rc,"

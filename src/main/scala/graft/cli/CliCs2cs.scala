@@ -274,13 +274,23 @@ object CliCs2cs {
     // a real WKT string (GEOGCRS["..."]) never resolves as a CRS name, so
     // the DB attempt safely precedes the WKT/proj-string path — names like
     // "NAD83(HARN)" would otherwise be mistaken for WKT syntax
-    def isDbSpec(toks: Vector[String]): Boolean =
-      toks.size == 1 && !toks.head.contains('=')
-    if (!isProj4Style && fromToks.nonEmpty && toToks.nonEmpty &&
-        isDbSpec(fromToks) && isDbSpec(toToks)) {
+    def dbSpecOf(toks: Vector[String]): Option[String] = {
+      val c = toks.map(_.stripPrefix("+"))
+      if (c.size != 1) None
+      else if (!c.head.contains('=')) Some(c.head)
+      // +init=IGNF:CODE resolves through the sidecar (the legacy IGNF init
+      // file was retired upstream; its registry lives in the database)
+      else if (c.head.startsWith("init=IGNF:")) Some(c.head.substring(5))
+      else None
+    }
+    val dbFrom = dbSpecOf(fromToks)
+    val dbTo = dbSpecOf(toToks)
+    if (fromToks.nonEmpty && toToks.nonEmpty && dbFrom.isDefined && dbTo.isDefined &&
+        (!isProj4Style || dbFrom.exists(_.startsWith("IGNF:")) ||
+          dbTo.exists(_.startsWith("IGNF:")))) {
       val pair = for {
-        s <- graft.proj.OpFactory.resolve(fromToks.head)
-        d <- graft.proj.OpFactory.resolve(toToks.head)
+        s <- graft.proj.OpFactory.resolve(dbFrom.get)
+        d <- graft.proj.OpFactory.resolve(dbTo.get)
       } yield (s, d)
       pair match {
         case Some((srcR, dstR)) =>

@@ -24,7 +24,10 @@ object EpsgDb {
       if (rf == 0.0) s"a=$a b=$a" else s"a=$a rf=$rf"
   }
   final case class ProjCrs(code: String, baseGeog: String, bbox: Option[Bbox],
-                           name: String)
+                           name: String,
+                           /** inline proj-string body (non-EPSG authorities;
+                             * EPSG bodies come from the init sidecar) */
+                           body: Option[String] = None)
   final case class VertCrs(code: String, datum: String, bbox: Option[Bbox],
                            name: String)
   final case class CompCrs(code: String, horiz: String, vert: String,
@@ -179,8 +182,12 @@ object EpsgDb {
                 f(5).toDouble, dOpt(f(6)).getOrElse(0.0),
                 bbox(f(7), f(8), f(9), f(10)), f(11))
             case "P" =>
+              val body =
+                if (f.length > 8 && f(8).nonEmpty)
+                  Some(new String(java.util.Base64.getDecoder.decode(f(8)), "UTF-8"))
+                else None
               projected += f(1) -> ProjCrs(f(1), f(2),
-                bbox(f(3), f(4), f(5), f(6)), f(7))
+                bbox(f(3), f(4), f(5), f(6)), f(7), body)
             case "V" =>
               vertical += f(1) -> VertCrs(f(1), f(2),
                 bbox(f(3), f(4), f(5), f(6)), f(7))

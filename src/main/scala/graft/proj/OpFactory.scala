@@ -40,6 +40,11 @@ object OpFactory {
     def is3D: Boolean = kind == Geog3D || kind == Geocentric || vert.isDefined
     def isGeocentric: Boolean = kind == Geocentric && projBody.isEmpty
     def isLongLat: Boolean = projBody.isEmpty && kind != Geocentric
+    /** area of use: the horizontal CRS's own extent (projected CRS extent
+      * when the code names one, else the geodetic CRS's) */
+    def bbox: Option[Bbox] =
+      projCode.flatMap(EpsgDb.db.projected.get).flatMap(_.bbox)
+        .orElse(geod.bbox)
   }
 
   /** resolve an auth:code ("EPSG:4326", "4326+5773" handled by caller). */
@@ -80,7 +85,8 @@ object OpFactory {
     * init table (strips +towgs84/+no_defs, keeps projection + ellipsoid). */
   def projBodyOf(code: String): Option[String] = {
     val num = code.substring(code.indexOf(':') + 1)
-    if (!code.startsWith("EPSG:")) return None
+    if (!code.startsWith("EPSG:"))
+      return db.projected.get(code).flatMap(_.body)
     Proj.epsgInitLookup(num).map { raw =>
       raw.split("\\s+").iterator.filter(_.nonEmpty).map(_.stripPrefix("+"))
         .filterNot(t => t.startsWith("towgs84=") || t == "no_defs")
@@ -153,6 +159,15 @@ object OpFactory {
       /** explicit area of interest (--area / --bbox): candidates must
         * intersect it, and no ballpark fallback is synthesized */
       area: Option[Bbox] = None,
+      /** authorities allowed in addition to EPSG/PROJ — set from the CRS
+        * pair's own authorities (the reference's
+        * authority_to_authority_preference) */
+      implicitAuths: Set[String] = Set.empty,
+      /** when both CRSs belong to one non-EPSG authority, its own ops (and
+        * PROJ derivations) take precedence and EPSG ops are consulted only
+        * when none exist (reference findOpsInRegistryDirect: authorities are
+        * tried in preference order, stopping at the first non-empty) */
+      preferAuth: Option[String] = None,
       /** grid availability probe (name -> available); tmpdir scenarios
         * replace it */
       gridAvailable: String => Boolean = OpFactory.defaultGridAvailable)
@@ -345,6 +360,16 @@ object OpFactory {
             sb ++= s" step proj=cart inv $curEll"
             sb ++= " step proj=pop v_3"
             steps += 4
+          } else if (identity && form == RAD) {
+            // identity geocentric-domain op between geographic ends: same
+            // null sandwich as the geog2D-domain case — push/pop keeps z
+            // exact through the differing-ellipsoid cart round-trip
+            sb ++= " step proj=push v_3"
+            sb ++= s" step proj=cart $curEll"
+            curEll = dstEndCrs.map(_.ellTokens).getOrElse(curEll)
+            sb ++= s" step proj=cart inv $curEll"
+            sb ++= " step proj=pop v_3"
+            steps += 4
           } else {
             toForm(XYZ)
             if (!identity) { sb ++= " step " + helmertParams(op, hop.inv, pv); steps += 1 }
@@ -503,14 +528,22 @@ object OpFactory {
   private def allowedAuth(op: Op, opts: Options): Boolean = opts.authority match {
     case Some("any") => true
     case Some(a) => op.auth == a
-    case None => op.auth == "EPSG" || op.auth == "PROJ"
+    case None => op.auth == "EPSG" || op.auth == "PROJ" ||
+      opts.implicitAuths.contains(op.auth)
   }
 
-  private def usableOps(a: String, b: String, opts: Options): Vector[Hop] =
-    db.opsBetween(a, b).collect {
+  private def usableOps(a: String, b: String, opts: Options): Vector[Hop] = {
+    val all = db.opsBetween(a, b).collect {
       case (op, inv) if !op.deprecated && !db.superseded.contains(op.code) &&
         allowedAuth(op, opts) && op.kind != 'S' => Hop(op, inv)
     }
+    opts.preferAuth match {
+      case Some(pa) =>
+        val own = all.filter(h => h.op.auth == pa || h.op.auth == "PROJ")
+        if (own.nonEmpty) own else all
+      case None => all
+    }
+  }
 
   /** similarity (9621), affine parametric (9624) and cartesian grid
     * offsets (9656) between projected CRSs, as a direct projected-space
@@ -823,9 +856,17 @@ object OpFactory {
       else {
         try {
           val (pipe, grids, n, known) = assemble(src, dst, Nil, opts)
+          // a ballpark's area of use is the CRS pair's own (reference:
+          // the synthesized transformation inherits the CRS extents) — a
+          // point outside it reaches the gridless fallback, which applies
+          // the best real operation instead of the null offset
+          val bb = intersect(src.bbox, dst.bbox) match {
+            case Some(b) if src.bbox.isDefined || dst.bbox.isDefined => Some(b)
+            case _ => None
+          }
           Vector(Candidate(
             s"Ballpark geographic offset from ${src.name} to ${dst.name}",
-            -1.0, boxesOf(None), pseudoArea(None), "", grids,
+            -1.0, boxesOf(bb), pseudoArea(bb), "", grids,
             ballpark = true, ballparkVertical = hasVert, n, pipe,
             projSteps = n, gridsKnown = known))
         } catch { case _: graft.core.ProjError => Vector.empty }
@@ -893,7 +934,17 @@ object OpFactory {
                             initFail: Option[Candidate],
                             initWarn: Option[Candidate])
 
-  def prepare(src: Resolved, dst: Resolved, opts: Options): Prepared = {
+  def prepare(src: Resolved, dst: Resolved, opts0: Options): Prepared = {
+    // the CRS pair's own authorities join EPSG/PROJ as allowed op sources
+    def authOf(code: String): String =
+      code.substring(0, math.max(code.indexOf(':'), 0))
+    val pairAuths = Set(authOf(src.code), authOf(dst.code)).filter(_.nonEmpty)
+    val opts = opts0.copy(implicitAuths = opts0.implicitAuths ++ pairAuths,
+      preferAuth = opts0.preferAuth.orElse(
+        pairAuths.toList match {
+          case a :: Nil if a != "EPSG" && a != "PROJ4" => Some(a)
+          case _ => None
+        }))
     val knownMode = opts.onlyBestError || opts.onlyBestWarn
     val listA = generate(src, dst, opts, discardMissingGrids = !knownMode)
     if (!knownMode) return Prepared(listA, None, None)

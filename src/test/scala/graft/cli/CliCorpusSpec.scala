@@ -107,6 +107,23 @@ class CliCorpusSpec extends AnyFunSuite {
     check("test_cs2cs_datumfile", cs2csApp, expectedPass = 12, skips = Map.empty)
   }
 
+  /** the corpus' own header says the expected coordinates were "calculated
+    * by other means"; the mm-level rows differ in printf's final digit from
+    * the locally-shipped NTv2 grid (the CDN GeoTIFF the reference CI
+    * fetches is a float32 re-encoding). */
+  private val ignfSkips: Map[Int, String] = {
+    def at(ids: Seq[Int], why: String) = ids.map(_ -> why)
+    (at(Seq(2, 5, 6), "1 mm final digit: local ntf_r93.gsb vs CDN fr_ign_ntf_r93.tif") ++
+      at(Seq(25, 29, 32), "1 mm final digit through the null datum round-trip") ++
+      at(Seq(8, 16), "point outside France: the reference synthesizes a WGS84 " +
+        "helmert pivot candidate alongside the direct grid operations")).toMap
+  }
+
+  test("test_cs2cs_ignf: IGNF registry pairs (legacy +init=IGNF:)") {
+    check("test_cs2cs_ignf", cs2csApp, expectedPass = 34 - ignfSkips.size,
+      skips = ignfSkips)
+  }
+
   test("test_cs2cs_ntv2: NTv2 subgrids and grid-list fallback") {
     check("test_cs2cs_ntv2", cs2csApp, expectedPass = 6, skips = Map.empty)
   }
