@@ -556,6 +556,27 @@ object OracleSql {
     * (7-parameter position-vector Helmert inverse + Bowring inverse on
     * airy + Krueger alpha-series tmerc with the lat_0=49 rectifying
     * offset). All closed-form. */
+  /** geo_registry: the EPSG:5166 similarity transformation (ED50/UTM31N →
+    * ETRS89/UTM31N, EPSG Guidance Note 7.2 worked example) recomputed
+    * closed-form from its published parameters: XT0=-129.549 YT0=-208.185,
+    * scale M=1.0000015504, rotation 0.000434733333°. The Spark side selects
+    * this operation from the generated coordinate-operation database. */
+  def geoRegistry: String =
+    s"""WITH $ptsCte,
+    p AS (
+      SELECT point_id,
+        280000.0 + (point_id % 300)*100.0 AS ex,
+        4450000.0 + (point_id % 400)*150.0 AS ny
+      FROM pts),
+    c AS (
+      SELECT 1.0000015504*cos(0.000434733333*pi()/180) AS cc,
+             1.0000015504*sin(0.000434733333*pi()/180) AS ss)
+    SELECT point_id,
+      CAST(round((-129.549 + ex*cc + ny*ss)*1000) AS BIGINT) AS reg_x_mm,
+      CAST(round((-208.185 - ex*ss + ny*cc)*1000) AS BIGINT) AS reg_y_mm
+    FROM p, c
+    ORDER BY point_id"""
+
   def geoEpsg: String =
     s"""WITH $ptsCte,
     c AS (SELECT 6378137.0 AS aa, 1.0/298.257223563 AS ff, 2*ff - ff*ff AS es),

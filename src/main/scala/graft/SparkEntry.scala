@@ -569,6 +569,23 @@ object SparkEntry {
           mm(col("bng.x")).as("bng_x_mm"), mm(col("bng.y")).as("bng_y_mm"))
     }),
 
+    "geo_registry" -> ((s, dir) => {
+      // registry-grade CRS→CRS on the Spark surface: the coordinate-
+      // operation database (graft.proj.OpFactory over the generated EPSG
+      // sidecar) picks "ED50 / UTM zone 31N to ETRS89 / UTM zone 31N (1)"
+      // (EPSG:5166, a similarity transformation applied in projected
+      // space — the EPSG GN7.2 worked example) for this pair; the oracle
+      // recomputes the similarity closed-form from the same published
+      // parameters
+      custPoints(s, dir)
+        .withColumn("ex", lit(280000.0) + (col("point_id") % 300) * 100.0)
+        .withColumn("ny", lit(4450000.0) + (col("point_id") % 400) * 150.0)
+        .withColumn("r", ProjFunctions.crsToCrsRegistry(col("ex"), col("ny"),
+          "EPSG:23031", "EPSG:25831"))
+        .select(col("point_id"),
+          mm(col("r.x")).as("reg_x_mm"), mm(col("r.y")).as("reg_y_mm"))
+    }),
+
     "zone_area" -> ((s, dir) => {
       // geodesic polygon perimeter/area (Karney planimeter) on the polygon
       // set GeographicLib publishes results for — the oracle is those
@@ -979,6 +996,7 @@ object SparkEntry {
     "media_pixels" -> OracleSql.mediaPixels,
     "media_samples" -> OracleSql.mediaSamples,
     "geo_epsg" -> OracleSql.geoEpsg,
+    "geo_registry" -> OracleSql.geoRegistry,
 
     "geo_trans_bounds" ->
       """WITH pts AS (

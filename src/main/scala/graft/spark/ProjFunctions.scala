@@ -385,6 +385,15 @@ object ProjFunctions {
       .getOrElse(throw new IllegalArgumentException(
         s"crsToCrs2: unsupported pair $srcCrs -> $dstCrs")))
 
+  /** Registry-grade CRS→CRS: the best-accuracy instantiable coordinate
+    * operation from the EPSG/IGNF operation database
+    * (CrsToCrs.pipelineRegistry — grid shifts, similarity transforms,
+    * compound codes, CRS names), planned once at PLAN time. */
+  def crsToCrsRegistry(x: Column, y: Column, srcCrs: String, dstCrs: String): Column =
+    projTrans2(x, y, graft.proj.CrsToCrs.pipelineRegistry(srcCrs, dstCrs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"crsToCrsRegistry: unsupported pair $srcCrs -> $dstCrs")))
+
   /** Reproject a point into its own inferred UTM zone CRS (per-row zone
     * dispatch over 120 precompiled pipelines): struct(zone, south, x, y). */
   def utmNative(lon: Column, lat: Column, ellps: String = "WGS84"): Column =
