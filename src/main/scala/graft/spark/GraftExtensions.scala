@@ -85,6 +85,18 @@ object GraftExtensions {
       (c: Seq[Expression]) => ProjTransformExpr(c(0), c(1),
         Literal(0.0), Literal(0.0), strArg(c(2), "graft_proj_trans"),
         forward = true, degIO = true)),
+    ("graft_crs_registry",
+      info("graft_crs_registry",
+        "graft_crs_registry(x, y, 'src CRS', 'dst CRS') - registry-grade CRS->CRS via the EPSG/IGNF operation database: struct(x,y,z,t,err)"),
+      (c: Seq[Expression]) => {
+        val src = strArg(c(2), "graft_crs_registry")
+        val dst = strArg(c(3), "graft_crs_registry")
+        val pipe = graft.proj.CrsToCrs.pipelineRegistry(src, dst).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft_crs_registry: unsupported pair $src -> $dst"))
+        ProjTransformExpr(c(0), c(1), Literal(0.0), Literal(0.0), pipe,
+          forward = true, degIO = true)
+      }),
     ("graft_hex_bin",
       info("graft_hex_bin",
         "graft_hex_bin(x, y, size) - flat-top axial hex bin of plane coords: struct(q, r)"),

@@ -67,6 +67,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r == "mail <EMAIL> call <PHONE> ref <NUM>")
   }
 
+  test("graft_crs_registry in SQL runs the GN7.2 similarity") {
+    val r = spark.sql(
+      "SELECT graft_crs_registry(300000D, 4500000D, 'EPSG:23031', 'EPSG:25831') AS p")
+      .head().getStruct(0)
+    assert(math.abs(r.getDouble(0) - 299905.060) < 5e-4, s"x=${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 4499796.515) < 5e-4, s"y=${r.getDouble(1)}")
+  }
+
   test("graft_global_hex in SQL matches the column API composition") {
     val r = spark.sql(
       "SELECT graft_global_hex(139.69D, 35.69D, 100000D) AS h").head().getStruct(0)
