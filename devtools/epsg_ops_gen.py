@@ -153,12 +153,15 @@ def main():
 
     ells = {}
     for r in db.execute("select auth_name,code,semi_major_axis,inv_flattening,"
-                        "semi_minor_axis from ellipsoid"):
-        a = r['semi_major_axis']
+                        "semi_minor_axis,uom_auth_name ua,uom_code uc"
+                        " from ellipsoid"):
+        # the axes carry their own unit (Clarke 1858 is in Clarke's feet)
+        a = conv(r['semi_major_axis'], r['ua'], r['uc'], 'm')
         rf = r['inv_flattening']
         if rf is None:
-            b = r['semi_minor_axis']
-            rf = 0.0 if (b is None or b == a) else a / (a - b)
+            b = r['semi_minor_axis']  # rf is unit-invariant
+            rf = 0.0 if (b is None or b == r['semi_major_axis']) \
+                else r['semi_major_axis'] / (r['semi_major_axis'] - b)
         ells[(r['auth_name'], str(r['code']))] = (a, rf)
 
     pms = {}
