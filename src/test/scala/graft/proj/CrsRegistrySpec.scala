@@ -55,6 +55,43 @@ class CrsRegistrySpec extends AnyFunSuite {
     assert(math.abs(lon - 2.25) < 1e-12 && math.abs(lat - 48.85) < 1e-12)
   }
 
+  test("compound vertical leg applies the geoid grid when it resolves") {
+    // map the op's grid names onto the locally-shipped downsampled EGM96
+    // grid, then check the registry pipeline against a direct vgridshift
+    // with the same grid: the vertical leg must be h = H + N (orthometric
+    // up to ellipsoidal), applied at the same position
+    import graft.proj.ops.GridShiftOps
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/data/tests/egm96_15_downsampled.gtx"))
+    val src = new GridShiftOps.GridSource {
+      def fetch(name: String): Option[Array[Byte]] =
+        if (name == "egm96_15.gtx" || name == "us_nga_egm96_15.tif")
+          Some(bytes) else None
+    }
+    GridShiftOps.withGridSource("crsRegistrySpec-egm96", src) {
+      val pipe = CrsToCrs.pipelineRegistry("EPSG:4326+5773", "EPSG:4979")
+        .getOrElse(fail("compound pair did not resolve"))
+      assert(pipe.contains("vgridshift"), pipe)
+      val p = Proj.create(pipe)
+      val c = new Coord
+      c.set(2.25, 48.85, 100.0, Double.PositiveInfinity)
+      Dispatch.fwd4d(p, c)
+      assert(!c.isError)
+      // direct: N at the same position from the same grid
+      val v = Proj.create("proj=vgridshift grids=egm96_15.gtx")
+      val c2 = new Coord
+      c2.set(math.toRadians(2.25), math.toRadians(48.85), 0.0,
+        Double.PositiveInfinity)
+      Dispatch.fwd4d(v, c2)
+      // vgridshift forward is ellipsoidal->orthometric (z - N), so the
+      // undulation is the negated forward shift at z=0
+      val n = -c2.z
+      assert(n > 5, s"geoid undulation implausible: $n") // Paris ~44.6 m
+      assert(math.abs(c.z - (100.0 + n)) < 1e-9, s"z=${c.z} expected ${100.0 + n}")
+      assert(math.abs(c.x - 2.25) < 1e-12 && math.abs(c.y - 48.85) < 1e-12)
+    }
+  }
+
   test("spark column function reaches the registry fallback") {
     // the init table has no compound codes; crsToCrs2 must still plan this
     val pipe = CrsToCrs.pipelineGis("EPSG:4326+5773", "EPSG:4979")
