@@ -374,6 +374,70 @@ object CliCs2cs {
       }
     }
 
+    // ---- mixed proj-string <-> non-EPSG registry code (IAU_2015:...,
+    // IGNF:...): the reference resolves both sides through
+    // createFromUserInput. A datum-less proj-string side joins the code
+    // side's datum when the ellipsoids are within a 0.59% relative size
+    // difference (the reference's same-body heuristic), giving a null
+    // datum hop; otherwise only a ballpark connects them.
+    if (isProj4Style && fromToks.nonEmpty && toToks.nonEmpty) {
+      import graft.proj.{EpsgDb, OpFactory}
+      def codeSide(toks: Vector[String]): Option[OpFactory.Resolved] = {
+        val c = toks.map(_.stripPrefix("+"))
+        if (c.size == 1 && !c.head.contains('=') && c.head.contains(':') &&
+            !c.head.regionMatches(true, 0, "EPSG:", 0, 5))
+          OpFactory.resolve(c.head)
+        else None
+      }
+      def strSide(toks: Vector[String],
+                  other: OpFactory.Resolved): Option[OpFactory.Resolved] = {
+        val clean = toks.map(_.stripPrefix("+"))
+        val hasDatumInfo = clean.exists(t => t.startsWith("towgs84=") ||
+          t.startsWith("nadgrids=") || t.startsWith("datum=") ||
+          t.startsWith("init=") || t.startsWith("geoidgrids="))
+        if (hasDatumInfo || !clean.exists(_.startsWith("proj="))) return None
+        val body = clean.filterNot(_ == "no_defs").mkString(" ")
+        val P = try graft.proj.Proj.create(new graft.proj.ParamList(
+          graft.proj.ParamList.parse(body).entries :+ ("break_cs2cs_recursion" -> "")))
+        catch { case _: graft.core.ProjError => return None }
+        val rf = if (P.f == 0.0) 0.0 else 1.0 / P.f
+        // same celestial body, close enough ellipsoid -> same datum (null
+        // hop); else an anonymous datum only a ballpark can bridge
+        val datum =
+          if (math.abs(P.a - other.geod.a) / other.geod.a <= 0.0059)
+            other.geod.datum
+          else "PROJ4:anon-datum"
+        val kind =
+          if (P.isGeocent) EpsgDb.Geocentric else EpsgDb.Geog2D
+        val geod = EpsgDb.GeodCrs("PROJ4:anon", kind, datum, P.a, rf,
+          math.toDegrees(P.fromGreenwich), None, "unnamed")
+        Some(OpFactory.Resolved(geod, kind,
+          projBody = if (P.isLatlong || P.isGeocent) None else Some(body),
+          projCode = None, vert = None, name = "unnamed", code = "PROJ4:anon"))
+      }
+      val mixed: Option[(OpFactory.Resolved, OpFactory.Resolved)] =
+        (codeSide(fromToks), codeSide(toToks)) match {
+          case (Some(f), None) => strSide(toToks, f).map(t => (f, t))
+          case (None, Some(t)) => strSide(fromToks, t).map(f => (f, t))
+          case _ => None
+        }
+      mixed match {
+        case Some((srcR, dstR)) =>
+          val inputText0 =
+            if (eargs.isEmpty) stdin
+            else CliIo.concatInputs(eargs.toSeq, stdin, files)
+          runDb(srcR, dstR, io, files, env, inputText0, DbFlags(
+            echoin = echoin, reversein = reversein, reverseout = reverseout,
+            promoteTo3D = promoteTo3D, noBallpark = noBallpark,
+            accuracy = if (accuracySet) accuracy.orElse(Some(0.0)) else None,
+            authority = authority, onlyBest = onlyBest,
+            sEpoch = sEpoch, tEpoch = tEpoch, area = area,
+            oform = oform, oterr = oterr, tag = tag, rtodms = rtodms))
+          return
+        case None => ()
+      }
+    }
+
     // a missing side resolves to the other side's geographic base
     // (cs2cs.cpp get_geog_crs_proj_string_from_proj_crs)
     def geogBase(of: Side, missing: String): Side = {

@@ -76,15 +76,14 @@ class CliCorpusSpec extends AnyFunSuite {
     CliCs2cs.run(args, stdin, "cs2cs", files, env)
 
   /** The few cs2cs_various expectations that cannot pass in this sandbox:
-    * a non-EPSG authority, grids the reference's CI has but we do not ship,
-    * and one final-digit printf divergence. Everything else — CRS names,
-    * compound `EPSG:a+b` codes, only-best/accuracy selection, similarity /
+    * grids the reference's CI has but we do not ship, and one final-digit
+    * printf divergence. Everything else — CRS names, compound `EPSG:a+b`
+    * codes, IAU/IGNF authorities, only-best/accuracy selection, similarity /
     * time-dependent / vertical operations — runs through the generated
     * coordinate-operation sidecar (graft.proj.EpsgDb / OpFactory). */
   private val variousSkips: Map[Int, String] = {
     def db(ids: Seq[Int], why: String) = ids.map(_ -> why)
-    (db(Seq(85), "IAU_2015 authority (iso19111 database)") ++
-      db(Seq(101, 102, 110), "needs the real us_nga_egm96_15.tif grid (not shipped locally)") ++
+    (db(Seq(101, 102, 110), "needs the real us_nga_egm96_15.tif grid (not shipped locally)") ++
       Seq(58 -> ("matches to 1e-7 m; the expected string differs in printf's " +
         "final digit (1 ulp in the 13th significant digit)"))).toMap
   }
