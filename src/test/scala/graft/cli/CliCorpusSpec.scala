@@ -75,16 +75,15 @@ class CliCorpusSpec extends AnyFunSuite {
                        env: Map[String, String]): CliResult =
     CliCs2cs.run(args, stdin, "cs2cs", files, env)
 
-  /** The few cs2cs_various expectations that cannot pass in this sandbox:
-    * grids the reference's CI has but we do not ship, and one final-digit
-    * printf divergence. Everything else — CRS names, compound `EPSG:a+b`
-    * codes, IAU/IGNF authorities, only-best/accuracy selection, similarity /
-    * time-dependent / vertical operations — runs through the generated
-    * coordinate-operation sidecar (graft.proj.EpsgDb / OpFactory). */
+  /** One cs2cs_various expectation cannot pass: a final-digit printf
+    * divergence. Everything else — CRS names, compound `EPSG:a+b` codes,
+    * IAU/IGNF authorities, only-best/accuracy selection, similarity /
+    * time-dependent / vertical / geoid operations — runs through the
+    * generated coordinate-operation sidecar (graft.proj.EpsgDb /
+    * OpFactory). */
   private val variousSkips: Map[Int, String] = {
     def db(ids: Seq[Int], why: String) = ids.map(_ -> why)
-    (db(Seq(101, 102, 110), "needs the real us_nga_egm96_15.tif grid (not shipped locally)") ++
-      Seq(58 -> ("matches to 1e-7 m; the expected string differs in printf's " +
+    (Seq(58 -> ("matches to 1e-7 m; the expected string differs in printf's " +
         "final digit (1 ulp in the 13th significant digit)"))).toMap
   }
 
