@@ -879,23 +879,36 @@ object OpFactory {
     * createOperationsWithDatumPivot), including ensemble-aware joins. */
   private def pivotHops(a: String, b: String,
                         opts: Options): Vector[(Seq[Hop], String)] = {
-    val fromA = scala.collection.mutable.Map.empty[String, Vector[Hop]]
-    val toB = scala.collection.mutable.Map.empty[String, Vector[Hop]]
+    // a pivot leg is a single op, or a concatenated op expanded into its
+    // steps (the gridless NTF(Paris)->WGS 84 composite is the fallback the
+    // reference reaches for out-of-extent points)
+    final case class Leg(hops: Seq[Hop], name: String, bbox: Option[Bbox])
+    val fromA = scala.collection.mutable.Map.empty[String, Vector[Leg]]
+    val toB = scala.collection.mutable.Map.empty[String, Vector[Leg]]
     for (op <- db.ops
          if !op.deprecated && !db.superseded.contains(op.code) &&
-           allowedAuth(op, opts) && op.kind != 'S' && op.kind != 'C') {
+           allowedAuth(op, opts) && op.kind != 'S') {
+      def legOf(inv: Boolean): Option[Leg] =
+        (if (op.kind == 'C') expandConcat(op, inv)
+         else Some(Seq(Hop(op, inv))))
+          .map(hs => Leg(hs, if (inv) "Inverse of " + op.name else op.name,
+            op.bbox))
       val s = db.endKey(op.srcCrs); val d = db.endKey(op.dstCrs)
-      if (s == a && d != b) fromA(d) = fromA.getOrElse(d, Vector.empty) :+ Hop(op, inv = false)
-      if (d == a && s != b) fromA(s) = fromA.getOrElse(s, Vector.empty) :+ Hop(op, inv = true)
-      if (s == b && d != a) toB(d) = toB.getOrElse(d, Vector.empty) :+ Hop(op, inv = true)
-      if (d == b && s != a) toB(s) = toB.getOrElse(s, Vector.empty) :+ Hop(op, inv = false)
+      if (s == a && d != b) legOf(false).foreach(l =>
+        fromA(d) = fromA.getOrElse(d, Vector.empty) :+ l)
+      if (d == a && s != b) legOf(true).foreach(l =>
+        fromA(s) = fromA.getOrElse(s, Vector.empty) :+ l)
+      if (s == b && d != a) legOf(true).foreach(l =>
+        toB(d) = toB.getOrElse(d, Vector.empty) :+ l)
+      if (d == b && s != a) legOf(false).foreach(l =>
+        toB(s) = toB.getOrElse(s, Vector.empty) :+ l)
     }
     // the two legs' extents must intersect (reference
     // createFromCRSCodesWithIntermediates: "the extents of the two
     // intermediate operations must intersect each other") — this is what
     // keeps NAD27->ETRS89 from being bridged through WGS 84 by gluing a
     // North-America op to a Europe op
-    def legsIntersect(h1: Hop, h2: Hop): Boolean = (h1.op.bbox, h2.op.bbox) match {
+    def legsIntersect(l1: Leg, l2: Leg): Boolean = (l1.bbox, l2.bbox) match {
       case (Some(p), Some(q)) =>
         def boxes(b: Bbox) = boxesOf(Some(b))
         boxes(p).exists(x => boxes(q).exists(y =>
@@ -905,13 +918,13 @@ object OpFactory {
     }
     val out = Vector.newBuilder[(Seq[Hop], String)]
     for (p <- fromA.keySet.intersect(toB.keySet).toVector.sorted;
-         h1 <- fromA(p); h2 <- toB(p) if legsIntersect(h1, h2))
-      out += ((Seq(h1, h2), h1.name + " + " + h2.name))
+         l1 <- fromA(p); l2 <- toB(p) if legsIntersect(l1, l2))
+      out += ((l1.hops ++ l2.hops, l1.name + " + " + l2.name))
     if (out.result().isEmpty) {
-      for ((p1, hs1) <- fromA; (p2, hs2) <- toB
-           if p1 != p2 && db.sameDatum(p1, p2); h1 <- hs1; h2 <- hs2
-           if legsIntersect(h1, h2))
-        out += ((Seq(h1, h2), h1.name + " + " + h2.name))
+      for ((p1, ls1) <- fromA; (p2, ls2) <- toB
+           if p1 != p2 && db.sameDatum(p1, p2); l1 <- ls1; l2 <- ls2
+           if legsIntersect(l1, l2))
+        out += ((l1.hops ++ l2.hops, l1.name + " + " + l2.name))
     }
     out.result()
   }

@@ -113,8 +113,9 @@ class CliCorpusSpec extends AnyFunSuite {
     def at(ids: Seq[Int], why: String) = ids.map(_ -> why)
     (at(Seq(2, 5, 6), "1 mm final digit: local ntf_r93.gsb vs CDN fr_ign_ntf_r93.tif") ++
       at(Seq(25, 29, 32), "1 mm final digit through the null datum round-trip") ++
-      at(Seq(8, 16), "point outside France: the reference synthesizes a WGS84 " +
-        "helmert pivot candidate alongside the direct grid operations")).toMap
+      at(Seq(8, 16), "point outside the locally-shipped NTv2 grid: the corpus " +
+        "runs with PROJ_NETWORK=ON and these values come from the wider CDN " +
+        "gr3df97a geocentric-interpolation grid")).toMap
   }
 
   test("test_cs2cs_ignf: IGNF registry pairs (legacy +init=IGNF:)") {
