@@ -146,19 +146,15 @@ object GenericGrids {
     cur
   }
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, List[GenGrid]]()
 
   /** resolve + cache one grid name, via the pluggable grid source (local
     * search roots by default; cloud fetchers swap in without touching the
     * kernels). */
   def load(filename: String): Option[List[GenGrid]] = {
-    val key = graft.proj.ops.GridShiftOps.cacheScope + filename
-    val cached = cache.get(key)
-    if (cached != null) return Some(cached)
-    graft.proj.ops.GridShiftOps.activeSource.fetch(filename).map { bytes =>
-      val grids = open(bytes, filename)
-      cache.putIfAbsent(key, grids)
-      cache.get(key)
-    }
+    val key = "gen|" + graft.proj.ops.GridShiftOps.cacheScope + filename
+    GridCache.get[List[GenGrid]](key).orElse(
+      graft.proj.ops.GridShiftOps.activeSource.fetch(filename).map { bytes =>
+        GridCache.put(key, open(bytes, filename), bytes.length.toLong)
+      })
   }
 }

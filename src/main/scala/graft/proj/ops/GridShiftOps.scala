@@ -666,12 +666,10 @@ object GridShiftOps {
 
   // ---------------- grid cache + name list parsing ----------------
 
-  private val vCache = new java.util.concurrent.ConcurrentHashMap[String, List[VGrid]]()
-  private val hCache = new java.util.concurrent.ConcurrentHashMap[String, List[HGrid]]()
-
   /** parse "a.gtx,@maybe.gtx" -> loaded grids; throws on non-optional miss.
-    * `null` names denote the identity null grid. */
-  private def loadList[G](names: String, cache: java.util.concurrent.ConcurrentHashMap[String, G],
+    * `null` names denote the identity null grid. `kind` namespaces the
+    * shared byte-bounded cache (graft.proj.grids.GridCache). */
+  private def loadList[G](names: String, kind: String,
                           mk: Array[Byte] => G,
                           nullValue: Option[G] = None): List[Option[G]] = {
     names.split(",").toList.map { raw0 =>
@@ -682,29 +680,28 @@ object GridShiftOps {
       val name = if (canFail) raw.substring(1) else raw
       if (name == "null") nullValue // null grid: whole-world zero shift
       else {
-        val key = cacheScope + name
-        val cached = cache.get(key)
-        if (cached != null) Some(cached)
-        else resolve(name) match {
-          case Some(bytes) =>
-            val gOpt =
-              try Some(mk(bytes))
-              catch {
-                case e: GeoTiff.TiffError =>
-                  if (canFail) None
-                  else throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID,
-                    s"gridshift: invalid grid $name: ${e.getMessage}")
-                case e: ProjError =>
-                  if (canFail) None else throw e
-              }
-            gOpt match {
-              case Some(g) => cache.putIfAbsent(key, g); Some(cache.get(key))
-              case None => None
-            }
-          case None =>
-            if (canFail) None
-            else throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID,
-              s"gridshift: cannot open $name")
+        val key = kind + "|" + cacheScope + name
+        graft.proj.grids.GridCache.get[G](key) match {
+          case some @ Some(_) => some
+          case None => resolve(name) match {
+            case Some(bytes) =>
+              val gOpt =
+                try Some(mk(bytes))
+                catch {
+                  case e: GeoTiff.TiffError =>
+                    if (canFail) None
+                    else throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID,
+                      s"gridshift: invalid grid $name: ${e.getMessage}")
+                  case e: ProjError =>
+                    if (canFail) None else throw e
+                }
+              gOpt.map(g =>
+                graft.proj.grids.GridCache.put(key, g, bytes.length.toLong))
+            case None =>
+              if (canFail) None
+              else throw ProjError(ProjErr.INVALID_OP_FILE_NOT_FOUND_OR_INVALID,
+                s"gridshift: cannot open $name")
+          }
         }
       }
     }
@@ -723,11 +720,11 @@ object GridShiftOps {
     if (isTiff(bytes)) vTiffGrids(bytes) else List(new GtxGrid(bytes))
 
   def loadHGrids(names: String): (List[HGrid], Boolean) = {
-    val entries = loadList(names, hCache, hLoad _)
+    val entries = loadList(names, "h", hLoad _)
     (entries.flatten.flatten, entries.exists(_.isEmpty))
   }
   def loadVGrids(names: String): (List[VGrid], Boolean) = {
-    val entries = loadList(names, vCache, vLoad _)
+    val entries = loadList(names, "v", vLoad _)
     (entries.flatten.flatten, entries.exists(_.isEmpty))
   }
 
@@ -785,7 +782,7 @@ object GridShiftOps {
       throw ProjError(ProjErr.INVALID_OP_MISSING_ARG, "vgridshift: +grids parameter missing")
     // historical: the forward direction subtracts the grid offset
     val multiplier = if (P.params.has("multiplier")) P.params.d("multiplier") else -1.0
-    val entries = loadList(P.params.s("grids").get, vCache, vLoad _)
+    val entries = loadList(P.params.s("grids").get, "v", vLoad _)
     val grids = entries.flatten.flatten
     val hasNull = entries.exists(_.isEmpty)
     val tFinal = parseTFinal(P)
@@ -836,7 +833,7 @@ object GridShiftOps {
   def hgridshift(P: PJ): Unit = {
     if (!P.params.has("grids"))
       throw ProjError(ProjErr.INVALID_OP_MISSING_ARG, "hgridshift: +grids parameter missing")
-    val entries = loadList(P.params.s("grids").get, hCache, hLoad _,
+    val entries = loadList(P.params.s("grids").get, "h", hLoad _,
       nullValue = Some(List(NullHGrid: HGrid)))
     val roots = entries.flatten.flatten
     val tFinal = parseTFinal(P)
