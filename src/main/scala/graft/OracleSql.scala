@@ -577,6 +577,95 @@ object OracleSql {
     FROM p, c
     ORDER BY point_id"""
 
+  /** geo_dispatch: per-row operation selection over the ED50 -> WGS 84
+    * candidate field. The candidate table (extents, accuracies, areas,
+    * published 3/7-parameter values) is emitted from the SAME dispatch plan
+    * the Spark expression compiles — shared data, like the grid-node dumps —
+    * while the selection rule (best accuracy among extent matches, smaller
+    * area breaking ties, first-candidate fallback) and the small-angle
+    * Helmert + cart/Bowring round-trip are re-implemented in SQL. */
+  def geoDispatch: String = {
+    val d = new graft.spark.RegistryDispatch("EPSG:4230", "EPSG:4326")
+    val helm = """proj=helmert (.*?)(?: step|$)""".r
+    val rows = d.specs.zipWithIndex.map { case (sp, i) =>
+      require(sp.boxes.length == 4, s"multi-box candidate $i needs oracle support")
+      val noop = sp.pipe == "proj=noop"
+      val p = scala.collection.mutable.Map.empty[String, Double]
+      var pv = 0
+      if (!noop) helm.findFirstMatchIn(sp.pipe).foreach { m =>
+        m.group(1).trim.split(" ").foreach { kv =>
+          val eq = kv.indexOf('=')
+          if (eq > 0) {
+            val k = kv.substring(0, eq); val v = kv.substring(eq + 1)
+            if (k == "convention") pv = if (v == "position_vector") 1 else 0
+            else p(k) = v.toDouble
+          }
+        }
+      }
+      val acc = if (sp.acc == Double.MaxValue) 1e18 else sp.acc
+      def g(k: String) = p.getOrElse(k, 0.0)
+      s"(${i}, ${sp.boxes(0)}, ${sp.boxes(1)}, ${sp.boxes(2)}, ${sp.boxes(3)}, " +
+        s"$acc, ${sp.area}, ${if (noop) 1 else 0}, ${g("x")}, ${g("y")}, ${g("z")}, " +
+        s"${g("rx")}, ${g("ry")}, ${g("rz")}, ${g("s")}, $pv)"
+    }.mkString(",\n      ")
+    s"""WITH $ptsCte,
+    f AS (
+      SELECT point_id,
+        (point_id % 400)*0.1 - 9.0 AS lon,
+        36.0 + (point_id % 300)*0.1 AS lat
+      FROM pts),
+    cand(ord, w, s, e, n, acc, area, noop, tx, ty, tz, rxas, ryas, rzas, dsppm, pv) AS (VALUES
+      $rows),
+    sel AS (
+      SELECT f.point_id, f.lon, f.lat,
+        COALESCE((SELECT c.ord FROM cand c
+          WHERE f.lon >= c.w AND f.lat >= c.s AND f.lon <= c.e AND f.lat <= c.n
+          ORDER BY c.acc, c.area, c.ord LIMIT 1), 0) AS ord
+      FROM f),
+    j AS (
+      SELECT sel.point_id, sel.lon, sel.lat, sel.ord, c.noop,
+        c.tx, c.ty, c.tz,
+        (c.rxas/3600)*pi()/180 AS rx, (c.ryas/3600)*pi()/180 AS ry,
+        (c.rzas/3600)*pi()/180 AS rz,
+        1 + c.dsppm*1e-6 AS sc, c.pv
+      FROM sel JOIN cand c ON c.ord = sel.ord),
+    g AS ( -- cart forward on International 1924
+      SELECT point_id, lon, lat, ord, noop, tx, ty, tz, rx, ry, rz, sc, pv,
+        lon*pi()/180 AS lam, lat*pi()/180 AS phi,
+        1.0/297.0 AS ffi, 2*ffi - ffi*ffi AS esi, 6378388.0 AS ai,
+        ai/sqrt(1 - esi*sin(phi)*sin(phi)) AS nr,
+        nr*cos(phi)*cos(lam) AS X0,
+        nr*cos(phi)*sin(lam) AS Y0,
+        (nr*(1-esi))*sin(phi) AS Z0
+      FROM j),
+    h AS ( -- small-angle helmert, coordinate_frame rows; pv transposes
+      SELECT point_id, lon, lat, ord, noop,
+        CASE WHEN pv = 1
+          THEN sc*(X0 - rz*Y0 + ry*Z0) + tx
+          ELSE sc*(X0 + rz*Y0 - ry*Z0) + tx END AS X,
+        CASE WHEN pv = 1
+          THEN sc*(rz*X0 + Y0 - rx*Z0) + ty
+          ELSE sc*(-rz*X0 + Y0 + rx*Z0) + ty END AS Y,
+        CASE WHEN pv = 1
+          THEN sc*(-ry*X0 + rx*Y0 + Z0) + tz
+          ELSE sc*(ry*X0 - rx*Y0 + Z0) + tz END AS Z
+      FROM g),
+    b AS ( -- Bowring inverse on WGS 84
+      SELECT point_id, lon, lat, ord, noop,
+        1.0/298.257223563 AS ffw, 2*ffw - ffw*ffw AS esw, 6378137.0 AS aw,
+        esw/(1-esw) AS e2s, X/aw AS xa, Y/aw AS ya, Z/aw AS za,
+        sqrt(xa*xa+ya*ya) AS pp, 1-ffw AS ba, pp*ba AS pb,
+        sqrt(za*za+pb*pb) AS nrm, pb/nrm AS cth, za/nrm AS sth,
+        atan((za + e2s*ba*sth*sth*sth)/(pp - esw*cth*cth*cth)) AS phi2,
+        atan2(ya, xa) AS lam2
+      FROM h)
+    SELECT point_id, ord AS op,
+      CAST(round(CASE WHEN noop = 1 THEN lon ELSE lam2*180/pi() END * 1e8) AS BIGINT) AS x_e8,
+      CAST(round(CASE WHEN noop = 1 THEN lat ELSE phi2*180/pi() END * 1e8) AS BIGINT) AS y_e8
+    FROM b
+    ORDER BY point_id"""
+  }
+
   def geoEpsg: String =
     s"""WITH $ptsCte,
     c AS (SELECT 6378137.0 AS aa, 1.0/298.257223563 AS ff, 2*ff - ff*ff AS es),

@@ -569,6 +569,24 @@ object SparkEntry {
           mm(col("bng.x")).as("bng_x_mm"), mm(col("bng.y")).as("bng_y_mm"))
     }),
 
+    "geo_dispatch" -> ((s, dir) => {
+      // per-row coordinate-operation dispatch: every point picks the best
+      // EPSG operation for ITS location (ED50 -> WGS 84 has 33 regional
+      // helmerts with overlapping extents plus the ballpark) — the
+      // reference's per-point proj_trans selection as one codegen'd
+      // expression. The oracle re-implements extent/accuracy/area selection
+      // and the small-angle 7-parameter transform in SQL over the same
+      // published candidate table.
+      custPoints(s, dir)
+        .withColumn("lon_e", (col("point_id") % 400) * 0.1 - 9.0)
+        .withColumn("lat_e", lit(36.0) + (col("point_id") % 300) * 0.1)
+        .withColumn("r", ProjFunctions.crsToCrsDispatch(col("lon_e"), col("lat_e"),
+          "EPSG:4230", "EPSG:4326"))
+        .select(col("point_id"), col("r.op").as("op"),
+          round(col("r.x") * 1e8).cast("long").as("x_e8"),
+          round(col("r.y") * 1e8).cast("long").as("y_e8"))
+    }),
+
     "geo_registry" -> ((s, dir) => {
       // registry-grade CRS→CRS on the Spark surface: the coordinate-
       // operation database (graft.proj.OpFactory over the generated EPSG
@@ -997,6 +1015,7 @@ object SparkEntry {
     "media_samples" -> OracleSql.mediaSamples,
     "geo_epsg" -> OracleSql.geoEpsg,
     "geo_registry" -> OracleSql.geoRegistry,
+    "geo_dispatch" -> OracleSql.geoDispatch,
 
     "geo_trans_bounds" ->
       """WITH pts AS (

@@ -178,6 +178,132 @@ case class TransBoundsExpr(lonMin: Expression, latMin: Expression,
   * way to the transform (reference zone logic src/projections/tmerc.cpp:
   * 630-672). Pipelines are plan-time constants; PJs build lazily once per
   * executor JVM via the ProjPipeline cache. */
+/** Per-row coordinate-operation dispatch — the reference's per-point
+  * alternative-operation selection (src/trans.cpp pj_get_suggested_operation)
+  * compiled into a column expression. Candidates are planned ONCE on the
+  * driver from the EPSG/IGNF operation database (sorted, instantiable,
+  * grids resolvable); each row picks the best-accuracy candidate whose area
+  * of use contains the point (smaller area breaking ties), falling back to
+  * the first candidate when no extent matches (the gridless-fallback rule).
+  * Only plain data ships to executors; pipelines compile lazily per JVM. */
+final class RegistryDispatch(val srcSpec: String, val dstSpec: String)
+    extends Serializable {
+  import RegistryDispatch.CandSpec
+
+  val (specs: Array[CandSpec], srcAngular: Boolean, dstAngular: Boolean) = {
+    import graft.proj.OpFactory
+    val s = OpFactory.resolve(srcSpec).getOrElse(
+      throw new IllegalArgumentException(s"cannot resolve $srcSpec"))
+    val d = OpFactory.resolve(dstSpec).getOrElse(
+      throw new IllegalArgumentException(s"cannot resolve $dstSpec"))
+    val cands = OpFactory.createList(s, d, OpFactory.Options())
+      .filter(c => c.gridsAvailable && c.pj.isRight)
+    require(cands.nonEmpty, s"no instantiable operation $srcSpec -> $dstSpec")
+    val specs = cands.map { c =>
+      CandSpec(c.pipeline,
+        c.boxes.toArray.flatMap(b => Array(b.west, b.south, b.east, b.north)),
+        if (c.accuracy >= 0) c.accuracy else Double.MaxValue,
+        c.pseudoArea)
+    }.toArray
+    (specs, s.isLongLat, d.isLongLat)
+  }
+
+  @transient lazy val pipes: Array[ProjPipeline] =
+    specs.map(sp => new ProjPipeline(sp.pipe))
+
+  /** index of the candidate serving (lonDeg, latDeg) */
+  def select(lonDeg: Double, latDeg: Double): Int = {
+    var best = -1
+    var bestAcc = Double.MaxValue
+    var bestArea = Double.MaxValue
+    var i = 0
+    while (i < specs.length) {
+      val sp = specs(i)
+      var matches = false
+      var j = 0
+      while (j < sp.boxes.length && !matches) {
+        matches = lonDeg >= sp.boxes(j) && latDeg >= sp.boxes(j + 1) &&
+          lonDeg <= sp.boxes(j + 2) && latDeg <= sp.boxes(j + 3)
+        j += 4
+      }
+      if (matches && (best < 0 || sp.acc < bestAcc ||
+          (sp.acc == bestAcc && sp.area < bestArea))) {
+        best = i; bestAcc = sp.acc; bestArea = sp.area
+      }
+      i += 1
+    }
+    if (best < 0) 0 else best
+  }
+}
+
+object RegistryDispatch {
+  final case class CandSpec(pipe: String, boxes: Array[Double],
+                            acc: Double, area: Double) extends Serializable
+}
+
+object RegistryDispatchKernels {
+  import org.apache.spark.sql.types._
+  private val outType: StructType = StructType(Seq(
+    StructField("op", IntegerType, nullable = false),
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false),
+    StructField("z", DoubleType, nullable = false)))
+
+  def resultType: StructType = outType
+
+  def eval(d: RegistryDispatch, xIn: Double, yIn: Double): InternalRow = {
+    val idx = d.select(xIn, yIn)
+    val c = new Coord
+    val k = if (d.srcAngular) math.Pi / 180 else 1.0
+    c.set(xIn * k, yIn * k, 0.0, Double.PositiveInfinity)
+    d.pipes(idx).trans(c, forward = true)
+    val k2 = if (d.dstAngular) 180 / math.Pi else 1.0
+    new GenericInternalRow(Array[Any](idx, c.x * k2, c.y * k2, c.z))
+  }
+}
+
+/** Catalyst expression: per-row registry dispatch (x, y in the source CRS's
+  * GIS units) -> struct(op, x, y, z). */
+case class CrsDispatchExpr(xExpr: Expression, yExpr: Expression,
+                           srcSpec: String, dstSpec: String) extends Expression
+    with org.apache.spark.sql.graftbridge.PublicInputTypes {
+  @transient private lazy val dispatch = new RegistryDispatch(srcSpec, dstSpec)
+
+  override def children: Seq[Expression] = Seq(xExpr, yExpr)
+  override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = RegistryDispatchKernels.resultType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: InternalRow): Any = {
+    val x = xExpr.eval(input); val y = yExpr.eval(input)
+    if (x == null || y == null) null
+    else RegistryDispatchKernels.eval(dispatch,
+      x.asInstanceOf[Double], y.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // force driver-side planning so executors deserialize plain data
+    val dRef = ctx.addReferenceObj("crsDispatch", dispatch,
+      classOf[RegistryDispatch].getName)
+    val xC = xExpr.genCode(ctx); val yC = yExpr.genCode(ctx)
+    val kern = RegistryDispatchKernels.getClass.getName + ".MODULE$"
+    val code =
+      code"""
+        ${xC.code}
+        ${yC.code}
+        boolean ${ev.isNull} = ${xC.isNull} || ${yC.isNull};
+        InternalRow ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $kern.eval($dRef, ${xC.value}, ${yC.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(xExpr = newChildren(0), yExpr = newChildren(1))
+}
+
 final class UtmDispatch(val ellps: String) extends Serializable {
   @transient private lazy val pipes: Array[ProjPipeline] = {
     val arr = new Array[ProjPipeline](120)
@@ -384,6 +510,13 @@ object ProjFunctions {
       .orElse(graft.proj.CrsToCrs.pipelineRegistry(srcCrs, dstCrs))
       .getOrElse(throw new IllegalArgumentException(
         s"crsToCrs2: unsupported pair $srcCrs -> $dstCrs")))
+
+  /** Per-row registry dispatch: every row picks the best coordinate
+    * operation for ITS location from the EPSG/IGNF operation database —
+    * the reference's per-point proj_trans selection as a codegen'd
+    * expression. struct(op, x, y, z). */
+  def crsToCrsDispatch(x: Column, y: Column, srcCrs: String, dstCrs: String): Column =
+    col(CrsDispatchExpr(expr(x), expr(y), srcCrs, dstCrs))
 
   /** Registry-grade CRS→CRS: the best-accuracy instantiable coordinate
     * operation from the EPSG/IGNF operation database
