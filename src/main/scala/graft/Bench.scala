@@ -103,7 +103,8 @@ object Bench {
         "geo_pip", "geo_knn_geodesic", "geo_tile_agg", "geo_datum_shift",
         "geo_utm_native", "geo_hexbin", "geo_hot_salted", "docs_spans",
         "dedup_exact", "dedup_minhash", "text_metrics", "text_chunks",
-        "q_sessions", "pii_scrub", "ann_lsh", "ann_index", "media_features")
+        "q_sessions", "pii_scrub", "ann_lsh", "ann_index", "media_features",
+        "geo_dispatch")
     def force(df: org.apache.spark.sql.DataFrame): Long = {
       // hash-of-all-columns aggregate so column pruning can't skip work
       df.select(count(lit(1)), sum(pmod(xxhash64(struct(df.columns.map(col): _*)), lit(1000000007L))))
