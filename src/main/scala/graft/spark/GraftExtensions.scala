@@ -97,6 +97,11 @@ object GraftExtensions {
         ProjTransformExpr(c(0), c(1), Literal(0.0), Literal(0.0), pipe,
           forward = true, degIO = true)
       }),
+    ("graft_crs_dispatch",
+      info("graft_crs_dispatch",
+        "graft_crs_dispatch(x, y, 'src CRS', 'dst CRS') - per-row best-operation dispatch from the registry: struct(op, x, y, z)"),
+      (c: Seq[Expression]) => CrsDispatchExpr(c(0), c(1),
+        strArg(c(2), "graft_crs_dispatch"), strArg(c(3), "graft_crs_dispatch"))),
     ("graft_hex_bin",
       info("graft_hex_bin",
         "graft_hex_bin(x, y, size) - flat-top axial hex bin of plane coords: struct(q, r)"),

@@ -75,6 +75,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 4499796.515) < 5e-4, s"y=${r.getDouble(1)}")
   }
 
+  test("graft_crs_dispatch picks a regional operation per row") {
+    val rows = spark.sql(
+      "SELECT graft_crs_dispatch(lon, lat, 'EPSG:4230', 'EPSG:4326') AS p " +
+        "FROM VALUES (12.5D, 42.0D), (25.0D, 66.0D) AS t(lon, lat)")
+      .collect()
+    val ops = rows.map(_.getStruct(0).getInt(0))
+    assert(ops(0) != ops(1), s"Italy and Finland picked the same op: ${ops.toSeq}")
+    // the shift is a real datum change, ~100 m westward in longitude
+    val dLon = rows(0).getStruct(0).getDouble(1) - 12.5
+    assert(dLon < -5e-4 && dLon > -3e-3, s"dLon=$dLon")
+  }
+
   test("graft_global_hex in SQL matches the column API composition") {
     val r = spark.sql(
       "SELECT graft_global_hex(139.69D, 35.69D, 100000D) AS h").head().getStruct(0)
