@@ -579,21 +579,30 @@ object OracleSql {
 
   /** geo_dispatch: per-row operation selection over the ED50 -> WGS 84
     * candidate field. The candidate table (extents, accuracies, areas,
-    * published 3/7-parameter values) is emitted from the SAME dispatch plan
-    * the Spark expression compiles — shared data, like the grid-node dumps —
-    * while the selection rule (best accuracy among extent matches, smaller
-    * area breaking ties, first-candidate fallback) and the small-angle
-    * Helmert + cart/Bowring round-trip are re-implemented in SQL. */
+    * offshore/unknown-area/priority/instantiable flags, published
+    * 3/7-parameter values) is emitted from the SAME dispatch plan the Spark
+    * expression compiles — shared data, like the grid-node dumps — while
+    * the selection rule is re-implemented in SQL as the reference's exact
+    * pj_get_suggested_operation fold (trans.cpp:47-150): the first extent
+    * match is taken unconditionally; a later candidate displaces it only
+    * when onshore AND (strictly better known accuracy OR same-accuracy
+    * smaller-area, never unknown-area over known-area, never over a
+    * priority null-transform); no match falls back to the first gridless
+    * instantiable candidate. (The runtime's retry-on-transform-failure leg
+    * is unreachable here: helmert/noop candidates cannot fail.) The chosen
+    * small-angle Helmert + cart/Bowring round-trip is re-implemented in
+    * SQL. */
   def geoDispatch: String = {
     val d = new graft.spark.RegistryDispatch("EPSG:4230", "EPSG:4326")
     val helm = """proj=helmert (.*?)(?: step|$)""".r
-    val rows = d.specs.zipWithIndex.map { case (sp, i) =>
-      require(sp.boxes.length == 4, s"multi-box candidate $i needs oracle support")
-      val noop = sp.pipe == "proj=noop"
+    def b2i(b: Boolean) = if (b) 1 else 0
+    val rows = d.pipeStrs.zip(d.metas).zipWithIndex.map { case ((pipe, m), i) =>
+      require(m.boxes.length == 4, s"multi-box candidate $i needs oracle support")
+      val noop = pipe == "proj=noop"
       val p = scala.collection.mutable.Map.empty[String, Double]
       var pv = 0
-      if (!noop) helm.findFirstMatchIn(sp.pipe).foreach { m =>
-        m.group(1).trim.split(" ").foreach { kv =>
+      if (!noop) helm.findFirstMatchIn(pipe).foreach { mm =>
+        mm.group(1).trim.split(" ").foreach { kv =>
           val eq = kv.indexOf('=')
           if (eq > 0) {
             val k = kv.substring(0, eq); val v = kv.substring(eq + 1)
@@ -602,26 +611,60 @@ object OracleSql {
           }
         }
       }
-      val acc = if (sp.acc == Double.MaxValue) 1e18 else sp.acc
       def g(k: String) = p.getOrElse(k, 0.0)
-      s"(${i}, ${sp.boxes(0)}, ${sp.boxes(1)}, ${sp.boxes(2)}, ${sp.boxes(3)}, " +
-        s"$acc, ${sp.area}, ${if (noop) 1 else 0}, ${g("x")}, ${g("y")}, ${g("z")}, " +
+      s"(${i}, ${m.boxes(0)}, ${m.boxes(1)}, ${m.boxes(2)}, ${m.boxes(3)}, " +
+        s"${m.accuracy}, ${m.pseudoArea}, ${b2i(m.offshore)}, " +
+        s"${b2i(m.unknownArea)}, ${b2i(m.priority)}, ${b2i(m.instantiable)}, " +
+        s"${b2i(!m.hasGrids)}, " +
+        s"${if (noop) 1 else 0}, ${g("x")}, ${g("y")}, ${g("z")}, " +
         s"${g("rx")}, ${g("ry")}, ${g("rz")}, ${g("s")}, $pv)"
     }.mkString(",\n      ")
-    s"""WITH $ptsCte,
+    // input lons are already in [-180, 180]: normLon is the identity here
+    s"""WITH RECURSIVE $ptsCte,
     f AS (
       SELECT point_id,
         (point_id % 400)*0.1 - 9.0 AS lon,
         36.0 + (point_id % 300)*0.1 AS lat
       FROM pts),
-    cand(ord, w, s, e, n, acc, area, noop, tx, ty, tz, rxas, ryas, rzas, dsppm, pv) AS (VALUES
+    cand(ord, w, s, e, n, acc, area, offsh, unk, pri, inst, nogrids,
+         noop, tx, ty, tz, rxas, ryas, rzas, dsppm, pv) AS (VALUES
       $rows),
+    m AS ( -- instantiable extent matches, in candidate order
+      SELECT f.point_id, c.ord, c.acc, c.area, c.offsh, c.unk, c.pri,
+        ROW_NUMBER() OVER (PARTITION BY f.point_id ORDER BY c.ord) AS seq
+      FROM f JOIN cand c
+        ON c.inst = 1 AND f.lon >= c.w AND f.lat >= c.s
+          AND f.lon <= c.e AND f.lat <= c.n),
+    rec AS ( -- the suggested-operation fold, one candidate per step
+      SELECT point_id, seq, ord AS bord, acc AS bacc, area AS barea,
+             unk AS bunk, pri AS bpri
+      FROM m WHERE seq = 1
+      UNION ALL
+      SELECT point_id, seq,
+        CASE WHEN repl THEN ord  ELSE bord  END,
+        CASE WHEN repl THEN acc  ELSE bacc  END,
+        CASE WHEN repl THEN area ELSE barea END,
+        CASE WHEN repl THEN unk  ELSE bunk  END,
+        CASE WHEN repl THEN pri  ELSE bpri  END
+      FROM (
+        SELECT m.point_id, m.seq, m.ord, m.acc, m.area, m.unk, m.pri,
+          r.bord, r.bacc, r.barea, r.bunk, r.bpri,
+          (m.offsh = 0 AND ((m.acc >= 0 AND m.acc < r.bacc)
+            OR (m.acc = r.bacc AND m.area < r.barea
+                AND NOT (m.unk = 1 AND r.bunk = 0)
+                AND r.bpri = 0))) AS repl
+        FROM rec r JOIN m ON m.point_id = r.point_id AND m.seq = r.seq + 1)),
+    pick AS (
+      SELECT point_id, bord FROM (
+        SELECT point_id, bord,
+          ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY seq DESC) AS rn
+        FROM rec) WHERE rn = 1),
+    fb AS ( -- gridless fallback when no extent matches
+      SELECT min(ord) AS ford FROM cand WHERE nogrids = 1 AND inst = 1),
     sel AS (
       SELECT f.point_id, f.lon, f.lat,
-        COALESCE((SELECT c.ord FROM cand c
-          WHERE f.lon >= c.w AND f.lat >= c.s AND f.lon <= c.e AND f.lat <= c.n
-          ORDER BY c.acc, c.area, c.ord LIMIT 1), 0) AS ord
-      FROM f),
+        COALESCE(p.bord, (SELECT ford FROM fb)) AS ord
+      FROM f LEFT JOIN pick p USING (point_id)),
     j AS (
       SELECT sel.point_id, sel.lon, sel.lat, sel.ord, c.noop,
         c.tx, c.ty, c.tz,

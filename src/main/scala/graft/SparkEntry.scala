@@ -413,7 +413,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val path = sys.props("java.io.tmpdir") + "/graft_ann_idx_" +
         math.abs(dir.hashCode).toString + "_p" + ProcessHandle.current().pid()
-      graft.spark.AnnIndex.build(emb, path, planes = 6, tables = 8, reuse = true)
+      // metadata-based invalidation: the sf dir is the corpus identity
+      // (driver-generated, immutable per scale factor) — a reuse hit is a
+      // meta-file read with ZERO jobs over the corpus, so the warm path
+      // pays only the pruned query
+      graft.spark.AnnIndex.build(emb, path, planes = 6, tables = 8,
+        reuse = true, version = dir)
       graft.spark.AnnIndex.query(s, path, emb.where(col("vec_id") < 10), k = 3)
     }),
 

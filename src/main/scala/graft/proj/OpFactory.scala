@@ -411,10 +411,25 @@ object OpFactory {
                 (if (inv) " inv" else "")
               curEll = dstEndCrs.map(_.ellTokens).getOrElse(curEll)
               steps += 1
-            case _ =>
+            case "gridshift" =>
+              // GeoTIFF grids with lat/lon (and possibly height) components
+              // (NADCON5 et al.) — the generic gridshift op, applied in
+              // geographic space like the reference's
+              sb ++= s" step proj=gridshift grids=$file" +
+                (if (inv) " inv" else "")
+              steps += 1
+            case "hgridshift" =>
               sb ++= s" step proj=hgridshift grids=$file" +
                 (if (inv) " inv" else "")
               steps += 1
+            case other =>
+              // tinshift / velocity_grid / defmodel operate in CRS contexts
+              // (projected space, epoch pairs) the geodetic hop chain does
+              // not model — reject the candidate rather than mis-apply it
+              // as an hgridshift if its grid happens to resolve locally
+              throw graft.core.ProjError(
+                graft.core.ProjErr.INVALID_OP_WRONG_SYNTAX,
+                s"grid method $other not supported in geodetic hop chain")
           }
           if (pm != "geocentricoffset")
             curEll = dstEndCrs.map(_.ellTokens).getOrElse(curEll)

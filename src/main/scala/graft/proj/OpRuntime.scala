@@ -27,49 +27,15 @@ final class OpRuntime(cands: Vector[Candidate],
   private var warnPending = onlyBestWarn && !startSkipNonInstantiable
   private var iCur: Int = -1
 
-  private def isOffshore(c: Candidate): Boolean =
-    c.areaName.contains("- offshore")
-  private def isUnknownArea(c: Candidate): Boolean =
-    c.areaName.isEmpty || c.areaName == "unknown"
+  private val metas: Array[OpRuntime.CandMeta] =
+    cands.iterator.map(OpRuntime.metaOf).toArray
 
   /** pj_get_suggested_operation: lonDeg/latDeg are the point in the source
     * CRS's geographic degrees. */
   private def suggest(lonDeg: Double, latDeg: Double,
-                      excluded: Array[Int], skipNonInstantiable: Boolean): Int = {
-    def normLon(x0: Double): Double = {
-      var x = x0
-      if (x > 180.0) { x -= 360.0; if (x > 180.0) x = ((x + 180.0) % 360.0) - 180.0 }
-      else if (x < -180.0) { x += 360.0; if (x < -180.0) x = ((x + 180.0) % 360.0) - 180.0 }
-      x
-    }
-    val lon = normLon(lonDeg)
-    var iBest = -1
-    var bestAccuracy = Double.MaxValue
-    var i = 0
-    while (i < cands.length) {
-      if (i != excluded(0) && i != excluded(1)) {
-        val c = cands(i)
-        val ok = c.boxes.exists(b =>
-          latDeg >= b.south && latDeg <= b.north &&
-            lon >= b.west && lon <= b.east)
-        if (ok) {
-          val better = iBest < 0 ||
-            (((c.accuracy >= 0 && c.accuracy < bestAccuracy) ||
-              (c.accuracy == bestAccuracy &&
-                c.pseudoArea < cands(iBest).pseudoArea &&
-                !(isUnknownArea(c) && !isUnknownArea(cands(iBest))) &&
-                !cands(iBest).isPriorityOp)) &&
-              !isOffshore(c))
-          if (better && !(skipNonInstantiable && !c.instantiable)) {
-            iBest = i
-            bestAccuracy = c.accuracy
-          }
-        }
-      }
-      i += 1
-    }
-    iBest
-  }
+                      excluded: Array[Int], skipNonInstantiable: Boolean): Int =
+    OpRuntime.suggest(metas, lonDeg, latDeg, excluded(0), excluded(1),
+      skipNonInstantiable)
 
   def missingGridMessage(c: Candidate): String = {
     val sb = new StringBuilder(s"Attempt to use coordinate operation ${c.name} failed.")
@@ -171,5 +137,84 @@ final class OpRuntime(cands: Vector[Candidate],
     }
     c.setError(graft.core.ProjErr.COORD_TRANSFM_NO_OPERATION)
     false
+  }
+}
+
+/** The pj_get_suggested_operation comparator over plain serializable
+  * candidate facts — the single implementation shared by the CLI runtime
+  * (OpRuntime, above) and the Spark per-row dispatch expression
+  * (graft.spark.RegistryDispatch), so SQL `graft_crs_dispatch` and cs2cs
+  * pick identical operations per point (reference src/trans.cpp:47-150).
+  */
+object OpRuntime {
+
+  /** the per-candidate facts the comparator consults (plain data: safe to
+    * ship to executors) */
+  final case class CandMeta(
+      /** extent boxes, flat [west, south, east, north]×k, geographic deg */
+      boxes: Array[Double],
+      /** raw accuracy in metres; < 0 = unknown */
+      accuracy: Double,
+      pseudoArea: Double,
+      offshore: Boolean,
+      unknownArea: Boolean,
+      priority: Boolean,
+      instantiable: Boolean,
+      hasGrids: Boolean) extends Serializable
+
+  def metaOf(c: Candidate): CandMeta = CandMeta(
+    c.boxes.toArray.flatMap(b => Array(b.west, b.south, b.east, b.north)),
+    c.accuracy, c.pseudoArea,
+    offshore = c.areaName.contains("- offshore"),
+    unknownArea = c.areaName.isEmpty || c.areaName == "unknown",
+    priority = c.isPriorityOp,
+    instantiable = c.instantiable,
+    hasGrids = c.hasGrids)
+
+  def normLon(x0: Double): Double = {
+    var x = x0
+    if (x > 180.0) { x -= 360.0; if (x > 180.0) x = ((x + 180.0) % 360.0) - 180.0 }
+    else if (x < -180.0) { x += 360.0; if (x < -180.0) x = ((x + 180.0) % 360.0) - 180.0 }
+    x
+  }
+
+  /** Best candidate for the point, or -1 when no extent matches. The first
+    * extent match is taken unconditionally; a later candidate displaces it
+    * only when onshore AND (strictly better known accuracy, or same-accuracy
+    * smaller-area without an unknown-area candidate displacing a known-area
+    * one or anything displacing a priority null-transform). */
+  def suggest(metas: Array[CandMeta], lonDeg: Double, latDeg: Double,
+              ex0: Int, ex1: Int, skipNonInstantiable: Boolean): Int = {
+    val lon = normLon(lonDeg)
+    var iBest = -1
+    var bestAccuracy = Double.MaxValue
+    var i = 0
+    while (i < metas.length) {
+      if (i != ex0 && i != ex1) {
+        val c = metas(i)
+        var ok = false
+        var j = 0
+        while (j < c.boxes.length && !ok) {
+          ok = latDeg >= c.boxes(j + 1) && latDeg <= c.boxes(j + 3) &&
+            lon >= c.boxes(j) && lon <= c.boxes(j + 2)
+          j += 4
+        }
+        if (ok) {
+          val better = iBest < 0 ||
+            (((c.accuracy >= 0 && c.accuracy < bestAccuracy) ||
+              (c.accuracy == bestAccuracy &&
+                c.pseudoArea < metas(iBest).pseudoArea &&
+                !(c.unknownArea && !metas(iBest).unknownArea) &&
+                !metas(iBest).priority)) &&
+              !c.offshore)
+          if (better && !(skipNonInstantiable && !c.instantiable)) {
+            iBest = i
+            bestAccuracy = c.accuracy
+          }
+        }
+      }
+      i += 1
+    }
+    iBest
   }
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   case class Meta(dim: Int, planes: Int, tables: Int, family: String,
-                  seed: Long, rows: Long, fp: Long)
+                  seed: Long, rows: Long, fp: Long, version: String = "")
 
   private def fs(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
@@ -37,33 +37,52 @@ object AnnIndex {
         s"AnnIndex: unknown hyperplane family '$other'")
     }
 
-  /** Hash the corpus (vec_id, embedding) into the on-disk index at `path`:
-    * one row per (vector, table), partitioned by tbl/bucket. `family` is
-    * "shared" (md5-derived planes, cross-engine verifiable) or "gaussian"
-    * (seeded, engine-only). With `reuse = true` an existing index whose
-    * meta matches the requested parameters is kept as-is (the resident-
-    * service pattern: build once, query many) — the caller owns
-    * invalidation when the corpus itself changes. */
-  def build(corpus: DataFrame, path: String,
-            planes: Int = 6, tables: Int = 8,
-            family: String = "shared", seed: Long = 42L,
-            reuse: Boolean = false): Unit = {
-    val spark = corpus.sparkSession
-    // ONE aggregate job yields dim + row count + an order-independent
-    // content fingerprint: a regenerated corpus with the same size but
-    // different vectors must invalidate a reused index
+  /** order-independent content fingerprint of the corpus: ONE aggregate
+    * job yielding (dim, rows, fp). O(corpus) — the rebuild path and the
+    * explicit `verify` pay it; a versioned reuse hit does not. */
+  private def fingerprint(corpus: DataFrame): (Int, Long, Long) = {
     val agg = corpus.select(
       max(size(col("embedding"))).as("dim"),
       count(lit(1)).as("rows"),
       sum(pmod(xxhash64(col("vec_id"), col("embedding")),
         lit(1000000007L))).as("fp")).head()
     require(!agg.isNullAt(0), "AnnIndex.build: empty corpus")
-    val meta = Meta(agg.getInt(0), planes, tables, family, seed,
-      agg.getLong(1), agg.getLong(2))
-    // an unreadable or older-format meta simply means "rebuild"
-    if (reuse && fs(spark, path).exists(metaPath(path)) &&
-        scala.util.Try(readMeta(spark, path)).toOption.contains(meta)) return
-    val dim = meta.dim
+    (agg.getInt(0), agg.getLong(1), agg.getLong(2))
+  }
+
+  /** Hash the corpus (vec_id, embedding) into the on-disk index at `path`:
+    * one row per (vector, table), partitioned by tbl/bucket. `family` is
+    * "shared" (md5-derived planes, cross-engine verifiable) or "gaussian"
+    * (seeded, engine-only).
+    *
+    * With `reuse = true` an existing index whose meta matches the requested
+    * parameters is kept as-is (the resident-service pattern: build once,
+    * query many). Invalidation is METADATA-based when the caller supplies a
+    * `version` (a snapshot id from the Snapshots layer, an Iceberg snapshot,
+    * an ETL run id): a version match is a pure meta-file read — zero jobs
+    * over the corpus, the 10^12-row requirement for a build-once/query-many
+    * resident service. With no version, reuse falls back to the
+    * order-independent content fingerprint (one O(corpus) aggregate).
+    * `verify` re-checks a versioned index against the corpus on demand. */
+  def build(corpus: DataFrame, path: String,
+            planes: Int = 6, tables: Int = 8,
+            family: String = "shared", seed: Long = 42L,
+            reuse: Boolean = false, version: String = ""): Unit = {
+    val spark = corpus.sparkSession
+    if (reuse && fs(spark, path).exists(metaPath(path))) {
+      // an unreadable or older-format meta simply means "rebuild"
+      scala.util.Try(readMeta(spark, path)).toOption.foreach { m =>
+        val paramsOk = m.planes == planes && m.tables == tables &&
+          m.family == family && m.seed == seed
+        if (paramsOk && version.nonEmpty && m.version == version) return
+        if (paramsOk && version.isEmpty) {
+          val (dim, rows, fp) = fingerprint(corpus)
+          if (m.dim == dim && m.rows == rows && m.fp == fp) return
+        }
+      }
+    }
+    val (dim, rows, fp) = fingerprint(corpus)
+    val meta = Meta(dim, planes, tables, family, seed, rows, fp, version)
     corpus
       .select(col("vec_id").as("c_id"),
         transform(col("embedding"), x => x.cast("double")).as("c_vec"))
@@ -74,10 +93,27 @@ object AnnIndex {
     val out = fs(spark, path).create(metaPath(path), true)
     out.write(
       (s"""{"dim": $dim, "planes": $planes, "tables": $tables, """ +
-        s""""family": "$family", "seed": $seed, "rows": ${meta.rows}, """ +
-        s""""fp": ${meta.fp}}""")
+        s""""family": "$family", "seed": $seed, "rows": $rows, """ +
+        s""""fp": $fp, "version": ${jsonStr(version)}}""")
         .getBytes("UTF-8"))
     out.close()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Recompute the corpus fingerprint and compare it to the stored meta —
+    * the explicit integrity check a versioned resident service runs on its
+    * own schedule instead of per query batch. */
+  def verify(corpus: DataFrame, path: String): Boolean = {
+    val m = readMeta(corpus.sparkSession, path)
+    val (dim, rows, fp) = fingerprint(corpus)
+    m.dim == dim && m.rows == rows && m.fp == fp
   }
 
   /** Read the build parameters back from the index directory. */
@@ -92,8 +128,12 @@ object AnnIndex {
     val fam = """"family":\s*"([a-z]+)"""".r.findFirstMatchIn(txt)
       .getOrElse(throw new IllegalStateException(
         s"AnnIndex meta at $path lacks 'family'")).group(1)
+    // absent in pre-version metas: treated as unversioned (fingerprint path)
+    val ver = """"version":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .getOrElse("")
     Meta(num("dim").toInt, num("planes").toInt, num("tables").toInt, fam,
-      num("seed"), num("rows"), num("fp"))
+      num("seed"), num("rows"), num("fp"), ver)
   }
 
   /** Top-k by exact cosine over the index's bucket candidates. Output

@@ -188,57 +188,93 @@ case class TransBoundsExpr(lonMin: Expression, latMin: Expression,
   * Only plain data ships to executors; pipelines compile lazily per JVM. */
 final class RegistryDispatch(val srcSpec: String, val dstSpec: String)
     extends Serializable {
-  import RegistryDispatch.CandSpec
+  import graft.proj.OpRuntime.CandMeta
 
-  val (specs: Array[CandSpec], srcAngular: Boolean, dstAngular: Boolean) = {
+  val (pipeStrs: Array[String], metas: Array[CandMeta],
+       srcAngular: Boolean, dstAngular: Boolean,
+       /** inverse legs mapping a source-CRS point to its geographic radians
+         * for extent checks (reference trans.cpp projects through
+         * P->cached_op_for_proj_string; CliCs2cs.runDb does the same via
+         * srcBase/srcCart) — empty when the source is already lon/lat */
+       srcInvStrs: Array[String]) = {
     import graft.proj.OpFactory
     val s = OpFactory.resolve(srcSpec).getOrElse(
       throw new IllegalArgumentException(s"cannot resolve $srcSpec"))
     val d = OpFactory.resolve(dstSpec).getOrElse(
       throw new IllegalArgumentException(s"cannot resolve $dstSpec"))
+    // the FULL candidate list (cs2cs/OpProbe numbering); the comparator
+    // skips non-instantiable candidates, matching the CLI's steady state
+    // after the one-shot only-best warning
     val cands = OpFactory.createList(s, d, OpFactory.Options())
-      .filter(c => c.gridsAvailable && c.pj.isRight)
-    require(cands.nonEmpty, s"no instantiable operation $srcSpec -> $dstSpec")
-    val specs = cands.map { c =>
-      CandSpec(c.pipeline,
-        c.boxes.toArray.flatMap(b => Array(b.west, b.south, b.east, b.north)),
-        if (c.accuracy >= 0) c.accuracy else Double.MaxValue,
-        c.pseudoArea)
-    }.toArray
-    (specs, s.isLongLat, d.isLongLat)
+    require(cands.exists(_.instantiable),
+      s"no instantiable operation $srcSpec -> $dstSpec")
+    val srcInv: Array[String] =
+      if (s.isLongLat) Array.empty
+      else if (s.isGeocentric) Array("proj=cart " + s.geod.ellTokens)
+      else s.projBody.toArray
+    (cands.map(_.pipeline).toArray,
+      cands.iterator.map(graft.proj.OpRuntime.metaOf).toArray,
+      s.isLongLat, d.isLongLat, srcInv)
   }
 
   @transient lazy val pipes: Array[ProjPipeline] =
-    specs.map(sp => new ProjPipeline(sp.pipe))
+    pipeStrs.map(p => new ProjPipeline(p))
+  @transient lazy val srcInvPipes: Array[ProjPipeline] =
+    srcInvStrs.map(p => new ProjPipeline(p))
 
-  /** index of the candidate serving (lonDeg, latDeg) */
+  /** index of the candidate serving (lonDeg, latDeg), before the runtime
+    * retry/fallback protocol — OpRuntime's comparator verbatim */
   def select(lonDeg: Double, latDeg: Double): Int = {
-    var best = -1
-    var bestAcc = Double.MaxValue
-    var bestArea = Double.MaxValue
+    val i = graft.proj.OpRuntime.suggest(metas, lonDeg, latDeg, -1, -1,
+      skipNonInstantiable = true)
+    if (i >= 0) i else fallbackIdx
+  }
+
+  /** first gridless instantiable candidate — trans.cpp:305-345 */
+  val fallbackIdx: Int = {
     var i = 0
-    while (i < specs.length) {
-      val sp = specs(i)
-      var matches = false
-      var j = 0
-      while (j < sp.boxes.length && !matches) {
-        matches = lonDeg >= sp.boxes(j) && latDeg >= sp.boxes(j + 1) &&
-          lonDeg <= sp.boxes(j + 2) && latDeg <= sp.boxes(j + 3)
-        j += 4
-      }
-      if (matches && (best < 0 || sp.acc < bestAcc ||
-          (sp.acc == bestAcc && sp.area < bestArea))) {
-        best = i; bestAcc = sp.acc; bestArea = sp.area
-      }
+    var r = -1
+    while (i < metas.length && r < 0) {
+      if (!metas(i).hasGrids && metas(i).instantiable) r = i
       i += 1
     }
-    if (best < 0) 0 else best
+    r
   }
-}
 
-object RegistryDispatch {
-  final case class CandSpec(pipe: String, boxes: Array[Double],
-                            acc: Double, area: Double) extends Serializable
+  /** Per-row transform with the reference's retry protocol: suggest, try,
+    * on failure exclude and re-suggest (≤ 2 retries), then fall back to the
+    * first gridless operation regardless of extent (trans.cpp:229-345).
+    * Returns the candidate index used (or fallbackIdx); `c` carries the
+    * result or the error state. */
+  def transRow(c: Coord, lonDeg: Double, latDeg: Double,
+               saved: Coord): Int = {
+    var ex0 = -1
+    var ex1 = -1
+    var iRetry = 0
+    while (iRetry <= 2) {
+      val iBest = graft.proj.OpRuntime.suggest(metas, lonDeg, latDeg,
+        ex0, ex1, skipNonInstantiable = true)
+      if (iBest < 0) return fallbackGridless(c)
+      saved.copyFrom(c)
+      pipes(iBest).trans(c, forward = true)
+      if (!c.isError) return iBest
+      c.copyFrom(saved)
+      if (iRetry == 2) return fallbackGridless(c)
+      if (iRetry == 0) ex0 = iBest else ex1 = iBest
+      iRetry += 1
+    }
+    fallbackGridless(c)
+  }
+
+  private def fallbackGridless(c: Coord): Int = {
+    if (fallbackIdx >= 0) {
+      pipes(fallbackIdx).trans(c, forward = true)
+      fallbackIdx
+    } else {
+      c.setError(graft.core.ProjErr.COORD_TRANSFM_NO_OPERATION)
+      -1
+    }
+  }
 }
 
 object RegistryDispatchKernels {
@@ -247,18 +283,57 @@ object RegistryDispatchKernels {
     StructField("op", IntegerType, nullable = false),
     StructField("x", DoubleType, nullable = false),
     StructField("y", DoubleType, nullable = false),
-    StructField("z", DoubleType, nullable = false)))
+    StructField("z", DoubleType, nullable = false),
+    StructField("err", IntegerType, nullable = false)))
 
   def resultType: StructType = outType
 
-  def eval(d: RegistryDispatch, xIn: Double, yIn: Double): InternalRow = {
-    val idx = d.select(xIn, yIn)
+  /** per-thread scratch: the dominant dispatch path allocates nothing per
+    * row (a consumer that buffers the struct copies it — Spark's own
+    * UnsafeProjection reuse contract) */
+  private final class Scratch {
     val c = new Coord
+    val c2 = new Coord
+    val saved = new Coord
+    val values = new Array[Any](5)
+    val row = new GenericInternalRow(values)
+  }
+  private val scratch = ThreadLocal.withInitial[Scratch](() => new Scratch)
+
+  def eval(d: RegistryDispatch, xIn: Double, yIn: Double): InternalRow = {
+    val s = scratch.get()
+    // the point in source geographic degrees, for extent checks
+    var lonDeg = 0.0
+    var latDeg = 0.0
+    if (d.srcAngular) {
+      lonDeg = xIn; latDeg = yIn
+    } else {
+      val c2 = s.c2
+      c2.set(xIn, yIn, 0.0, Double.PositiveInfinity)
+      val inv = d.srcInvPipes
+      var i = 0
+      while (i < inv.length && !c2.isError) {
+        inv(i).trans(c2, forward = false)
+        i += 1
+      }
+      if (!c2.isError) {
+        lonDeg = c2.x * (180 / math.Pi)
+        latDeg = c2.y * (180 / math.Pi)
+      }
+    }
+    val c = s.c
     val k = if (d.srcAngular) math.Pi / 180 else 1.0
     c.set(xIn * k, yIn * k, 0.0, Double.PositiveInfinity)
-    d.pipes(idx).trans(c, forward = true)
+    val idx = d.transRow(c, lonDeg, latDeg, s.saved)
     val k2 = if (d.dstAngular) 180 / math.Pi else 1.0
-    new GenericInternalRow(Array[Any](idx, c.x * k2, c.y * k2, c.z))
+    val v = s.values
+    if (c.isError) {
+      v(0) = idx; v(1) = Double.NaN; v(2) = Double.NaN; v(3) = Double.NaN
+      v(4) = c.err
+    } else {
+      v(0) = idx; v(1) = c.x * k2; v(2) = c.y * k2; v(3) = c.z; v(4) = 0
+    }
+    s.row
   }
 }
 

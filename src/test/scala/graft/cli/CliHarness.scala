@@ -66,11 +66,7 @@ object CliHarness {
         grep = str(t, "grep"),
         grepV = str(t, "grep-v"),
         files = files,
-        env = tenv ++ (t.fields.get("tmpdir") match {
-          // tmpdir tests run in a scratch dir; PROJ_DATA may reference it
-          case Some(_) => Map.empty[String, String]
-          case None => Map.empty[String, String]
-        }))
+        env = tenv)
     }
     val env = root.fields.get("env") match {
       case Some(JObj(fs)) => fs.collect { case (k, JStr(v)) => k -> v }

@@ -124,4 +124,36 @@ class AnnIndexSpec extends AnyFunSuite {
       "content change at equal size must invalidate the reused index")
     AnnIndex.build(corpus, path, planes = 6, tables = 8) // restore
   }
+
+  test("versioned reuse hit runs ZERO jobs over the corpus") {
+    val vPath = java.nio.file.Files
+      .createTempDirectory("graft-ann-ver").toString + "/idx"
+    AnnIndex.build(corpus, vPath, planes = 6, tables = 8,
+      reuse = true, version = "snap-001")
+    assert(AnnIndex.readMeta(spark, vPath).version == "snap-001")
+    // the resident-service steady state: a reuse hit must be a meta-file
+    // read only — no Spark job may touch the corpus (round-3 verdict: the
+    // old path paid an O(corpus) fingerprint aggregate per call)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      AnnIndex.build(corpus, vPath, planes = 6, tables = 8,
+        reuse = true, version = "snap-001")
+      Thread.sleep(1000) // let any (unexpected) async job-start events land
+      assert(jobs.get() == 0,
+        s"versioned reuse hit ran ${jobs.get()} Spark jobs; wanted 0")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a NEW version invalidates and rebuilds (fingerprint recomputed)
+    AnnIndex.build(corpus.limit(50), vPath, planes = 6, tables = 8,
+      reuse = true, version = "snap-002")
+    assert(AnnIndex.readMeta(spark, vPath).rows == 50L)
+    // explicit verify(): integrity check on demand, not per call
+    assert(AnnIndex.verify(corpus.limit(50), vPath))
+    assert(!AnnIndex.verify(corpus, vPath))
+  }
 }
