@@ -11,6 +11,25 @@ import graft.spark.{DocsTable, GeoFunctions, ProjFunctions, SpatialJoins}
   * evidence the ≥0.8 scaling-efficiency criterion (BASELINE.md). Prints ONE
   * JSON line; details land in BENCH.md.
   */
+/** Pure guard predicates over measured legs — unit-testable (the round-2/3
+  * lesson: both corrupted driver artifacts would have been self-flagged by
+  * these, so they must be code, not judgement). Noise on a shared host is
+  * one-sided: external load can only SLOW a leg down, so a violation means
+  * "re-measure the slow leg and keep the min", never "keep the fast one". */
+object BenchGuard {
+  /** efficiency = thr(4N) / (4 * thr(N)); physically ∈ (0, ~1.1] — outside
+    * [0.5, 1.2] one leg was burst-hit */
+  def efficiencySuspect(eff: Double): Boolean = eff < 0.5 || eff > 1.2
+
+  /** throughput must be monotone non-decreasing in cores on identical
+    * input (SMT can flatten it, never invert it) */
+  def monotoneSuspect(thrByCores: Seq[(Int, Double)]): Boolean =
+    thrByCores.sortBy(_._1).sliding(2).exists {
+      case Seq((c1, t1), (c2, t2)) => c2 > c1 && t2 < t1
+      case _ => false
+    }
+}
+
 object Bench {
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -77,7 +96,13 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  private def loadavg(): String =
+    scala.util.Try(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")(0))
+      .getOrElse("-1")
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nsDocs = sys.env.getOrElse("SPARK_GRAFT_NS_DOCS", "8000000").toLong
@@ -162,23 +187,43 @@ object Bench {
     var t4N = measureLeg(4 * nCores)
     def eff = (nsDocs / t4N) / (4.0 * (nsDocs / tN))
     var attempts = 1
-    while ((eff < 0.5 || eff > 1.2) && attempts < 3) {
+    while (BenchGuard.efficiencySuspect(eff) && attempts < 3) {
       attempts += 1
       tN = math.min(tN, measureLeg(nCores))
       t4N = math.min(t4N, measureLeg(4 * nCores))
     }
-    val scalingSuspect = eff < 0.5 || eff > 1.2
+    val scalingSuspect = BenchGuard.efficiencySuspect(eff)
+
+    // Headline-leg guard (round-3 lesson: the driver artifact's local[32]
+    // north-star leg read BELOW its own local[16] leg — physically
+    // inverted, a co-tenant burst — and nothing flagged it). Throughput
+    // must be monotone non-decreasing in cores on the same input; when the
+    // headline leg violates that, re-measure it (noise is one-sided).
+    var nsSecEff = nsSec
+    var hAttempts = 1
+    while (BenchGuard.monotoneSuspect(
+        Seq((nCores, nsDocs / tN), (4 * nCores, nsDocs / t4N),
+          (cpus, nsDocs / nsSecEff))) && hAttempts < 3) {
+      hAttempts += 1
+      nsSecEff = math.min(nsSecEff, measureLeg(cpus))
+    }
+    val headlineSuspect = BenchGuard.monotoneSuspect(
+      Seq((nCores, nsDocs / tN), (4 * nCores, nsDocs / t4N),
+        (cpus, nsDocs / nsSecEff)))
 
     val thr8 = nsDocs / tN
     val thr32 = nsDocs / t4N
     val efficiency = thr32 / (4.0 * thr8)
 
+    val rowsPerSecEff = nsDocs / nsSecEff
+    val loadEnd = loadavg()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val suspectField = if (scalingSuspect) ",\"suspect\":true" else ""
+    val hSuspectField = if (headlineSuspect) ",\"suspect\":true" else ""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","northstar":{"docs":$nsDocs,"rows":$nRows,"sec":$nsSec%.3f,"docs_per_sec":$rowsPerSec%.0f},"scaling":{"localN_docs_per_sec":$thr8%.0f,"local4N_docs_per_sec":$thr32%.0f,"efficiency":$efficiency%.3f$suspectField}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","northstar":{"docs":$nsDocs,"rows":$nRows,"sec":$nsSecEff%.3f,"docs_per_sec":$rowsPerSecEff%.0f$hSuspectField},"scaling":{"localN_docs_per_sec":$thr8%.0f,"local4N_docs_per_sec":$thr32%.0f,"efficiency":$efficiency%.3f$suspectField},"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
     println(json)
     if (scalingOnly) return
     // clean artifact for machine parsing (sbt prefixes stdout lines, which
@@ -212,13 +257,15 @@ object Bench {
          ||---|---|---|---|
          |${coldWarm.map { case (k, c, w) => f"| $k | $c%.3f | $w%.3f | ${math.min(c, w)}%.3f |" }.mkString("\n|")}
          |
-         |## North-star ($nsDocs docs): ${rowsPerSec.toLong} docs/s at local[$cpus]
+         |## North-star ($nsDocs docs): ${rowsPerSecEff.toLong} docs/s at local[$cpus]
+         |
+         |loadavg start/end: $loadStart / $loadEnd
          |
          || parallelism | docs/sec |
          ||---|---|
          || local[$nCores]  | $thr8%.0f |
          || local[${4 * nCores}] | $thr32%.0f |
-         || local[$cpus] (headline config) | $rowsPerSec%.0f |
+         || local[$cpus] (headline config) | $rowsPerSecEff%.0f${if (headlineSuspect) " — SUSPECT (below the local[" + (4 * nCores) + "] leg after re-measures)" else ""} |
          |
          |Scaling efficiency local[$nCores]→local[${4 * nCores}] (N→4N cores, identical
          |input): **$efficiency%.3f**${if (scalingSuspect) " — SUSPECT (outside [0.5,1.2] after 3 re-measure attempts; treat as noise-hit, re-run on a quiet host)" else ""}

@@ -210,31 +210,42 @@ object TrainingOps {
     val rowsPerBand = numHashes / bands
     // each stage lands in a real column so codegen never re-evaluates the
     // regex/split/md5 chain inside downstream lambdas
+    // the signature rides the band exchange as a FIXED-WIDTH binary
+    // (numHashes x 8 bytes, big-endian per element) instead of array<long>
+    // (~1.6x the bytes in UnsafeRow form), and the band key as an 8-byte
+    // xxhash64 of the band's binary slice instead of a 32-char md5 hex
+    // string — same candidate pairs (both key on the slice content), a
+    // measurably slimmer shuffle at 10^12 rows
     val withSig = docs.select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("w", normWords(col("t")))
       .withColumn("grams", shinglesFromWords(col("w")))
       .withColumn("hs", transform(col("grams"),
         g => conv(substring(md5(g), 1, 7), 16, 10).cast("long")))
       .withColumn("sig", minhashSigFromBase(col("hs"), numHashes))
-      .select(col("id"), col("t"), col("sig"))
+      .withColumn("sigb", to_binary(array_join(
+        transform(col("sig"), h => lpad(hex(h), 16, "0")), ""), lit("hex")))
+      .select(col("id"), col("sigb"))
     val banded = withSig.withColumn("band",
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band_id"),
-          md5(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as("band_key")))))
-      .select(col("id"), col("sig"), col("band.band_id"), col("band.band_key"))
+          xxhash64(substring(col("sigb"), b * rowsPerBand * 8 + 1,
+            lit(rowsPerBand * 8))).as("band_key")))))
+      .select(col("id"), col("sigb"), col("band.band_id"), col("band.band_key"))
     val a = banded.alias("a")
     val b = banded.alias("b")
     // compute the signature agreement inside the join projection and
     // dedup on the 3-column result — carrying both full signatures through
     // the distinct exchange shuffled ~10x more bytes for the same rows
+    val agree = (0 until numHashes).map { k =>
+      when(substring(col("a.sigb"), k * 8 + 1, 8) ===
+        substring(col("b.sigb"), k * 8 + 1, 8), 1).otherwise(0)
+    }.reduce(_ + _)
     a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-          e => e)).cast("double") / numHashes).as("jacc"))
+        (agree.cast("double") / numHashes).as("jacc"))
       .where(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("jacc") * 1e6).cast("long").as("jacc_ppm"))
