@@ -22,6 +22,9 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** unique memory-sink names across invocations in one JVM. */
+  private val streamDedupRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** memoized table row count (used for density-adaptive plan choices —
     * re-invoking a query builder must not re-pay a count job). */
   private val tableCounts = scala.collection.concurrent.TrieMap.empty[(String, String), Long]
@@ -533,6 +536,75 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    "q_snapshot_compact" -> ((s, dir) => {
+      // snapshot layer end-to-end: fragmented ingest commit -> bin-packing
+      // compaction as a NEW snapshot -> read back the compacted table. The
+      // oracle recomputes the per-bucket metrics straight from the source
+      // parquet, so a compaction that loses/duplicates/moves ONE row flips
+      // the hash; the file-count win is asserted in-query (a regression
+      // fails the query rather than silently passing row identity)
+      import graft.spark.Snapshots
+      val table = sys.props("java.io.tmpdir") + "/graft_snap_" +
+        math.abs(dir.hashCode).toString + "_p" + ProcessHandle.current().pid()
+      val ev = t(s, dir, "events")
+        .withColumn("bucket", pmod(col("event_id"), lit(8)))
+        .select(col("event_id"), col("user_id"), col("bucket"))
+      // 24-way repartition x 8 buckets => many small files (the long-lived
+      // table fed by incremental commits)
+      val id1 = Snapshots.commit(ev.repartition(24), table, "bucket",
+        "event_id", "driver-query ingest")
+      val preFiles = Snapshots.dataFileCount(table, id1)
+      val id2 = Snapshots.compact(s, table, targetBytes = 1L << 30)
+      val postFiles = Snapshots.dataFileCount(table, id2)
+      require(postFiles < preFiles && postFiles <= 8,
+        s"compaction did not reduce files: $preFiles -> $postFiles")
+      require(Snapshots.latestId(table) == id2 && id2 == id1 + 1,
+        "compaction must commit as the next snapshot")
+      Snapshots.read(s, table, id2)
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"),
+          sum("user_id").as("user_sum"))
+        .orderBy("bucket")
+    }),
+
+    "q_stream_dedup" -> ((s, dir) => {
+      // the streaming watermark-bounded dedup replayed over a bounded batch
+      // of the documents feed (with dedup_exact's duplicate injection),
+      // three micro-batches apart in event time:
+      //   batch A (t=0):    every fingerprint is new -> emitted once
+      //   batch B (t=+1h):  watermark (still t-10min) has not passed the
+      //                     state expiry (t+10min) -> all duplicates DROPPED
+      //   batch C (t=+2h):  watermark (now t+50min) evicted the state ->
+      //                     fingerprints emitted AGAIN (bounded state, by
+      //                     design) — so n_emits = 2 per fp proves both the
+      //                     dedup and the eviction halves of the contract
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionAll(t(s, dir, "documents").where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val base = 1767225600000L // 2026-01-01T00:00:00Z, fixed epoch ms
+      def batch(offMs: Long) =
+        docs.map { case (id, tx) => (id, tx, new java.sql.Timestamp(base + offMs)) }
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val sinkName = "graft_stream_dedup_" + streamDedupRuns.incrementAndGet()
+      val q = graft.spark.StreamingOps.dedupStream(
+          in.toDF.toDF("doc_id", "text", "ts"), "ts")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        in.addData(batch(0)); q.processAllAvailable()
+        in.addData(batch(3600L * 1000)); q.processAllAvailable()
+        in.addData(batch(7200L * 1000)); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sinkName)
+        .groupBy("fp").agg(count(lit(1)).as("n_emits"))
+        .orderBy("fp")
+    }),
+
     "geo_trans_bounds" -> ((s, dir) => {
       // per-row tile-extent reprojection (partition-pruning primitive):
       // webmerc is monotone in both axes, so the densified-edge envelope is
@@ -1018,6 +1090,26 @@ object SparkEntry {
     "media_features" -> OracleSql.mediaFeatures,
     "media_pixels" -> OracleSql.mediaPixels,
     "media_samples" -> OracleSql.mediaSamples,
+    // row identity across snapshot commit + compaction: the oracle computes
+    // the per-bucket metrics from the SOURCE table; the Spark side reads
+    // them off the compacted snapshot
+    "q_snapshot_compact" ->
+      """SELECT event_id % 8 AS bucket, count(*) AS n_rows,
+           min(event_id) AS min_id, max(event_id) AS max_id,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    // watermark-bounded streaming dedup over a bounded 3-batch replay:
+    // every distinct normalized-text fingerprint is emitted exactly twice
+    // (once new, once after state eviction; the +1h duplicates are dropped)
+    "q_stream_dedup" ->
+      """SELECT DISTINCT
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           CAST(2 AS BIGINT) AS n_emits
+         FROM (SELECT text FROM documents UNION ALL
+               SELECT text FROM documents WHERE doc_id % 7 = 0)
+         ORDER BY fp""",
+
     "geo_epsg" -> OracleSql.geoEpsg,
     "geo_registry" -> OracleSql.geoRegistry,
     "geo_dispatch" -> OracleSql.geoDispatch,
