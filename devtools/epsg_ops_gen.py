@@ -131,16 +131,19 @@ def main():
             return value if typ == 'time' else si
         raise ValueError(target)
 
-    # extents: usage -> extent bbox + name per (table, auth, code)
+    # extents + scope: usage -> extent bbox/name/scope per (table, auth, code)
     ext = {}
     for r in db.execute(
         "select u.object_table_name t, u.object_auth_name a, u.object_code c,"
-        " e.south_lat s, e.north_lat n, e.west_lon w, e.east_lon e, e.name nm"
+        " e.south_lat s, e.north_lat n, e.west_lon w, e.east_lon e, e.name nm,"
+        " sc.scope sp"
         " from usage u join extent e on e.auth_name=u.extent_auth_name"
-        " and e.code=u.extent_code order by u.code"):
+        " and e.code=u.extent_code"
+        " left join scope sc on sc.auth_name=u.scope_auth_name"
+        " and sc.code=u.scope_code order by u.code"):
         k = (r['t'], r['a'], str(r['c']))
         if k not in ext:
-            ext[k] = (r['w'], r['s'], r['e'], r['n'], r['nm'])
+            ext[k] = (r['w'], r['s'], r['e'], r['n'], r['nm'], r['sp'])
 
     def extent_of(table, auth, code):
         e = ext.get((table, auth, str(code)))
@@ -148,11 +151,35 @@ def main():
             return ('', '', '', '', '')
         return (num(e[0]), num(e[1]), num(e[2]), num(e[3]), e[4] or '')
 
+    def scope_of(table, auth, code):
+        e = ext.get((table, auth, str(code)))
+        return (e[5] or '') if e is not None else ''
+
+    def b64(s):
+        return base64.b64encode(s.encode()).decode() if s else ''
+
     lines = []
     names = []   # (lowername, kindLetter, auth:code, deprecated)
 
+    # ---- extents (for --area code/name lookup):
+    # E|auth:code|w|s|e|n|name|description
+    for r in db.execute("select auth_name,code,west_lon w,south_lat s,"
+                        "east_lon e,north_lat n,name,description,deprecated"
+                        " from extent"):
+        if r['deprecated']:
+            continue
+        lines.append(f"E|{r['auth_name']}:{r['code']}|{num(r['w'])}|"
+                     f"{num(r['s'])}|{num(r['e'])}|{num(r['n'])}|{r['name']}|"
+                     f"{r['description']}")
+
+    # ---- units of measure: Q|auth:code|name|factor|type
+    for r in db.execute("select auth_name,code,name,conv_factor,type"
+                        " from unit_of_measure"):
+        lines.append(f"Q|{r['auth_name']}:{r['code']}|{r['name']}|"
+                     f"{num(r['conv_factor'])}|{r['type']}")
+
     ells = {}
-    for r in db.execute("select auth_name,code,semi_major_axis,inv_flattening,"
+    for r in db.execute("select auth_name,code,name,semi_major_axis,inv_flattening,"
                         "semi_minor_axis,uom_auth_name ua,uom_code uc"
                         " from ellipsoid"):
         # the axes carry their own unit (Clarke 1858 is in Clarke's feet)
@@ -163,10 +190,37 @@ def main():
             rf = 0.0 if (b is None or b == r['semi_major_axis']) \
                 else r['semi_major_axis'] / (r['semi_major_axis'] - b)
         ells[(r['auth_name'], str(r['code']))] = (a, rf)
+        # WKT-grade row: original-unit axis values + derived rf text
+        # L|auth:code|name|a_orig|rf_text|b_orig_or_empty|uomKey
+        rft = '' if r['inv_flattening'] is None and rf == 0.0 else num(rf)
+        lines.append(f"L|{r['auth_name']}:{r['code']}|{r['name']}|"
+                     f"{num(r['semi_major_axis'])}|{rft}|"
+                     f"{num(r['semi_minor_axis'])}|{r['ua']}:{r['uc']}")
+        names.append((r['name'].lower(), 'B', f"{r['auth_name']}:{r['code']}", 0))
 
     pms = {}
-    for r in db.execute("select auth_name,code,longitude,uom_auth_name,uom_code from prime_meridian"):
+    for r in db.execute("select auth_name,code,name,longitude,"
+                        "uom_auth_name,uom_code from prime_meridian"):
         pms[(r['auth_name'], str(r['code']))] = conv(r['longitude'], r['uom_auth_name'], r['uom_code'], 'deg')
+        # R|auth:code|name|lon_orig|uomKey
+        lines.append(f"R|{r['auth_name']}:{r['code']}|{r['name']}|"
+                     f"{num(r['longitude'])}|{r['uom_auth_name']}:{r['uom_code']}")
+
+    # ---- coordinate systems (axes): S|auth:code|type|axes
+    # axes = name~abbrev~orientation~uomKey;...  ordered by cs order
+    cs_axes = {}
+    for r in db.execute("select coordinate_system_auth_name a,"
+                        " coordinate_system_code c, name, abbrev, orientation,"
+                        " uom_auth_name ua, uom_code uc from axis"
+                        " order by coordinate_system_auth_name,"
+                        " coordinate_system_code, coordinate_system_order"):
+        cs_axes.setdefault((r['a'], str(r['c'])), []).append(
+            f"{r['name']}~{r['abbrev']}~{r['orientation']}~{r['ua']}:{r['uc']}")
+    cs_type = {}
+    for r in db.execute("select auth_name,code,type from coordinate_system"):
+        cs_type[(r['auth_name'], str(r['code']))] = r['type']
+    for k, axes in cs_axes.items():
+        lines.append(f"S|{k[0]}:{k[1]}|{cs_type.get(k, '')}|{';'.join(axes)}")
 
     # ---- geodetic datums
     dat_ell = {}
@@ -178,7 +232,10 @@ def main():
             continue
         key = f"{r['auth_name']}:{r['code']}"
         dat_ell[key] = (ells[(r['ea'], str(r['ec']))], pms[(r['pa'], str(r['pc']))])
-        lines.append(f"D|{key}|{num(r['fe']) or '-'}|{num(r['ac']) or '-'}|{r['name']}")
+        lines.append(f"D|{key}|{num(r['fe']) or '-'}|"
+                     f"{('' if r['ac'] is None else str(r['ac'])) or '-'}|{r['name']}|"
+                     f"{r['ea']}:{r['ec']}|{r['pa']}:{r['pc']}")
+        names.append((r['name'].lower(), 'D', key, r['deprecated']))
     for r in db.execute("select ensemble_auth_name a, ensemble_code c,"
                         " group_concat(member_auth_name||':'||member_code) m"
                         " from geodetic_datum_ensemble_member group by 1,2 "):
@@ -190,7 +247,8 @@ def main():
     geod_ell = {}  # geod CRS key -> (a, rf, pmDeg) for inline projected bodies
     crs_datum = {}  # geod CRS key -> datum key (concat direction inference)
     for r in db.execute("select auth_name,code,name,type,datum_auth_name da,"
-                        "datum_code dc,deprecated from geodetic_crs"):
+                        "datum_code dc,coordinate_system_auth_name csa,"
+                        "coordinate_system_code csc,deprecated from geodetic_crs"):
         if r['auth_name'] not in AUTHS or r['type'] not in kindmap:
             continue
         key = f"{r['auth_name']}:{r['code']}"
@@ -200,9 +258,11 @@ def main():
         (a, rf), pm = dat_ell[dkey]
         geod_ell[key] = (a, rf, pm)
         crs_datum[key] = dkey
-        w, s, e, n, _ = extent_of('geodetic_crs', r['auth_name'], r['code'])
+        w, s, e, n, area = extent_of('geodetic_crs', r['auth_name'], r['code'])
+        scope = scope_of('geodetic_crs', r['auth_name'], r['code'])
         lines.append(f"C|{key}|{kindmap[r['type']]}|{dkey}|{num(a)}|{num(rf)}|"
-                     f"{num(pm)}|{w}|{s}|{e}|{n}|{r['name']}")
+                     f"{num(pm)}|{w}|{s}|{e}|{n}|{r['name']}|{area}|"
+                     f"{b64(scope)}|{r['csa']}:{r['csc']}|{r['deprecated']}")
         names.append((r['name'].lower(), 'C', key, r['deprecated']))
 
     # ---- projected CRSs. EPSG bodies live in the epsg init sidecar; for
@@ -293,27 +353,61 @@ def main():
 
     for r in db.execute("select auth_name,code,name,geodetic_crs_auth_name ga,"
                         "geodetic_crs_code gc,conversion_auth_name ca,"
-                        "conversion_code cc,deprecated from projected_crs"):
+                        "conversion_code cc,coordinate_system_auth_name csa,"
+                        "coordinate_system_code csc,deprecated from projected_crs"):
         if r['auth_name'] not in AUTHS:
             continue
         key = f"{r['auth_name']}:{r['code']}"
-        w, s, e, n, _ = extent_of('projected_crs', r['auth_name'], r['code'])
+        w, s, e, n, area = extent_of('projected_crs', r['auth_name'], r['code'])
+        scope = scope_of('projected_crs', r['auth_name'], r['code'])
         body = ''
         if r['auth_name'] != 'EPSG':
             body = body_of((r['ca'], str(r['cc'])),
                            f"{r['ga']}:{r['gc']}") or ''
             body = base64.b64encode(body.encode()).decode() if body else ''
-        lines.append(f"P|{key}|{r['ga']}:{r['gc']}|{w}|{s}|{e}|{n}|{r['name']}|{body}")
+        cv = conv_rows.get((r['ca'], str(r['cc'])))
+        cname = cv['name'] if cv is not None else ''
+        lines.append(f"P|{key}|{r['ga']}:{r['gc']}|{w}|{s}|{e}|{n}|{r['name']}|{body}|"
+                     f"{area}|{b64(scope)}|{r['ca']}:{r['cc']}|{cname}|"
+                     f"{r['csa']}:{r['csc']}|{r['deprecated']}")
         names.append((r['name'].lower(), 'P', key, r['deprecated']))
+
+    # ---- conversions (WKT-grade): K|auth:code|name|methodKey|methodName|
+    #      params(code~value~uomKey;...)|extName|scopeB64|remarkB64
+    for (ca, cc), r in conv_rows.items():
+        if ca not in AUTHS:
+            continue
+        parts = []
+        for k in range(1, 8):
+            pc = r[f'param{k}_code']
+            if pc is None:
+                continue
+            parts.append(f"{pc}~{num(r[f'param{k}_value'])}~"
+                         f"{r[f'param{k}_uom_auth_name']}:{r[f'param{k}_uom_code']}")
+        w, s, e, n, area = extent_of('conversion', ca, cc)
+        scope = scope_of('conversion', ca, cc)
+        lines.append(f"K|{ca}:{cc}|{r['name']}|"
+                     f"{r['method_auth_name']}:{r['method_code']}|{r['method_name']}|"
+                     f"{';'.join(parts)}|{area}|{b64(scope)}|{b64(r['description'])}")
+
+    # ---- vertical datums: W|auth:code|name|frameEpoch
+    for r in db.execute("select auth_name,code,name,frame_reference_epoch fe"
+                        " from vertical_datum"):
+        if r['auth_name'] not in AUTHS:
+            continue
+        lines.append(f"W|{r['auth_name']}:{r['code']}|{r['name']}|{num(r['fe']) or '-'}")
 
     # ---- vertical CRSs
     for r in db.execute("select auth_name,code,name,datum_auth_name da,"
-                        "datum_code dc,deprecated from vertical_crs"):
+                        "datum_code dc,coordinate_system_auth_name csa,"
+                        "coordinate_system_code csc,deprecated from vertical_crs"):
         if r['auth_name'] not in AUTHS:
             continue
         key = f"{r['auth_name']}:{r['code']}"
-        w, s, e, n, _ = extent_of('vertical_crs', r['auth_name'], r['code'])
-        lines.append(f"V|{key}|{r['da']}:{r['dc']}|{w}|{s}|{e}|{n}|{r['name']}")
+        w, s, e, n, area = extent_of('vertical_crs', r['auth_name'], r['code'])
+        scope = scope_of('vertical_crs', r['auth_name'], r['code'])
+        lines.append(f"V|{key}|{r['da']}:{r['dc']}|{w}|{s}|{e}|{n}|{r['name']}|"
+                     f"{area}|{b64(scope)}|{r['csa']}:{r['csc']}|{r['deprecated']}")
         names.append((r['name'].lower(), 'V', key, r['deprecated']))
 
     # ---- compound CRSs
@@ -323,12 +417,16 @@ def main():
         if r['auth_name'] not in AUTHS:
             continue
         key = f"{r['auth_name']}:{r['code']}"
-        lines.append(f"X|{key}|{r['ha']}:{r['hc']}|{r['va']}:{r['vc']}|{r['name']}")
+        w, s, e, n, area = extent_of('compound_crs', r['auth_name'], r['code'])
+        scope = scope_of('compound_crs', r['auth_name'], r['code'])
+        lines.append(f"X|{key}|{r['ha']}:{r['hc']}|{r['va']}:{r['vc']}|{r['name']}|"
+                     f"{area}|{b64(scope)}|{w}|{s}|{e}|{n}|{r['deprecated']}")
         names.append((r['name'].lower(), 'X', key, r['deprecated']))
 
     # ---- alias names
     kind_for_table = {'geodetic_crs': 'C', 'projected_crs': 'P',
-                      'vertical_crs': 'V', 'compound_crs': 'X'}
+                      'vertical_crs': 'V', 'compound_crs': 'X',
+                      'geodetic_datum': 'D', 'ellipsoid': 'B'}
     for r in db.execute("select table_name t, auth_name a, code c, alt_name n"
                         " from alias_name"):
         if r['a'] in AUTHS and r['t'] in kind_for_table:
@@ -337,11 +435,17 @@ def main():
     # ---- operations
     op_ends = {}  # "auth:code" -> (srcCrsKey, dstCrsKey) for direction inference
 
-    def op_line(auth, code, kind, method, sa, sc, ta, tc, acc, dep, extras, name):
+    def op_line(auth, code, kind, method, sa, sc, ta, tc, acc, dep, extras,
+                name, remark='', mname=''):
         w, s, e, n, area = extent_of(table_for_kind[kind], auth, code)
+        scope = scope_of(table_for_kind[kind], auth, code)
         op_ends[f"{auth}:{code}"] = (f"{sa}:{sc}", f"{ta}:{tc}")
+        # accuracy keeps the database's own text form ('1.0' stays '1.0'):
+        # the reference surfaces it verbatim in operation summaries
+        acc_t = '' if acc is None else str(acc)
         return (f"O|{auth}:{code}|{kind}|{method}|{sa}:{sc}|{ta}:{tc}|"
-                f"{num(acc)}|{w}|{s}|{e}|{n}|{1 if dep else 0}|{extras}|{area}|{name}")
+                f"{acc_t}|{w}|{s}|{e}|{n}|{1 if dep else 0}|{extras}|{area}|{name}|"
+                f"{b64(scope)}|{b64(remark)}|{mname}")
 
     table_for_kind = {'H': 'helmert_transformation', 'G': 'grid_transformation',
                       'O': 'other_transformation', 'C': 'concatenated_operation',
@@ -390,7 +494,8 @@ def main():
         lines.append(op_line(r['auth_name'], r['code'], 'H', r['method_code'],
             r['source_crs_auth_name'], r['source_crs_code'],
             r['target_crs_auth_name'], r['target_crs_code'],
-            r['accuracy'], r['deprecated'], ';'.join(kv), r['name']))
+            r['accuracy'], r['deprecated'], ';'.join(kv), r['name'],
+            r['description'], r['method_name']))
 
     # grid alternatives (EPSG grid name -> PROJ-delivered file)
     galt = {}
@@ -416,7 +521,8 @@ def main():
         lines.append(op_line(r['auth_name'], r['code'], 'G', r['method_code'],
             r['source_crs_auth_name'], r['source_crs_code'],
             r['target_crs_auth_name'], r['target_crs_code'],
-            r['accuracy'], r['deprecated'], ';'.join(kv), r['name']))
+            r['accuracy'], r['deprecated'], ';'.join(kv), r['name'],
+            r['description'], r['method_name']))
 
     for r in db.execute("select * from other_transformation"):
         if r['auth_name'] not in AUTHS or r['source_crs_auth_name'] not in AUTHS \
@@ -425,11 +531,12 @@ def main():
         if r['method_auth_name'] == 'PROJ':
             # raw PROJ-string method: keep verbatim (base64 to survive the
             # pipe-separated format)
-            b64 = base64.b64encode(r['method_name'].encode()).decode()
+            enc = base64.b64encode(r['method_name'].encode()).decode()
             lines.append(op_line(r['auth_name'], r['code'], 'S', 'projstring',
                 r['source_crs_auth_name'], r['source_crs_code'],
                 r['target_crs_auth_name'], r['target_crs_code'],
-                r['accuracy'], r['deprecated'], 'str=' + b64, r['name']))
+                r['accuracy'], r['deprecated'], 'str=' + enc, r['name'],
+                r['description'], ''))
             continue
         kv = []
         for i in range(1, 10):
@@ -453,7 +560,8 @@ def main():
         lines.append(op_line(r['auth_name'], r['code'], 'O', r['method_code'],
             r['source_crs_auth_name'], r['source_crs_code'],
             r['target_crs_auth_name'], r['target_crs_code'],
-            r['accuracy'], r['deprecated'], ';'.join(kv), r['name']))
+            r['accuracy'], r['deprecated'], ';'.join(kv), r['name'],
+            r['description'], r['method_name']))
 
     steps = {}
     for r in db.execute("select operation_auth_name a, operation_code c,"
@@ -496,13 +604,57 @@ def main():
         lines.append(op_line(r['auth_name'], r['code'], 'C', '',
             r['source_crs_auth_name'], r['source_crs_code'],
             r['target_crs_auth_name'], r['target_crs_code'],
-            r['accuracy'], r['deprecated'], 'steps=' + ','.join(toks), r['name']))
+            r['accuracy'], r['deprecated'], 'steps=' + ','.join(toks), r['name'],
+            r['description'], ''))
 
     for r in db.execute("select superseded_auth_name a, superseded_code c,"
                         " replacement_auth_name ra, replacement_code rc,"
                         " same_source_target_crs s from supersession"):
         if r['a'] in AUTHS and r['ra'] in AUTHS:
             lines.append(f"U|{r['a']}:{r['c']}|{r['ra']}:{r['rc']}|{r['s']}")
+
+    # ---- operation-parameter names: T|code|name (for WKT PARAMETER output).
+    # The conversion/other_transformation tables carry names inline; the
+    # helmert/offset family has fixed columns, so those EPSG names are listed
+    # here (public EPSG registry vocabulary).
+    pnames = {
+        8601: 'Latitude offset', 8602: 'Longitude offset',
+        8603: 'Vertical offset', 8605: 'X-axis translation',
+        8606: 'Y-axis translation', 8607: 'Z-axis translation',
+        8608: 'X-axis rotation', 8609: 'Y-axis rotation',
+        8610: 'Z-axis rotation', 8611: 'Scale difference',
+        1040: 'Rate of change of X-axis translation',
+        1041: 'Rate of change of Y-axis translation',
+        1042: 'Rate of change of Z-axis translation',
+        1043: 'Rate of change of X-axis rotation',
+        1044: 'Rate of change of Y-axis rotation',
+        1045: 'Rate of change of Z-axis rotation',
+        1046: 'Rate of change of Scale difference',
+        1049: 'Parameter reference epoch',
+        8617: 'Ordinate 1 of evaluation point',
+        8618: 'Ordinate 2 of evaluation point',
+        8667: 'Ordinate 3 of evaluation point',
+        8619: 'Ordinate 1 of evaluation point in source CRS',
+        8624: 'Ordinate 2 of evaluation point in source CRS',
+        8666: 'Ordinate 3 of evaluation point in source CRS',
+        8620: 'Ordinate 1 of evaluation point in target CRS',
+        8625: 'Ordinate 2 of evaluation point in target CRS',
+        8668: 'Ordinate 3 of evaluation point in target CRS',
+        8621: 'Semi-major axis length difference',
+        8622: 'Flattening difference',
+        1061: 'Unit conversion scalar',
+    }
+    for table in ('conversion', 'other_transformation'):
+        for r in db.execute(f"select * from {table}"):
+            for k in range(1, 10):
+                try:
+                    pc = r[f'param{k}_code']
+                except IndexError:
+                    break
+                if pc is not None and r[f'param{k}_name']:
+                    pnames.setdefault(int(pc), r[f'param{k}_name'])
+    for pc in sorted(pnames):
+        lines.append(f"T|{pc}|{pnames[pc]}")
 
     # name index: non-deprecated objects first so lookups prefer them
     names.sort(key=lambda t: (t[3], t[0]))
