@@ -35,6 +35,7 @@ FILES = [
     "test_cs2cs_ignf.yaml",
     "test_cct.yaml",
     "test_gie.yaml",
+    "test_projinfo.yaml",
 ]
 
 

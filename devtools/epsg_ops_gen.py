@@ -145,6 +145,17 @@ def main():
         if k not in ext:
             ext[k] = (r['w'], r['s'], r['e'], r['n'], r['nm'], r['sp'])
 
+    # the reference hot-patches EPSG:4326 to its pre-10.077 usage (extent
+    # 1262 "World", scope 1183) to avoid the verbose 2830 description
+    # (factory.cpp createPropertiesSearchUsages)
+    for r in db.execute("select west_lon w,south_lat s,east_lon e,"
+                        "north_lat n,name from extent"
+                        " where auth_name='EPSG' and code='1262'"):
+        sc = db.execute("select scope from scope where auth_name='EPSG'"
+                        " and code='1183'").fetchone()
+        ext[('geodetic_crs', 'EPSG', '4326')] = (
+            r['w'], r['s'], r['e'], r['n'], r['name'], sc['scope'])
+
     def extent_of(table, auth, code):
         e = ext.get((table, auth, str(code)))
         if e is None:
@@ -172,11 +183,20 @@ def main():
                      f"{num(r['s'])}|{num(r['e'])}|{num(r['n'])}|{r['name']}|"
                      f"{r['description']}")
 
+    def numx(v):
+        """full-precision numeric text (round-trip repr): WKT output needs
+        the exact double (unit factors print at 15 significant digits)."""
+        if v is None:
+            return ''
+        if isinstance(v, int) or (v == int(v) and abs(v) < 1e15):
+            return str(int(v))
+        return repr(v)
+
     # ---- units of measure: Q|auth:code|name|factor|type
     for r in db.execute("select auth_name,code,name,conv_factor,type"
                         " from unit_of_measure"):
         lines.append(f"Q|{r['auth_name']}:{r['code']}|{r['name']}|"
-                     f"{num(r['conv_factor'])}|{r['type']}")
+                     f"{numx(r['conv_factor'])}|{r['type']}")
 
     ells = {}
     for r in db.execute("select auth_name,code,name,semi_major_axis,inv_flattening,"
@@ -192,7 +212,7 @@ def main():
         ells[(r['auth_name'], str(r['code']))] = (a, rf)
         # WKT-grade row: original-unit axis values + derived rf text
         # L|auth:code|name|a_orig|rf_text|b_orig_or_empty|uomKey
-        rft = '' if r['inv_flattening'] is None and rf == 0.0 else num(rf)
+        rft = '' if r['inv_flattening'] is None and rf == 0.0 else numx(rf)
         lines.append(f"L|{r['auth_name']}:{r['code']}|{r['name']}|"
                      f"{num(r['semi_major_axis'])}|{rft}|"
                      f"{num(r['semi_minor_axis'])}|{r['ua']}:{r['uc']}")
@@ -227,14 +247,16 @@ def main():
     for r in db.execute("select auth_name,code,name,ellipsoid_auth_name ea,"
                         "ellipsoid_code ec,prime_meridian_auth_name pa,"
                         "prime_meridian_code pc,frame_reference_epoch fe,"
-                        "ensemble_accuracy ac,deprecated from geodetic_datum"):
+                        "ensemble_accuracy ac,anchor,anchor_epoch ae,"
+                        "deprecated from geodetic_datum"):
         if r['auth_name'] not in AUTHS:
             continue
         key = f"{r['auth_name']}:{r['code']}"
         dat_ell[key] = (ells[(r['ea'], str(r['ec']))], pms[(r['pa'], str(r['pc']))])
         lines.append(f"D|{key}|{num(r['fe']) or '-'}|"
                      f"{('' if r['ac'] is None else str(r['ac'])) or '-'}|{r['name']}|"
-                     f"{r['ea']}:{r['ec']}|{r['pa']}:{r['pc']}")
+                     f"{r['ea']}:{r['ec']}|{r['pa']}:{r['pc']}|"
+                     f"{b64(r['anchor'])}|{numx(r['ae'])}")
         names.append((r['name'].lower(), 'D', key, r['deprecated']))
     for r in db.execute("select ensemble_auth_name a, ensemble_code c,"
                         " group_concat(member_auth_name||':'||member_code) m"
@@ -248,7 +270,8 @@ def main():
     crs_datum = {}  # geod CRS key -> datum key (concat direction inference)
     for r in db.execute("select auth_name,code,name,type,datum_auth_name da,"
                         "datum_code dc,coordinate_system_auth_name csa,"
-                        "coordinate_system_code csc,deprecated from geodetic_crs"):
+                        "coordinate_system_code csc,description,deprecated"
+                        " from geodetic_crs"):
         if r['auth_name'] not in AUTHS or r['type'] not in kindmap:
             continue
         key = f"{r['auth_name']}:{r['code']}"
@@ -262,7 +285,8 @@ def main():
         scope = scope_of('geodetic_crs', r['auth_name'], r['code'])
         lines.append(f"C|{key}|{kindmap[r['type']]}|{dkey}|{num(a)}|{num(rf)}|"
                      f"{num(pm)}|{w}|{s}|{e}|{n}|{r['name']}|{area}|"
-                     f"{b64(scope)}|{r['csa']}:{r['csc']}|{r['deprecated']}")
+                     f"{b64(scope)}|{r['csa']}:{r['csc']}|{r['deprecated']}|"
+                     f"{b64(r['description'])}")
         names.append((r['name'].lower(), 'C', key, r['deprecated']))
 
     # ---- projected CRSs. EPSG bodies live in the epsg init sidecar; for
@@ -354,7 +378,8 @@ def main():
     for r in db.execute("select auth_name,code,name,geodetic_crs_auth_name ga,"
                         "geodetic_crs_code gc,conversion_auth_name ca,"
                         "conversion_code cc,coordinate_system_auth_name csa,"
-                        "coordinate_system_code csc,deprecated from projected_crs"):
+                        "coordinate_system_code csc,description,deprecated"
+                        " from projected_crs"):
         if r['auth_name'] not in AUTHS:
             continue
         key = f"{r['auth_name']}:{r['code']}"
@@ -369,7 +394,7 @@ def main():
         cname = cv['name'] if cv is not None else ''
         lines.append(f"P|{key}|{r['ga']}:{r['gc']}|{w}|{s}|{e}|{n}|{r['name']}|{body}|"
                      f"{area}|{b64(scope)}|{r['ca']}:{r['cc']}|{cname}|"
-                     f"{r['csa']}:{r['csc']}|{r['deprecated']}")
+                     f"{r['csa']}:{r['csc']}|{r['deprecated']}|{b64(r['description'])}")
         names.append((r['name'].lower(), 'P', key, r['deprecated']))
 
     # ---- conversions (WKT-grade): K|auth:code|name|methodKey|methodName|
@@ -396,37 +421,43 @@ def main():
         if r['auth_name'] not in AUTHS:
             continue
         lines.append(f"W|{r['auth_name']}:{r['code']}|{r['name']}|{num(r['fe']) or '-'}")
+        names.append((r['name'].lower(), 'W', f"{r['auth_name']}:{r['code']}", 0))
 
     # ---- vertical CRSs
     for r in db.execute("select auth_name,code,name,datum_auth_name da,"
                         "datum_code dc,coordinate_system_auth_name csa,"
-                        "coordinate_system_code csc,deprecated from vertical_crs"):
+                        "coordinate_system_code csc,description,deprecated"
+                        " from vertical_crs"):
         if r['auth_name'] not in AUTHS:
             continue
         key = f"{r['auth_name']}:{r['code']}"
         w, s, e, n, area = extent_of('vertical_crs', r['auth_name'], r['code'])
         scope = scope_of('vertical_crs', r['auth_name'], r['code'])
         lines.append(f"V|{key}|{r['da']}:{r['dc']}|{w}|{s}|{e}|{n}|{r['name']}|"
-                     f"{area}|{b64(scope)}|{r['csa']}:{r['csc']}|{r['deprecated']}")
+                     f"{area}|{b64(scope)}|{r['csa']}:{r['csc']}|{r['deprecated']}|"
+                     f"{b64(r['description'])}")
         names.append((r['name'].lower(), 'V', key, r['deprecated']))
 
     # ---- compound CRSs
     for r in db.execute("select auth_name,code,name,horiz_crs_auth_name ha,"
                         "horiz_crs_code hc,vertical_crs_auth_name va,"
-                        "vertical_crs_code vc,deprecated from compound_crs"):
+                        "vertical_crs_code vc,description,deprecated"
+                        " from compound_crs"):
         if r['auth_name'] not in AUTHS:
             continue
         key = f"{r['auth_name']}:{r['code']}"
         w, s, e, n, area = extent_of('compound_crs', r['auth_name'], r['code'])
         scope = scope_of('compound_crs', r['auth_name'], r['code'])
         lines.append(f"X|{key}|{r['ha']}:{r['hc']}|{r['va']}:{r['vc']}|{r['name']}|"
-                     f"{area}|{b64(scope)}|{w}|{s}|{e}|{n}|{r['deprecated']}")
+                     f"{area}|{b64(scope)}|{w}|{s}|{e}|{n}|{r['deprecated']}|"
+                     f"{b64(r['description'])}")
         names.append((r['name'].lower(), 'X', key, r['deprecated']))
 
     # ---- alias names
     kind_for_table = {'geodetic_crs': 'C', 'projected_crs': 'P',
                       'vertical_crs': 'V', 'compound_crs': 'X',
-                      'geodetic_datum': 'D', 'ellipsoid': 'B'}
+                      'geodetic_datum': 'D', 'ellipsoid': 'B',
+                      'vertical_datum': 'W'}
     for r in db.execute("select table_name t, auth_name a, code c, alt_name n"
                         " from alias_name"):
         if r['a'] in AUTHS and r['t'] in kind_for_table:
@@ -436,7 +467,7 @@ def main():
     op_ends = {}  # "auth:code" -> (srcCrsKey, dstCrsKey) for direction inference
 
     def op_line(auth, code, kind, method, sa, sc, ta, tc, acc, dep, extras,
-                name, remark='', mname=''):
+                name, remark='', mname='', ver=''):
         w, s, e, n, area = extent_of(table_for_kind[kind], auth, code)
         scope = scope_of(table_for_kind[kind], auth, code)
         op_ends[f"{auth}:{code}"] = (f"{sa}:{sc}", f"{ta}:{tc}")
@@ -445,7 +476,7 @@ def main():
         acc_t = '' if acc is None else str(acc)
         return (f"O|{auth}:{code}|{kind}|{method}|{sa}:{sc}|{ta}:{tc}|"
                 f"{acc_t}|{w}|{s}|{e}|{n}|{1 if dep else 0}|{extras}|{area}|{name}|"
-                f"{b64(scope)}|{b64(remark)}|{mname}")
+                f"{b64(scope)}|{b64(remark)}|{mname}|{ver or ''}")
 
     table_for_kind = {'H': 'helmert_transformation', 'G': 'grid_transformation',
                       'O': 'other_transformation', 'C': 'concatenated_operation',
@@ -495,7 +526,7 @@ def main():
             r['source_crs_auth_name'], r['source_crs_code'],
             r['target_crs_auth_name'], r['target_crs_code'],
             r['accuracy'], r['deprecated'], ';'.join(kv), r['name'],
-            r['description'], r['method_name']))
+            r['description'], r['method_name'], r['operation_version']))
 
     # grid alternatives (EPSG grid name -> PROJ-delivered file)
     galt = {}
@@ -522,7 +553,7 @@ def main():
             r['source_crs_auth_name'], r['source_crs_code'],
             r['target_crs_auth_name'], r['target_crs_code'],
             r['accuracy'], r['deprecated'], ';'.join(kv), r['name'],
-            r['description'], r['method_name']))
+            r['description'], r['method_name'], r['operation_version']))
 
     for r in db.execute("select * from other_transformation"):
         if r['auth_name'] not in AUTHS or r['source_crs_auth_name'] not in AUTHS \
@@ -536,7 +567,7 @@ def main():
                 r['source_crs_auth_name'], r['source_crs_code'],
                 r['target_crs_auth_name'], r['target_crs_code'],
                 r['accuracy'], r['deprecated'], 'str=' + enc, r['name'],
-                r['description'], ''))
+                r['description'], '', r['operation_version']))
             continue
         kv = []
         for i in range(1, 10):
@@ -561,7 +592,7 @@ def main():
             r['source_crs_auth_name'], r['source_crs_code'],
             r['target_crs_auth_name'], r['target_crs_code'],
             r['accuracy'], r['deprecated'], ';'.join(kv), r['name'],
-            r['description'], r['method_name']))
+            r['description'], r['method_name'], r['operation_version']))
 
     steps = {}
     for r in db.execute("select operation_auth_name a, operation_code c,"
@@ -605,7 +636,7 @@ def main():
             r['source_crs_auth_name'], r['source_crs_code'],
             r['target_crs_auth_name'], r['target_crs_code'],
             r['accuracy'], r['deprecated'], 'steps=' + ','.join(toks), r['name'],
-            r['description'], ''))
+            r['description'], '', r['operation_version']))
 
     for r in db.execute("select superseded_auth_name a, superseded_code c,"
                         " replacement_auth_name ra, replacement_code rc,"

@@ -1,0 +1,821 @@
+package graft.cli
+
+import graft.proj.{EpsgDb, EpsgMeta}
+import graft.proj.EpsgDb.Bbox
+import graft.proj.OpFactory
+import graft.proj.OpFactory.{Candidate, GridMode, Options, Resolved}
+import graft.proj.wkt.WktOut
+import graft.proj.wkt.WktOut.{Child, Node, Q, Raw}
+
+/** The projinfo app: describe CRSs/datums/ellipsoids back out (WKT2, PROJ
+  * strings) and query candidate coordinate operations between CRS pairs,
+  * replaying the reference's test_projinfo.yaml byte-for-byte on the
+  * supported subset.
+  *
+  * Behavioral provenance (no code copied): reference
+  * src/apps/projinfo_lib.cpp — argument grammar, output section order and
+  * headers, candidate summaries, the spatial-criterion note, and the
+  * area-of-use search protocol.
+  */
+object CliProjinfo {
+
+  private def db = EpsgDb.db
+  private def meta = EpsgMeta.meta
+
+  private final class Opt {
+    var sourceCrs = ""
+    var targetCrs = ""
+    var outPROJ = false
+    var outWkt2019 = false
+    var outWkt2015 = false
+    var outSpecified = false
+    var quiet = false
+    var singleLine = false
+    var summary = false
+    var kind = ""
+    var bboxStr = ""
+    var area = ""
+    var spatialExplicit = false
+    var spatialIntersects = false
+    var crsExtentUse = "smallest"
+    var gridCheck = ""
+    var hideBallpark = false
+    var accuracy = -1.0
+    var authority = ""
+    var showSuperseded = false
+    var promote3D = false
+    var normalizeAxisOrder = false
+    var positional = Vector.empty[String]
+  }
+
+  def run(args: Seq[String], stdin: String, prog: String,
+          files: Map[String, String],
+          env: Map[String, String] = Map.empty): CliResult = {
+    val io = new CliOut
+    val code = try execute(args, io, env)
+    catch {
+      case e: CliExit =>
+        io.err(e.message + "\n"); e.code
+      case e: Throwable =>
+        io.err(s"projinfo: ${e.getMessage}\n"); 1
+    }
+    CliResult(io.stdout, io.stderr, io.combined, code)
+  }
+
+  private def usage(io: CliOut): Int = {
+    io.err("usage: projinfo [-o formats] [-k kind] [--summary] [-q] " +
+      "[-s crs] [-t crs] [--bbox w,s,e,n] [--area name_or_code] " +
+      "[--spatial-test contains|intersects] [--crs-extent-use mode] " +
+      "[--grid-check mode] [--accuracy a] [--hide-ballpark] [--3d] " +
+      "[--single-line] object_or_crs\n")
+    1
+  }
+
+  // ------------------------------------------------------------ parse
+
+  private def execute(args: Seq[String], io: CliOut,
+                      env: Map[String, String]): Int = {
+    val o = new Opt
+    var i = 0
+    def next(): String = { i += 1; if (i < args.length) args(i) else "" }
+    while (i < args.length) {
+      val a = args(i)
+      a match {
+        case "-o" =>
+          o.outSpecified = true
+          for (f <- next().split(',')) f.toUpperCase.replace('-', '_')
+            .replace(':', '_') match {
+            case "ALL" =>
+              o.outPROJ = true; o.outWkt2019 = true; o.outWkt2015 = true
+            case "DEFAULT" => o.outPROJ = true; o.outWkt2019 = true
+            case "PROJ" => o.outPROJ = true
+            case "WKT2_2019" | "WKT2_2018" => o.outWkt2019 = true
+            case "WKT2_2015" => o.outWkt2015 = true
+            case other =>
+              io.err(s"Unrecognized value for option -o: $f\n")
+              return usage(io)
+          }
+        case "-s" | "--source-crs" => o.sourceCrs = next()
+        case "-t" | "--target-crs" => o.targetCrs = next()
+        case "-k" =>
+          next().toLowerCase match {
+            case "crs" | "srs" => o.kind = "crs"
+            case "operation" => o.kind = "operation"
+            case "ellipsoid" => o.kind = "ellipsoid"
+            case "datum" => o.kind = "datum"
+            case "ensemble" => o.kind = "ensemble"
+            case other =>
+              io.err(s"Unrecognized value for option -k: $other\n")
+              return usage(io)
+          }
+        case "-q" | "--quiet" => o.quiet = true
+        case "--single-line" => o.singleLine = true
+        case "--summary" => o.summary = true
+        case "--bbox" => o.bboxStr = next()
+        case "--area" => o.area = next()
+        case "--accuracy" => o.accuracy = next().toDouble
+        case "--spatial-test" =>
+          o.spatialExplicit = true
+          next().toLowerCase match {
+            case "contains" => o.spatialIntersects = false
+            case "intersects" => o.spatialIntersects = true
+            case other =>
+              io.err(s"Unrecognized value for option --spatial-test: $other\n")
+              return usage(io)
+          }
+        case "--crs-extent-use" => o.crsExtentUse = next().toLowerCase
+        case "--grid-check" => o.gridCheck = next().toLowerCase
+        case "--hide-ballpark" => o.hideBallpark = true
+        case "--3d" => o.promote3D = true
+        case "--normalize-axis-order" => o.normalizeAxisOrder = true
+        case "--authority" => o.authority = next()
+        case "--show-superseded" => o.showSuperseded = true
+        case "--pivot-crs" => next()
+        case "--s_epoch" | "--t_epoch" => next()
+        case _ if a.startsWith("-") && a.length > 1 =>
+          io.err(s"Unrecognized option: $a\n")
+          return usage(io)
+        case _ => o.positional :+= a
+      }
+      i += 1
+    }
+
+    var userString = ""
+    if (o.sourceCrs.isEmpty && o.targetCrs.isEmpty && o.positional.length == 2) {
+      o.sourceCrs = o.positional(0); o.targetCrs = o.positional(1)
+      o.positional = Vector.empty
+    } else if (o.positional.length == 1) {
+      userString = o.positional.head
+    } else if (o.positional.length > 1) {
+      io.err(s"Too many parameters: ${o.positional(1)}\n")
+      return usage(io)
+    }
+    if (o.sourceCrs.nonEmpty && o.targetCrs.isEmpty) {
+      io.err("Source CRS specified, but missing target CRS\n")
+      return usage(io)
+    }
+    if (o.sourceCrs.isEmpty && o.targetCrs.nonEmpty) {
+      io.err("Target CRS specified, but missing source CRS\n")
+      return usage(io)
+    }
+    if (userString.isEmpty && o.sourceCrs.isEmpty) {
+      io.err("Missing user string\n")
+      return usage(io)
+    }
+    if (o.bboxStr.nonEmpty && o.area.nonEmpty) {
+      io.err("ERROR: --bbox and --area are exclusive\n")
+      return 1
+    }
+    if (!o.outSpecified) { o.outPROJ = true; o.outWkt2019 = true }
+
+    if (userString.nonEmpty) outputSingleObject(userString, o, io)
+    else outputOperations(o, io)
+  }
+
+  // --------------------------------------------------- single objects
+
+  private def resolveDatum(s: String): Option[String] = {
+    val byCode = if (s.contains(":")) Some(normKey(s)).filter(db.datums.contains)
+      else None
+    byCode.orElse(db.byName(s, "D").headOption.map(_._2))
+  }
+
+  private def normKey(s: String): String = {
+    val i = s.indexOf(':')
+    if (i < 0) "EPSG:" + s else s.substring(0, i).toUpperCase + s.substring(i)
+  }
+
+  private def outputSingleObject(s: String, o: Opt, io: CliOut): Int = {
+    val sections = Vector.newBuilder[(String, String)]
+    def wktOf(n: Node): String = WktOut.render(n, !o.singleLine)
+
+    o.kind match {
+      case "ellipsoid" =>
+        val key = (if (s.contains(":")) Some(normKey(s)).filter(meta.ells.contains)
+          else None).orElse(db.byName(s, "B").headOption.map(_._2))
+          .getOrElse { io.err("buildObject failed: ellipsoid not found\n"); return 1 }
+        if (o.outPROJ) {
+          val e = meta.ells(key)
+          projEllps(e).foreach(p => sections += (("PROJ string:", p)))
+        }
+        if (o.outWkt2019)
+          sections += (("WKT2:2019 string:",
+            wktOf(WktOut.ellipsoidNode(key, ids = true, selfId = true))))
+      case "datum" =>
+        val key = resolveDatum(s).getOrElse {
+          io.err("buildObject failed: datum not found\n"); return 1 }
+        if (o.outWkt2019)
+          sections += (("WKT2:2019 string:",
+            wktOf(WktOut.datumNode(key, v2019 = true, ids = true,
+              selfId = true, forceDatum = true))))
+      case "ensemble" =>
+        val key = resolveDatum(s).filter(db.ensembleMembers.contains).getOrElse {
+          io.err("buildObject failed: ensemble not found\n"); return 1 }
+        if (o.outWkt2019)
+          sections += (("WKT2:2019 string:",
+            wktOf(WktOut.datumNode(key, v2019 = true, ids = true, selfId = true))))
+      case "operation" =>
+        val key = normKey(s)
+        val op = db.ops.find(_.code == key).getOrElse {
+          io.err("buildObject failed: operation not found\n"); return 1 }
+        val cand = (for {
+          src <- OpFactory.resolveCode(op.srcCrs)
+          dst <- OpFactory.resolveCode(op.dstCrs)
+          list = OpFactory.createListForDisplay(src, dst,
+            Options(allowBallpark = false), GridMode.Ignore)
+          c <- list.find(_.dispHops.map(_._1.code) == Seq(key))
+        } yield (src, dst, c)).getOrElse {
+          io.err("buildObject failed: cannot instantiate operation\n"); return 1 }
+        if (o.outPROJ)
+          sections += (("PROJ string:",
+            ProjOut.candidateProj(cand._1, cand._2, cand._3, !o.singleLine)))
+      case _ =>
+        // CRS (by code or name), falling back through datum/ensemble,
+        // vertical datum, ellipsoid for bare names — the reference's
+        // createFromUserInput object search order
+        val asCrs: Option[Resolved] =
+          if (o.kind == "crs") {
+            // -k crs: CRS names only (EGM2008 -> the height CRS)
+            OpFactory.resolve(s).orElse(
+              db.byName(s + " height", "V").headOption.flatMap { case (_, c) =>
+                OpFactory.resolveCode(c) })
+          } else OpFactory.resolve(s)
+        val asVertCrs = if (o.kind == "crs" && asCrs.isEmpty)
+          db.byName(s, "V").headOption else None
+        asCrs match {
+          case Some(r) if o.kind == "crs" || s.contains(":") ||
+            db.byName(s, "CPX").nonEmpty =>
+            return outputCrs(r, o, io, sections)
+          case _ =>
+            // bare names: datum/ensemble, then vertical datum, then ellipsoid
+            resolveDatum(s) match {
+              case Some(dk) =>
+                if (o.outWkt2019)
+                  sections += (("WKT2:2019 string:",
+                    wktOf(WktOut.datumNode(dk, v2019 = true, ids = true,
+                      selfId = true))))
+              case None =>
+                db.byName(s, "W").headOption match {
+                  case Some((_, vk)) =>
+                    if (o.outWkt2019)
+                      sections += (("WKT2:2019 string:",
+                        wktOf(WktOut.vdatumNode(vk, ids = true))))
+                  case None =>
+                    asCrs match {
+                      case Some(r) => return outputCrs(r, o, io, sections)
+                      case None =>
+                        io.err("buildObject failed: object not found\n")
+                        return 1
+                    }
+                }
+            }
+        }
+    }
+    emitSections(sections.result(), o, io)
+    0
+  }
+
+  /** vertical CRS for a -k crs lookup of a datum-ish name */
+  private def outputCrs(r: Resolved, o: Opt, io: CliOut,
+                        sections: scala.collection.mutable.Builder[(String, String), Vector[(String, String)]]): Int = {
+    val code = r.projCode.getOrElse(r.geod.code)
+    val cm = meta.crs.get(code)
+    if (!o.quiet && cm.exists(_.deprecated)) {
+      io.out("Warning: object is deprecated\n")
+      // alternative non-deprecated CRSs share the name minus "(deprecated)"
+      nonDeprecatedAlternatives(code).foreach { alts =>
+        io.out("Alternative non-deprecated CRS:\n")
+        alts.foreach(a => io.out(s"  $a\n"))
+      }
+      io.out("\n")
+    }
+    if (o.outPROJ)
+      crsProjString(code).foreach(p => sections += (("PROJ.4 string:", p)))
+    if (o.outWkt2015)
+      WktOut.crsNode(code, v2019 = false, ids = true).foreach(n =>
+        sections += (("WKT2:2015 string:", WktOut.render(n, !o.singleLine))))
+    if (o.outWkt2019)
+      WktOut.crsNode(code, v2019 = true, ids = true).foreach(n =>
+        sections += (("WKT2:2019 string:", WktOut.render(n, !o.singleLine))))
+    emitSections(sections.result(), o, io)
+    0
+  }
+
+  private def nonDeprecatedAlternatives(code: String): Option[Seq[String]] = {
+    // the reference's getNonDeprecated uses the deprecation table; the
+    // sidecar does not carry it, so alternates resolve through the shared
+    // name index (a deprecated CRS and its replacement share the name)
+    val name = db.projected.get(code).map(_.name)
+      .orElse(db.geodetic.get(code).map(_.name))
+    name.flatMap { n =>
+      val alts = db.byName(n, "CP").map(_._2)
+        .filter(c => c != code && meta.crs.get(c).exists(!_.deprecated))
+      if (alts.isEmpty) None else Some(alts)
+    }
+  }
+
+  /** EPSG datum code -> legacy PROJ datum id (reference src/datums.cpp
+    * pj_datums; the PROJ.4 CRS export folds a matching datum+towgs84 back
+    * into +datum=). */
+  private val projDatumByCode = Map(
+    "EPSG:6326" -> "WGS84", "EPSG:6269" -> "NAD83", "EPSG:6267" -> "NAD27",
+    "EPSG:6314" -> "potsdam", "EPSG:6223" -> "carthage",
+    "EPSG:6312" -> "hermannskogel", "EPSG:6299" -> "ire65",
+    "EPSG:6272" -> "nzgd49", "EPSG:6277" -> "OSGB36")
+
+  /** legacy PROJ.4 string of a CRS, normalized as the reference exports it
+    * (datum= where a named datum matches, numbers re-derived, +type=crs). */
+  private def crsProjString(code: String): Option[String] = {
+    if (!code.startsWith("EPSG:")) return None
+    val num = code.substring(5)
+    val datumName = db.geodetic.get(code).orElse(
+      db.projected.get(code).flatMap(p => db.geodetic.get(p.baseGeog)))
+      .flatMap(g => projDatumByCode.get(g.datum))
+    graft.proj.Proj.epsgInitLookup(num).map { raw =>
+      val step = ProjOut.parse(raw.split("\\s+").iterator.filter(_.nonEmpty)
+        .map(_.stripPrefix("+"))
+        .filterNot(t => t == "no_defs" || t.startsWith("towgs84="))
+        .mkString(" ")).head
+      var rendered = ProjOut.render(Vector(step), multiline = false)
+      datumName.foreach { d =>
+        rendered = rendered.replaceAll("\\+ellps=\\S+", s"+datum=$d")
+      }
+      rendered + " +no_defs +type=crs"
+    }
+  }
+
+  private def projEllps(e: EpsgMeta.Ell): Option[String] = {
+    // named-ellipsoid reverse lookup through the PROJ table
+    val a = e.aText; val rf = e.rfText
+    graft.proj.Ellipsoids.table.collectFirst {
+      case (n, (aDef, shapeDef))
+        if aDef.stripPrefix("a=").toDouble == a.toDouble &&
+          shapeDef.startsWith("rf=") && rf.nonEmpty &&
+          shapeDef.stripPrefix("rf=").toDouble == rf.toDouble =>
+        s"+ellps=$n"
+    }
+  }
+
+  private def emitSections(sections: Seq[(String, String)], o: Opt,
+                           io: CliOut): Unit = {
+    var first = true
+    for ((header, body) <- sections) {
+      if (!first) io.out("\n")
+      first = false
+      if (!o.quiet) io.out(header + "\n")
+      io.out(body + "\n")
+    }
+  }
+
+  // ----------------------------------------------------- operations
+
+  private def boxContains(outer: Bbox, inner: Bbox): Boolean =
+    outer.west <= inner.west && outer.east >= inner.east &&
+      outer.south <= inner.south && outer.north >= inner.north
+
+  private def boxIntersects(a: Bbox, b: Bbox): Boolean =
+    math.max(a.west, b.west) <= math.min(a.east, b.east) &&
+      math.max(a.south, b.south) <= math.min(a.north, b.north)
+
+  /** antimeridian split (west > east wraps) */
+  private def splitBox(b: Bbox): Seq[Bbox] =
+    if (b.west > b.east) Seq(Bbox(b.west, b.south, 180, b.north),
+      Bbox(-180, b.south, b.east, b.north))
+    else Seq(b)
+
+  private def candIntersects(candBoxes: Seq[Bbox], aoi: Bbox): Boolean =
+    splitBox(aoi).exists(ab => candBoxes.exists(cb => boxIntersects(cb, ab)))
+
+  private def candContains(candBoxes: Seq[Bbox], aoi: Bbox): Boolean =
+    splitBox(aoi).forall(ab => candBoxes.exists(cb => boxContains(cb, ab)))
+
+  private def pseudoArea(b: Bbox): Double = {
+    val w = b.east - b.west
+    (if (w < 0) w + 360 else w) * (b.north - b.south)
+  }
+
+  private def outputOperations(o: Opt, io: CliOut): Int = {
+    val src = OpFactory.resolve(o.sourceCrs).getOrElse {
+      io.err("crs not found: " + o.sourceCrs + "\n"); return 1 }
+    val dst = OpFactory.resolve(o.targetCrs).getOrElse {
+      io.err("crs not found: " + o.targetCrs + "\n"); return 1 }
+
+    // area of interest
+    var aoi: Option[Bbox] = None
+    var aoiDesc: Option[String] = None
+    if (o.bboxStr.nonEmpty) {
+      val p = o.bboxStr.split(',')
+      if (p.length != 4) {
+        io.err(s"Incorrect number of values for option --bbox: ${o.bboxStr}\n")
+        return usage(io)
+      }
+      aoi = Some(Bbox(p(0).toDouble, p(1).toDouble, p(2).toDouble, p(3).toDouble))
+    } else if (o.area.nonEmpty) {
+      areaFilter(o.area, io) match {
+        case Left(rc) => return rc
+        case Right(e) => aoi = e.bbox; aoiDesc = Some(e.desc).filter(_.nonEmpty)
+      }
+    } else o.crsExtentUse match {
+      case "none" => aoi = None
+      case "intersection" =>
+        aoi = (src.bbox, dst.bbox) match {
+          case (Some(a), Some(b)) if boxIntersects(a, b) =>
+            Some(Bbox(math.max(a.west, b.west), math.max(a.south, b.south),
+              math.min(a.east, b.east), math.min(a.north, b.north)))
+          case _ => None
+        }
+      case _ => // smallest (default) and both
+        aoi = (src.bbox, dst.bbox) match {
+          case (Some(a), Some(b)) =>
+            Some(if (pseudoArea(a) <= pseudoArea(b)) a else b)
+          case (a, b) => a.orElse(b)
+        }
+    }
+
+    val gridMode = o.gridCheck match {
+      case "none" => GridMode.Ignore
+      case "discard_missing" => GridMode.Discard
+      case "known_available" => GridMode.Known
+      case _ => GridMode.Sort
+    }
+    val opts = Options(
+      authority = if (o.authority.nonEmpty) Some(o.authority) else None,
+      accuracy = o.accuracy,
+      allowBallpark = !o.hideBallpark)
+    val all = OpFactory.createListForDisplay(src, dst, opts, gridMode)
+
+    // the synthesized ballpark's domain is the shared CRS extent when the
+    // pair's extents are equivalent, else World (reference
+    // createBallparkGeographicOffset)
+    def effBoxes(c: Candidate): Seq[Bbox] =
+      if (c.ballpark && c.dispHops.isEmpty &&
+        (crsAreaName(src) != crsAreaName(dst) || crsAreaName(src).isEmpty))
+        Seq(Bbox(-180, -90, 180, 90))
+      else c.boxes
+
+    def candDesc(c: Candidate): Option[String] =
+      meta.descOfArea(c.areaName).orElse(
+        if (c.ballpark) Some("World") else None)
+
+    def filtered(intersects: Boolean): Vector[Candidate] = {
+      var list = all
+      // --area with a described extent: if any candidate's own extent has
+      // exactly that description, restrict to those (reference filterOut
+      // foundExtentWithExpectedDescription)
+      aoiDesc.foreach { d =>
+        if (list.exists(c => candDesc(c).contains(d)))
+          list = list.filter(c => candDesc(c).contains(d))
+      }
+      aoi.foreach { box =>
+        list = list.filter { c =>
+          if (intersects) candIntersects(effBoxes(c), box)
+          else candContains(effBoxes(c), box)
+        }
+      }
+      // drop a trailing synthesized ballpark/null op when a gridless real
+      // candidate covers the area of interest (reference
+      // removeSyntheticNullTransforms)
+      val coveredByGridless = aoi.exists(box => all.exists(c =>
+        !c.ballpark && !c.ballparkVertical && c.grids.isEmpty &&
+          candContains(effBoxes(c), box)))
+      if (coveredByGridless && list.length > 1 &&
+        (list.last.ballpark || list.last.name.startsWith("Null ")))
+        list = list.init
+      list
+    }
+
+    val list = filtered(o.spatialIntersects)
+    var note = ""
+    if (!o.spatialExplicit && !o.spatialIntersects) {
+      val list2 = filtered(intersects = true)
+      if (list2.length > list.length)
+        note = s"Note: using '--spatial-test intersects' would bring more results (${list2.length})"
+      else if (list2.length == 1 && list.length == 1 &&
+        list2.head.name != list.head.name)
+        note = "Note: using '--spatial-test intersects' would bring more relevant results."
+    }
+
+    if (o.quiet) {
+      if (list.nonEmpty) {
+        val sections = Vector.newBuilder[(String, String)]
+        if (o.outPROJ)
+          sections += (("PROJ string:",
+            ProjOut.candidateProj(src, dst, list.head, !o.singleLine)))
+        if (o.outWkt2019)
+          operationWkt(src, dst, list.head).foreach(n =>
+            sections += (("WKT2:2019 string:", WktOut.render(n, !o.singleLine))))
+        emitSections(sections.result(), o, io)
+      }
+      return 0
+    }
+
+    io.out(s"Candidate operations found: ${list.length}\n")
+    if (note.nonEmpty) io.out(note + "\n")
+    if (o.summary) {
+      list.foreach(c => io.out(summaryLine(src, dst, c) + "\n"))
+    } else {
+      var first = true
+      for ((c, idx) <- list.zipWithIndex) {
+        if (!first) io.out("\n")
+        first = false
+        io.out("-------------------------------------\n")
+        io.out(s"Operation No. ${idx + 1}:\n\n")
+        io.out(summaryLine(src, dst, c) + "\n\n")
+        val sections = Vector.newBuilder[(String, String)]
+        if (o.outPROJ)
+          sections += (("PROJ string:",
+            ProjOut.candidateProj(src, dst, c, !o.singleLine)))
+        if (o.outWkt2019)
+          operationWkt(src, dst, c).foreach(n =>
+            sections += (("WKT2:2019 string:", WktOut.render(n, !o.singleLine))))
+        emitSections(sections.result(), o, io)
+      }
+    }
+    0
+  }
+
+  private def areaFilter(area: String, io: CliOut): Either[Int, EpsgMeta.Extent] = {
+    if (!area.contains(' ') && area.contains(':')) {
+      val key = normKey(area)
+      return meta.extents.get(key).toRight {
+        io.err("Area of use retrieval failed: extent not found\n"); 1
+      }
+    }
+    val exact = meta.areasByName(area, approx = false)
+    val found = if (exact.nonEmpty) exact else meta.areasByName(area, approx = true)
+    found match {
+      case Seq() =>
+        io.err("No area of use matching provided name\n"); Left(1)
+      case Seq(one) => Right(one)
+      case several =>
+        io.err("Several candidates area of use matching provided name :\n")
+        several.foreach(e => io.err(s"  ${e.code} : ${e.desc}\n"))
+        Left(1)
+    }
+  }
+
+  // ------------------------------------------------ candidate display
+
+  /** conversion legs implied by projected ends (empty when the candidate
+    * operates in projected space directly). */
+  private def convLegs(src: Resolved, dst: Resolved,
+                       c: Candidate): (Option[String], Option[String]) = {
+    if (c.wholeCrs) (None, None)
+    else {
+      def convName(code: String): Option[String] =
+        EpsgMeta.projConv.get(code).map(_._2).filter(_.nonEmpty)
+      (src.projCode.flatMap(convName), dst.projCode.flatMap(convName))
+    }
+  }
+
+  private def hopName(op: EpsgDb.Op, inv: Boolean): String =
+    if (inv) "Inverse of " + op.name else op.name
+
+  /** candidate identity for display: the single op's code (with
+    * INVERSE/DERIVED_FROM wrappers), or unknown. */
+  private def displayId(src: Resolved, dst: Resolved, c: Candidate): String = {
+    val (lc, rc) = convLegs(src, dst, c)
+    if (c.ballpark || c.ballparkVertical) "unknown id"
+    else if (c.dispHops.isEmpty && lc.isEmpty && rc.isDefined &&
+      dst.projCode.isDefined) {
+      // bare conversion: geographic -> its own projected CRS
+      EpsgMeta.projConv.get(dst.projCode.get).map(_._1)
+        .filter(meta.convs.contains).map(k => k.replace(":", ":"))
+        .map(k => s"${k.substring(0, k.indexOf(':'))}:${k.substring(k.indexOf(':') + 1)}")
+        .getOrElse("unknown id")
+    } else if (c.dispHops.length == 1 && lc.isEmpty && rc.isEmpty) {
+      val (op, inv) = c.dispHops.head
+      val derived = op.kind == 'G' &&
+        db.gridAlias.get(op.extras.getOrElse("grid", ""))
+          .exists(a => a.proj.nonEmpty && a.proj != op.extras("grid"))
+      var auth = op.auth
+      if (derived) auth = s"DERIVED_FROM($auth)"
+      if (inv) auth = s"INVERSE($auth)"
+      s"$auth:${op.code.substring(op.code.indexOf(':') + 1)}"
+    } else "unknown id"
+  }
+
+  private def displayName(src: Resolved, dst: Resolved, c: Candidate): String = {
+    val (lc, rc) = convLegs(src, dst, c)
+    val parts = Vector.newBuilder[String]
+    lc.foreach(n => parts += s"Inverse of $n")
+    if (c.name.nonEmpty && !(c.dispHops.isEmpty && !c.ballpark &&
+      !c.ballparkVertical && (lc.isDefined || rc.isDefined)))
+      parts += c.name
+    rc.foreach(n => parts += n)
+    val v = parts.result()
+    if (v.isEmpty) c.name else v.mkString(" + ")
+  }
+
+  /** accuracy text: DB-verbatim for identified single ops, computed sums
+    * formatted as the reference's toString for compositions. */
+  private def displayAccuracy(src: Resolved, dst: Resolved, c: Candidate): String = {
+    val (lc, rc) = convLegs(src, dst, c)
+    if (c.ballpark || c.ballparkVertical || c.accuracy < 0) "unknown accuracy"
+    else if (c.dispHops.isEmpty) "0 m"
+    else if (c.dispHops.length == 1 && lc.isEmpty && rc.isEmpty) {
+      val acc = opAccText(c.dispHops.head._1)
+      if (acc.isEmpty) "unknown accuracy" else acc + " m"
+    } else WktOut.num(c.accuracy) + " m"
+  }
+
+  private def opAccText(op: EpsgDb.Op): String =
+    if (op.accuracy < 0) "" else {
+      // the sidecar keeps the database's text form in the op record via
+      // the parse; reconstruct minimal text when it was numeric
+      opAccRaw.getOrElse(op.code, WktOut.num(op.accuracy))
+    }
+
+  /** DB-verbatim accuracy strings (field 7 of O records). */
+  private lazy val opAccRaw: Map[String, String] = {
+    val in = getClass.getResourceAsStream("/graft/epsg_ops")
+    val b = Map.newBuilder[String, String]
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, "UTF-8"), 1 << 20)
+    try {
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.startsWith("O|")) {
+          val f = line.split("\\|", -1)
+          if (f(6).nonEmpty) b += f(1) -> f(6)
+        }
+        line = reader.readLine()
+      }
+    } finally reader.close()
+    b.result()
+  }
+
+  /** domain-of-validity text: intersection with the containment shortcut
+    * that preserves the contained extent's description. */
+  private def displayArea(src: Resolved, dst: Resolved, c: Candidate): String = {
+    if (c.ballpark && c.dispHops.isEmpty) {
+      // synthesized ballpark: the CRS pair's shared extent keeps its
+      // description, otherwise the in-memory World extent
+      val sa = crsAreaName(src); val da = crsAreaName(dst)
+      return if (sa.nonEmpty && sa == da)
+        meta.descOfArea(sa).getOrElse("World")
+      else "World"
+    }
+    val (lc, rc) = convLegs(src, dst, c)
+    var acc: Option[(Bbox, Option[String])] = None
+    def add(bbox: Option[Bbox], areaName: String): Unit = {
+      val b = bbox.getOrElse(Bbox(-180, -90, 180, 90))
+      val desc = meta.descOfArea(areaName)
+      acc match {
+        case None => acc = Some((b, desc))
+        case Some((cur, curDesc)) =>
+          if (boxContains(cur, b)) acc = Some((b, desc))
+          else if (boxContains(b, cur)) () // keep current
+          else acc = Some((Bbox(math.max(cur.west, b.west),
+            math.max(cur.south, b.south), math.min(cur.east, b.east),
+            math.min(cur.north, b.north)), None))
+      }
+    }
+    lc.foreach { _ =>
+      val code = src.projCode.get
+      val convKey = EpsgMeta.projConv.get(code).map(_._1).getOrElse("")
+      meta.convs.get(convKey).foreach(k =>
+        add(meta.extents.values.find(_.name == k.areaName).flatMap(_.bbox),
+          k.areaName))
+    }
+    for ((op, _) <- c.dispHops) add(op.bbox, op.areaName)
+    rc.foreach { _ =>
+      val code = dst.projCode.get
+      val convKey = EpsgMeta.projConv.get(code).map(_._1).getOrElse("")
+      meta.convs.get(convKey).foreach(k =>
+        add(meta.extents.values.find(_.name == k.areaName).flatMap(_.bbox),
+          k.areaName))
+    }
+    if (c.dispHops.isEmpty && (lc.isDefined || rc.isDefined)) {
+      // bare conversion: its own extent
+      val code = dst.projCode.orElse(src.projCode).get
+      val convKey = EpsgMeta.projConv.get(code).map(_._1).getOrElse("")
+      meta.convs.get(convKey).foreach(k =>
+        acc = Some((Bbox(0, 0, 0, 0), meta.descOfArea(k.areaName))))
+    }
+    acc.flatMap(_._2).getOrElse(
+      if (acc.exists(_._1 == Bbox(-180, -90, 180, 90))) "World"
+      else "unknown domain of validity")
+  }
+
+  private def crsAreaName(r: Resolved): String = {
+    val code = r.projCode.getOrElse(r.geod.code)
+    meta.crs.get(code).map(_.areaName).getOrElse("")
+  }
+
+  private def summaryLine(src: Resolved, dst: Resolved, c: Candidate): String = {
+    val sb = new StringBuilder
+    sb ++= displayId(src, dst, c)
+    sb ++= ", "
+    sb ++= displayName(src, dst, c)
+    sb ++= ", "
+    sb ++= displayAccuracy(src, dst, c)
+    sb ++= ", "
+    sb ++= displayArea(src, dst, c)
+    if (c.ballpark || c.ballparkVertical) sb ++= ", has ballpark transformation"
+    if (c.dispHops.exists(h => h._1.extras.contains("epoch") ||
+      h._1.extras.contains("dx")))
+      sb ++= ", time-dependent operation"
+    sb.toString
+  }
+
+  // --------------------------------------------------- operation WKT
+
+  /** WKT2:2019 of a candidate: CONVERSION for bare conversions,
+    * COORDINATEOPERATION for single ops and ballparks. */
+  private def operationWkt(src: Resolved, dst: Resolved,
+                           c: Candidate): Option[Node] = {
+    val (lc, rc) = convLegs(src, dst, c)
+    if (c.ballpark) return Some(ballparkWkt(src, dst, c))
+    if (c.dispHops.isEmpty && lc.isEmpty && rc.isDefined) {
+      val convKey = EpsgMeta.projConv.get(dst.projCode.get).map(_._1)
+        .getOrElse("")
+      return meta.convs.get(convKey).map(_ =>
+        WktOut.conversionNode(convKey, ids = true))
+    }
+    if (c.dispHops.length == 1 && lc.isEmpty && rc.isEmpty)
+      return Some(singleOpWkt(src, dst, c))
+    None
+  }
+
+  private def crsRefNode(r: Resolved): Option[Node] = {
+    val code = r.projCode.getOrElse(r.geod.code)
+    val full = r.vert.map(v => db.compound.find(_._2.horiz == code)
+      .map(_._1)).flatten
+    WktOut.crsNode(full.getOrElse(code), v2019 = true, ids = true,
+      withUsage = false)
+  }
+
+  private def singleOpWkt(src: Resolved, dst: Resolved, c: Candidate): Node = {
+    val (op, inv) = c.dispHops.head
+    val om = meta.opMeta.getOrElse(op.code, EpsgMeta.OpMeta("", "", "", ""))
+    val name = hopName(op, inv)
+    val derivedOp = op.extras.get("grid").flatMap(db.gridAlias.get).exists(a =>
+      a.proj.nonEmpty && a.proj != op.extras("grid"))
+    // the PROJ-alternative-grid derivative keeps the name and id but not
+    // the registry's operation version
+    val version = if (om.version.nonEmpty && !derivedOp)
+      Seq(Child(Node("VERSION", Seq(Q(om.version))))) else Nil
+    val srcN = crsRefNode(src).map(n => Child(Node("SOURCECRS", Seq(Child(n)))))
+    val dstN = crsRefNode(dst).map(n => Child(Node("TARGETCRS", Seq(Child(n)))))
+    val derivedAlias = op.extras.get("grid").flatMap(db.gridAlias.get)
+    val (methodParts, paramParts) = op.kind match {
+      case 'G' =>
+        val file = c.grids.headOption.map(_._1)
+          .getOrElse(op.extras.getOrElse("grid", ""))
+        val substituted = derivedAlias.exists(a =>
+          a.proj.nonEmpty && a.proj != op.extras("grid"))
+        val m =
+          if (substituted) {
+            val kw = derivedAlias.map(_.method).getOrElse("hgridshift") match {
+              case "gridshift" => "GENERAL_SHIFT_GTIFF"
+              case "geoid_like" | "vgridshift" => "GEOGRAPHIC3D_TO_GRAVITYRELATEDHEIGHT_GTG"
+              case _ => "HORIZONTAL_SHIFT_GTIFF"
+            }
+            Node("METHOD", Seq(Q(kw)))
+          } else Node("METHOD", Seq(Q(om.methodName),
+            Child(WktOut.idNode(s"EPSG:${op.method}"))))
+        val pfileName = "Latitude and longitude difference file"
+        (Seq(Child(m)),
+          Seq(Child(Node("PARAMETERFILE", Seq(Q(pfileName), Q(file))))))
+      case _ =>
+        val m = Node("METHOD", Seq(Q(om.methodName),
+          Child(WktOut.idNode(s"EPSG:${op.method}"))))
+        (Seq(Child(m)), Nil)
+    }
+    val acc = opAccText(op)
+    val accN = if (acc.nonEmpty)
+      Seq(Child(Node("OPERATIONACCURACY", Seq(Raw(acc))))) else Nil
+    val usage = WktOut.usageParts(om.scope, op.areaName, op.bbox, v2019 = true)
+    val idAuth = {
+      val derived = derivedAlias.exists(a =>
+        a.proj.nonEmpty && a.proj != op.extras("grid"))
+      if (derived) s"DERIVED_FROM(${op.auth})" else op.auth
+    }
+    val idN = Seq(Child(Node("ID", Seq(Q(idAuth),
+      Raw(op.code.substring(op.code.indexOf(':') + 1))))))
+    val remark = if (om.remark.nonEmpty)
+      Seq(Child(Node("REMARK", Seq(Q(om.remark))))) else Nil
+    Node("COORDINATEOPERATION", Seq(Q(name)) ++ version ++
+      srcN.toSeq ++ dstN.toSeq ++ methodParts ++ paramParts ++ accN ++
+      usage ++ idN ++ remark)
+  }
+
+  private def ballparkWkt(src: Resolved, dst: Resolved, c: Candidate): Node = {
+    val srcN = crsRefNode(src).map(n => Child(Node("SOURCECRS", Seq(Child(n)))))
+    val dstN = crsRefNode(dst).map(n => Child(Node("TARGETCRS", Seq(Child(n)))))
+    val method = Node("METHOD", Seq(Q("Geographic2D offsets"),
+      Child(WktOut.idNode("EPSG:9619"))))
+    def offset(pname: String, pcode: Int) =
+      Child(Node("PARAMETER", Seq(Q(pname), Raw("0"),
+        Child(WktOut.unitNode("EPSG:9102", ids = false)),
+        Child(WktOut.idNode(s"EPSG:$pcode")))))
+    val usage = Seq(Child(Node("USAGE", Seq(
+      Child(Node("SCOPE", Seq(Q("unknown")))),
+      Child(Node("AREA", Seq(Q("World")))),
+      Child(Node("BBOX", Seq(Raw("-90"), Raw("-180"), Raw("90"), Raw("180"))))))))
+    Node("COORDINATEOPERATION", Seq(Q(c.name)) ++ srcN.toSeq ++ dstN.toSeq ++
+      Seq(Child(method), offset("Latitude offset", 8601),
+        offset("Longitude offset", 8602)) ++ usage)
+  }
+}

@@ -59,6 +59,11 @@ object EpsgDb {
       val ops: Vector[Op],
       val gridAlias: Map[String, GridAlias],
       val superseded: Set[String],
+      /** same-pair supersession (flag=1 rows): superseded -> replacements.
+        * The factory applies the reference's refined rule — discard only
+        * when a replacement is in the same candidate pool and does not
+        * need an unknown grid (factory.cpp:7418-7434). */
+      val supersededBy: Map[String, Seq[String]],
       /** (lowercased name, kind letter) -> codes in priority order */
       val names: Map[(String, Char), Seq[String]]) {
 
@@ -157,6 +162,7 @@ object EpsgDb {
     val ops = Vector.newBuilder[Op]
     val gridAlias = Map.newBuilder[String, GridAlias]
     val superseded = Set.newBuilder[String]
+    val supersededBy = scala.collection.mutable.Map.empty[String, Vector[String]]
     val names = scala.collection.mutable.Map.empty[(String, Char), Vector[String]]
 
     def dOpt(s: String): Option[Double] =
@@ -212,10 +218,12 @@ object EpsgDb {
             case "A" =>
               gridAlias += f(1) -> GridAlias(f(2), f(3), f(4), f(5), f(6) == "1")
             case "U" =>
-              // same_source_target_crs flag in f(3); the reference discards
-              // superseded ops regardless when searching (factory.cpp
-              // createFromCoordinateReferenceSystemCodes discardSuperseded)
-              if (f(3) == "1") superseded += f(1)
+              // same_source_target_crs flag in f(3): only such rows
+              // participate in the reference's discardSuperseded protocol
+              if (f(3) == "1") {
+                superseded += f(1)
+                supersededBy(f(1)) = supersededBy.getOrElse(f(1), Vector.empty) :+ f(2)
+              }
             case _ => ()
           }
         }
@@ -226,6 +234,7 @@ object EpsgDb {
     new Db(geodetic.result(), projected.result(), vertical.result(),
       compound.result(), datums.result(), ensembles.result(), ops.result(),
       gridAlias.result(), superseded.result(),
+      supersededBy.view.mapValues(_.toSeq).toMap,
       names.view.mapValues(_.toSeq).toMap)
   }
 }

@@ -170,7 +170,26 @@ object OpFactory {
       preferAuth: Option[String] = None,
       /** grid availability probe (name -> available); tmpdir scenarios
         * replace it */
-      gridAvailable: String => Boolean = OpFactory.defaultGridAvailable)
+      gridAvailable: String => Boolean = OpFactory.defaultGridAvailable,
+      /** description surface (projinfo): candidates are built for *display*
+        * — operations the runtime hop chain cannot execute (tinshift /
+        * defmodel / velocity grids, raw PROJ-string methods, ops between
+        * projected CRSs) still materialize with their reference pipeline
+        * text so they can be printed, sorted and summarized */
+      displayOnly: Boolean = false)
+
+  /** grid-availability handling modes (reference
+    * CoordinateOperationContext::GridAvailabilityUse). */
+  object GridMode {
+    /** drop candidates with missing grids (cs2cs fallback pass) */
+    final val Discard = 0
+    /** keep candidates whose grids are CDN-registered (only-best protocol) */
+    final val Known = 1
+    /** keep everything, availability only affects sorting (projinfo default) */
+    final val Sort = 2
+    /** availability ignored entirely (projinfo --grid-check none) */
+    final val Ignore = 3
+  }
 
   /** grid availability through the engine's pluggable grid source; a grid
     * counts as available under its PROJ-delivered name or the original EPSG
@@ -222,7 +241,14 @@ object OpFactory {
       /** every grid is registered in the grid-alias table (CDN-published);
         * in the only-best/warn protocol such grids sort as if available
         * (reference "considerKnownGridsAsAvailable") */
-      gridsKnown: Boolean = true) {
+      gridsKnown: Boolean = true,
+      /** the geodetic/vertical hops (op + inverted?) in applied order —
+        * the description surface (projinfo) renders ids, WKT and remarks
+        * from these; empty for ballpark/conversion-only candidates */
+      dispHops: Seq[(Op, Boolean)] = Nil,
+      /** operates directly in the projected CRS pair's own space (whole-CRS
+        * similarity/affine/TIN): no geographic I/O normalization applies */
+      wholeCrs: Boolean = false) {
     def gridsAvailable: Boolean = grids.forall(_._2)
     def hasGrids: Boolean = grids.nonEmpty
     /** the reference's hardcoded null-transformation priority ops
@@ -422,6 +448,30 @@ object OpFactory {
               sb ++= s" step proj=hgridshift grids=$file" +
                 (if (inv) " inv" else "")
               steps += 1
+            case "defmodel" if opts.displayOnly =>
+              // deformation-model ops (NZGD2000<->ITRF) print as a single
+              // defmodel step (reference io.cpp PROJ export of the
+              // PointMotionOperation-backed transformation)
+              sb ++= s" step proj=defmodel model=$file" +
+                (if (inv) " inv" else "")
+              steps += 1
+            case "tinshift" if opts.displayOnly =>
+              // TIN-based ops run in their interpolation CRS's projected
+              // space; wrap with that CRS's conversion when the ends are
+              // not already that projected CRS (Finland N43/N60 heights)
+              val wrap = op.extras.get("interp").flatMap(projBodyOf)
+              wrap match {
+                case Some(body) =>
+                  sb ++= s" step $body"
+                  sb ++= s" step proj=tinshift file=$file" +
+                    (if (inv) " inv" else "")
+                  sb ++= s" step $body inv"
+                  steps += 3
+                case None =>
+                  sb ++= s" step proj=tinshift file=$file" +
+                    (if (inv) " inv" else "")
+                  steps += 1
+              }
             case other =>
               // tinshift / velocity_grid / defmodel operate in CRS contexts
               // (projected space, epoch pairs) the geodetic hop chain does
@@ -491,7 +541,27 @@ object OpFactory {
         case 'S' =>
           val str = new String(java.util.Base64.getDecoder.decode(
             op.extras("str")), "UTF-8")
-          throw graft.core.ProjError(graft.core.ProjErr.INVALID_OP, s"PROJ-string method not supported: $str")
+          if (!opts.displayOnly)
+            throw graft.core.ProjError(graft.core.ProjErr.INVALID_OP, s"PROJ-string method not supported: $str")
+          // display surface: keep the raw PROJ-string operation's own steps
+          // (reference PROJBasedOperation export); normalize to hop-chain
+          // step syntax
+          val raw = str.split("\\s+").iterator.filter(_.nonEmpty)
+            .map(_.stripPrefix("+")).mkString(" ")
+          val body =
+            if (raw.startsWith("proj=pipeline")) raw.stripPrefix("proj=pipeline").trim
+            else s"step $raw"
+          if (body.nonEmpty && body != "step proj=noop") {
+            sb ++= " " + (if (hop.inv) {
+              // single-step bodies invert by appending inv; multi-step raw
+              // pipelines cannot be inverted textually — reject
+              if (body.indexOf("step", 4) > 0)
+                throw graft.core.ProjError(graft.core.ProjErr.INVALID_OP,
+                  "cannot invert raw multi-step PROJ-string method")
+              body + " inv"
+            } else body)
+            steps += 1
+          }
         case other =>
           throw graft.core.ProjError(graft.core.ProjErr.INVALID_OP, s"unexpected op kind $other")
       }
@@ -547,11 +617,25 @@ object OpFactory {
       opts.implicitAuths.contains(op.auth)
   }
 
+  /** a supersession replacement that needs a grid the alias table has never
+    * heard of does not suppress the superseded op (reference
+    * factory.cpp:7424 "Ignore supersession if the replacement uses a
+    * unknown grid"). */
+  private def unknownGridReplacement(code: String): Boolean =
+    opsByCode.get(code).exists(o => o.kind == 'G' &&
+      !db.gridAlias.contains(o.extras.getOrElse("grid", "")))
+
   private def usableOps(a: String, b: String, opts: Options): Vector[Hop] = {
-    val all = db.opsBetween(a, b).collect {
-      case (op, inv) if !op.deprecated && !db.superseded.contains(op.code) &&
+    val all0 = db.opsBetween(a, b).collect {
+      case (op, inv) if !op.deprecated &&
         allowedAuth(op, opts) && op.kind != 'S' => Hop(op, inv)
     }
+    // discardSuperseded: drop an op only when a same-pair replacement is
+    // itself in this result set and does not depend on an unknown grid
+    val codes = all0.iterator.map(_.op.code).toSet
+    val all = all0.filterNot(h =>
+      db.supersededBy.getOrElse(h.op.code, Nil).exists(r =>
+        codes.contains(r) && !unknownGridReplacement(r)))
     opts.preferAuth match {
       case Some(pa) =>
         val own = all.filter(h => h.op.auth == pa || h.op.auth == "PROJ")
@@ -625,7 +709,8 @@ object OpFactory {
         hops.headOption.map(_.op.areaName).getOrElse(""), grids,
         ballpark = false, ballparkVertical = ballparkVertical,
         hopCount.getOrElse(hops.length max 1), pipe,
-        projSteps = n, gridsKnown = known))
+        projSteps = n, gridsKnown = known,
+        dispHops = hops.map(h => (h.op, h.inv))))
     } catch { case _: graft.core.ProjError => None }
 
   // --------------------------------------------------- vertical legs
@@ -761,15 +846,17 @@ object OpFactory {
     * last — the shape of the reference's createOperations under a given
     * grid-availability mode. */
   private def generate(src: Resolved, dst: Resolved, opts: Options,
-                       discardMissingGrids: Boolean): Vector[Candidate] = {
+                       mode: Int): Vector[Candidate] = {
     // DISCARD mode drops every op with a missing grid; KNOWN_AVAILABLE mode
     // keeps ops whose grids are registered (CDN-published) but still drops
     // ops needing grids PROJ has never heard of (reference factory.cpp
     // createFromCoordinateReferenceSystemCodes: discardIfMissingGrid +
-    // considerKnownGridsAsAvailable)
-    def keep(c: Candidate): Boolean =
-      if (discardMissingGrids) c.gridsAvailable
-      else c.gridsAvailable || c.gridsKnown
+    // considerKnownGridsAsAvailable); SORT/IGNORE (projinfo) keep all
+    def keep(c: Candidate): Boolean = mode match {
+      case GridMode.Discard => c.gridsAvailable
+      case GridMode.Known => c.gridsAvailable || c.gridsKnown
+      case _ => true
+    }
 
     val hasVert = src.vert.isDefined || dst.vert.isDefined
     val vertVert = src.vert.isDefined && dst.vert.isDefined &&
@@ -797,11 +884,71 @@ object OpFactory {
                 Candidate(nameOf(nm, VBallpark),
                   op.accuracy, boxesOf(op.bbox),
                   pseudoArea(op.bbox), op.areaName, Seq.empty,
-                  ballpark = false, ballparkVertical = hasVert, 1, pipe)
+                  ballpark = false, ballparkVertical = hasVert, 1, pipe,
+                  dispHops = Seq((op, inv)), wholeCrs = true)
               }
+            case (op, inv) if opts.displayOnly && !op.deprecated &&
+              !db.superseded.contains(op.code) && allowedAuth(op, opts) &&
+              op.kind == 'G' &&
+              db.gridAlias.get(op.extras("grid")).exists(_.method == "tinshift") =>
+              // projected-space TIN operation between the projected pair
+              // itself (Finland YKJ -> TM35FIN)
+              val (file, avail) = gridFile(op.extras("grid"), opts)
+              val nm = if (inv) "Inverse of " + op.name else op.name
+              Some(Candidate(nameOf(nm, VBallpark), op.accuracy,
+                boxesOf(op.bbox), pseudoArea(op.bbox), op.areaName,
+                Seq((file, avail)), ballpark = false,
+                ballparkVertical = hasVert, 1,
+                s"proj=pipeline step proj=tinshift file=$file" +
+                  (if (inv) " inv" else ""),
+                dispHops = Seq((op, inv)), wholeCrs = true))
           }.flatten.filter(keep)
         case _ => Vector.empty
       }
+
+    // display surface: a projected-space operation can also connect the
+    // GEOGRAPHIC (or differently-projected) realizations of its end datums
+    // by wrapping it in the end CRSs' conversions (reference
+    // createOperationsDerivedTo/FromBase; Finland KKJ -> ETRS89 goes
+    // through the YKJ -> TM35FIN TIN)
+    def projSpaceSeqs(a: String, b: String): Vector[Candidate] =
+      if (!opts.displayOnly) Vector.empty
+      else db.ops.iterator.flatMap { op =>
+        if (op.deprecated || db.superseded.contains(op.code) ||
+          !allowedAuth(op, opts) || op.kind != 'G') Iterator.empty
+        else if (!db.gridAlias.get(op.extras.getOrElse("grid", "")).exists(
+          _.method == "tinshift")) Iterator.empty
+        else {
+          def baseDatum(code: String): Option[String] =
+            db.projected.get(code).flatMap(p => db.geodetic.get(p.baseGeog))
+              .map(_.datum)
+          val sEnd = op.srcCrs; val dEnd = op.dstCrs
+          (baseDatum(sEnd), baseDatum(dEnd)) match {
+            case (Some(sd), Some(dd)) if sd == a && dd == b =>
+              Iterator((op, false, sEnd, dEnd))
+            case (Some(sd), Some(dd)) if sd == b && dd == a =>
+              Iterator((op, true, dEnd, sEnd))
+            case _ => Iterator.empty
+          }
+        }
+      }.flatMap { case (op, inv, fromProj, toProj) =>
+        for {
+          bodyIn <- if (src.projCode.contains(fromProj)) Some("")
+            else projBodyOf(fromProj).map(b => s" step $b")
+          bodyOut <- if (dst.projCode.contains(toProj)) Some("")
+            else projBodyOf(toProj).map(b => s" step $b inv")
+          (file, avail) = gridFile(op.extras("grid"), opts)
+        } yield {
+          val nm = if (inv) "Inverse of " + op.name else op.name
+          val tin = s" step proj=tinshift file=$file" + (if (inv) " inv" else "")
+          Candidate(nameOf(nm, VNull), op.accuracy, boxesOf(op.bbox),
+            pseudoArea(op.bbox), op.areaName, Seq((file, avail)),
+            ballpark = false, ballparkVertical = hasVert, 1,
+            "proj=pipeline" + bodyIn + tin + bodyOut,
+            dispHops = Seq((op, inv)),
+            wholeCrs = bodyIn.isEmpty && bodyOut.isEmpty)
+        }
+      }.toVector.filter(keep)
 
     val a = src.geod.datum
     val b = dst.geod.datum
@@ -822,13 +969,19 @@ object OpFactory {
 
     val direct: Vector[Candidate] = combine(horizSeqs)
 
+    val projSpace: Vector[Candidate] =
+      if (!opts.displayOnly || db.sameDatum(a, b)) Vector.empty
+      else projSpaceSeqs(a, b).filterNot(c =>
+        wholeAll.exists(_.pipeline == c.pipeline))
+
     // the reference searches intermediates only when nothing direct exists
     // at all (coordinateoperationfactory.cpp:4448 — the
     // "!resFindDirectNonEmptyBeforeFiltering" guard); a desired-accuracy
     // filter applies afterwards and can leave the list empty without
     // triggering a pivot search
     val viaPivot: Vector[Candidate] =
-      if ((wholeAll ++ direct).nonEmpty || db.sameDatum(a, b)) Vector.empty
+      if ((wholeAll ++ direct ++ projSpace).nonEmpty || db.sameDatum(a, b))
+        Vector.empty
       else combine(pivotHops(a, b, opts).map { case (hops, nm) => (hops, nm) })
 
     // ballpark vertical transformation: always an alternative against an
@@ -860,7 +1013,8 @@ object OpFactory {
     }
 
     val nonBallpark0 =
-      (wholeAll ++ direct ++ viaPivot ++ vertBallpark).flatMap(clipArea)
+      (wholeAll ++ direct ++ projSpace ++ viaPivot ++ vertBallpark)
+        .flatMap(clipArea)
     val nonBallpark =
       if (opts.accuracy < 0) nonBallpark0
       else nonBallpark0.filter(c => c.accuracy >= 0 && c.accuracy <= opts.accuracy)
@@ -887,7 +1041,7 @@ object OpFactory {
         } catch { case _: graft.core.ProjError => Vector.empty }
       }
 
-    sort(nonBallpark, knownAsAvailable = !discardMissingGrids) ++ ballpark
+    sort(nonBallpark, knownAsAvailable = mode == GridMode.Known) ++ ballpark
   }
 
   /** datum-pivot hop pairs A -> I -> B (reference
@@ -952,6 +1106,27 @@ object OpFactory {
   def createList(src: Resolved, dst: Resolved, opts: Options): Vector[Candidate] =
     prepare(src, dst, opts).cands
 
+  /** The candidate list the description surface (projinfo) shows: one
+    * generate pass under the requested grid-availability mode, including
+    * display-only candidates (tinshift/defmodel/raw PROJ-string methods),
+    * with the CRS pair's own authorities admitted as in prepare(). */
+  def createListForDisplay(src: Resolved, dst: Resolved, opts0: Options,
+                           gridMode: Int): Vector[Candidate] = {
+    def authOf(code: String): String =
+      code.substring(0, math.max(code.indexOf(':'), 0))
+    val pairAuths = Set(authOf(src.code), authOf(dst.code)).filter(_.nonEmpty)
+    val opts1 = opts0.copy(displayOnly = true,
+      implicitAuths = opts0.implicitAuths ++ pairAuths,
+      preferAuth = opts0.preferAuth.orElse(
+        pairAuths.toList match {
+          case a :: Nil if a != "EPSG" && a != "PROJ4" => Some(a)
+          case _ => None
+        }))
+    val opts = if (gridMode == GridMode.Ignore)
+      opts1.copy(gridAvailable = _ => true) else opts1
+    generate(src, dst, opts, gridMode)
+  }
+
   /** result of the full creation protocol (reference crs_to_crs.cpp
     * proj_create_crs_to_crs_from_pj:596-760): the candidate list plus the
     * single-operation missing-grid outcomes the CLI layer must speak —
@@ -974,10 +1149,11 @@ object OpFactory {
           case _ => None
         }))
     val knownMode = opts.onlyBestError || opts.onlyBestWarn
-    val listA = generate(src, dst, opts, discardMissingGrids = !knownMode)
+    val listA = generate(src, dst, opts,
+      if (knownMode) GridMode.Known else GridMode.Discard)
     if (!knownMode) return Prepared(listA, None, None)
     def merged: Vector[Candidate] = {
-      val listB = generate(src, dst, opts, discardMissingGrids = true)
+      val listB = generate(src, dst, opts, GridMode.Discard)
       if (listB.isEmpty) listA
       else listA.filterNot(c => c.ballpark || c.ballparkVertical) ++ listB
     }

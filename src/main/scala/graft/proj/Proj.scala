@@ -192,7 +192,7 @@ object Proj {
 
   /** Generated-table lookup for the EPSG front-ends (EpsgAliases fall-
     * through, CrsToCrs generic defs): legacy init body for a code. */
-  private[proj] def epsgInitLookup(code: String): Option[String] =
+  def epsgInitLookup(code: String): Option[String] =
     epsgInit.get(code).orElse(epsgGenerated.get(code))
 
   private def expandInit(params: ParamList): ParamList = params.s("init") match {
