@@ -638,6 +638,13 @@ def main():
             r['accuracy'], r['deprecated'], 'steps=' + ','.join(toks), r['name'],
             r['description'], '', r['operation_version']))
 
+    # ---- deprecation (replacement objects): Y|old|new
+    for r in db.execute("select table_name t, deprecated_auth_name a,"
+                        " deprecated_code c, replacement_auth_name ra,"
+                        " replacement_code rc from deprecation"):
+        if r['a'] in AUTHS and r['ra'] in AUTHS:
+            lines.append(f"Y|{r['a']}:{r['c']}|{r['ra']}:{r['rc']}")
+
     for r in db.execute("select superseded_auth_name a, superseded_code c,"
                         " replacement_auth_name ra, replacement_code rc,"
                         " same_source_target_crs s from supersession"):

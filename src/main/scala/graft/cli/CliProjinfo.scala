@@ -216,19 +216,14 @@ object CliProjinfo {
             wktOf(WktOut.datumNode(key, v2019 = true, ids = true, selfId = true))))
       case "operation" =>
         val key = normKey(s)
-        val op = db.ops.find(_.code == key).getOrElse {
-          io.err("buildObject failed: operation not found\n"); return 1 }
-        val cand = (for {
-          src <- OpFactory.resolveCode(op.srcCrs)
-          dst <- OpFactory.resolveCode(op.dstCrs)
-          list = OpFactory.createListForDisplay(src, dst,
-            Options(allowBallpark = false), GridMode.Ignore)
-          c <- list.find(_.dispHops.map(_._1.code) == Seq(key))
-        } yield (src, dst, c)).getOrElse {
+        val cand = OpFactory.operationByCode(key).getOrElse {
           io.err("buildObject failed: cannot instantiate operation\n"); return 1 }
         if (o.outPROJ)
           sections += (("PROJ string:",
             ProjOut.candidateProj(cand._1, cand._2, cand._3, !o.singleLine)))
+        if (o.outWkt2019)
+          operationWkt(cand._1, cand._2, cand._3).foreach(n =>
+            sections += (("WKT2:2019 string:", WktOut.render(n, !o.singleLine))))
       case _ =>
         // CRS (by code or name), falling back through datum/ensemble,
         // vertical datum, ellipsoid for bare names — the reference's
@@ -301,18 +296,8 @@ object CliProjinfo {
     0
   }
 
-  private def nonDeprecatedAlternatives(code: String): Option[Seq[String]] = {
-    // the reference's getNonDeprecated uses the deprecation table; the
-    // sidecar does not carry it, so alternates resolve through the shared
-    // name index (a deprecated CRS and its replacement share the name)
-    val name = db.projected.get(code).map(_.name)
-      .orElse(db.geodetic.get(code).map(_.name))
-    name.flatMap { n =>
-      val alts = db.byName(n, "CP").map(_._2)
-        .filter(c => c != code && meta.crs.get(c).exists(!_.deprecated))
-      if (alts.isEmpty) None else Some(alts)
-    }
-  }
+  private def nonDeprecatedAlternatives(code: String): Option[Seq[String]] =
+    meta.replacements.get(code).filter(_.nonEmpty)
 
   /** EPSG datum code -> legacy PROJ datum id (reference src/datums.cpp
     * pj_datums; the PROJ.4 CRS export folds a matching datum+towgs84 back
@@ -323,8 +308,10 @@ object CliProjinfo {
     "EPSG:6312" -> "hermannskogel", "EPSG:6299" -> "ire65",
     "EPSG:6272" -> "nzgd49", "EPSG:6277" -> "OSGB36")
 
-  /** legacy PROJ.4 string of a CRS, normalized as the reference exports it
-    * (datum= where a named datum matches, numbers re-derived, +type=crs). */
+  /** legacy PROJ.4 string of a CRS, as the reference's bound-CRS export
+    * prints it: numbers re-derived, named ellipsoids folded, UTM recognized,
+    * +towgs84 widened to seven terms, +datum= where the CRS's datum is one
+    * of the legacy named datums, +units/+pm kept, +type=crs appended. */
   private def crsProjString(code: String): Option[String] = {
     if (!code.startsWith("EPSG:")) return None
     val num = code.substring(5)
@@ -332,15 +319,18 @@ object CliProjinfo {
       db.projected.get(code).flatMap(p => db.geodetic.get(p.baseGeog)))
       .flatMap(g => projDatumByCode.get(g.datum))
     graft.proj.Proj.epsgInitLookup(num).map { raw =>
-      val step = ProjOut.parse(raw.split("\\s+").iterator.filter(_.nonEmpty)
+      val step0 = ProjOut.parse(raw.split("\\s+").iterator.filter(_.nonEmpty)
         .map(_.stripPrefix("+"))
-        .filterNot(t => t == "no_defs" || t.startsWith("towgs84="))
+        .filterNot(t => t == "no_defs")
         .mkString(" ")).head
-      var rendered = ProjOut.render(Vector(step), multiline = false)
-      datumName.foreach { d =>
-        rendered = rendered.replaceAll("\\+ellps=\\S+", s"+datum=$d")
+      val step = ProjOut.rewriteCrsStep(step0, datumName)
+      val sb = new StringBuilder("+proj=" + step.name)
+      for ((k, v) <- step.params) {
+        sb += ' '; sb += '+'; sb ++= k
+        if (v.nonEmpty) { sb += '='; sb ++= v }
       }
-      rendered + " +no_defs +type=crs"
+      sb ++= " +no_defs +type=crs"
+      sb.toString
     }
   }
 
@@ -394,10 +384,47 @@ object CliProjinfo {
     (if (w < 0) w + 360 else w) * (b.north - b.south)
   }
 
+  /** a bare vertical CRS on one side adopts the other side's horizontal
+    * (the reference promotes it against the context CRS). */
+  private def resolveVerticalSide(spec: String,
+                                  other: Resolved): Option[Resolved] = {
+    val byCode = if (spec.contains(":")) Some(normKey(spec))
+      .filter(db.vertical.contains) else None
+    byCode.orElse(db.byName(spec, "V").headOption.map(_._2)).map { vc =>
+      val v = db.vertical(vc)
+      other.copy(vert = Some(v), name = v.name, code = vc,
+        projBody = None, projCode = None)
+    }
+  }
+
+  /** the CRS extent used for the area of interest: a bare vertical side
+    * keeps its own extent; a compound CRS intersects its components'
+    * (reference getExtentPossiblySynthetized). */
+  private def sideBbox(r: Resolved): Option[Bbox] =
+    if (db.vertical.contains(r.code)) db.vertical(r.code).bbox
+    else r.vert.flatMap(_.bbox) match {
+      case Some(vb) => r.bbox match {
+        case Some(hb) =>
+          val w = math.max(hb.west, vb.west); val e = math.min(hb.east, vb.east)
+          val s = math.max(hb.south, vb.south); val n = math.min(hb.north, vb.north)
+          if (w <= e && s <= n) Some(Bbox(w, s, e, n)) else None
+        case None => Some(vb)
+      }
+      case None => r.bbox
+    }
+
   private def outputOperations(o: Opt, io: CliOut): Int = {
-    val src = OpFactory.resolve(o.sourceCrs).getOrElse {
+    val src0 = OpFactory.resolve(o.sourceCrs)
+    val dst0 = OpFactory.resolve(o.targetCrs)
+    val (srcOpt, dstOpt) = (src0, dst0) match {
+      case (Some(s), Some(d)) => (Some(s), Some(d))
+      case (Some(s), None) => (Some(s), resolveVerticalSide(o.targetCrs, s))
+      case (None, Some(d)) => (resolveVerticalSide(o.sourceCrs, d), Some(d))
+      case _ => (None, None)
+    }
+    val src = srcOpt.getOrElse {
       io.err("crs not found: " + o.sourceCrs + "\n"); return 1 }
-    val dst = OpFactory.resolve(o.targetCrs).getOrElse {
+    val dst = dstOpt.getOrElse {
       io.err("crs not found: " + o.targetCrs + "\n"); return 1 }
 
     // area of interest
@@ -418,14 +445,14 @@ object CliProjinfo {
     } else o.crsExtentUse match {
       case "none" => aoi = None
       case "intersection" =>
-        aoi = (src.bbox, dst.bbox) match {
+        aoi = (sideBbox(src), sideBbox(dst)) match {
           case (Some(a), Some(b)) if boxIntersects(a, b) =>
             Some(Bbox(math.max(a.west, b.west), math.max(a.south, b.south),
               math.min(a.east, b.east), math.min(a.north, b.north)))
           case _ => None
         }
       case _ => // smallest (default) and both
-        aoi = (src.bbox, dst.bbox) match {
+        aoi = (sideBbox(src), sideBbox(dst)) match {
           case (Some(a), Some(b)) =>
             Some(if (pseudoArea(a) <= pseudoArea(b)) a else b)
           case (a, b) => a.orElse(b)
@@ -442,8 +469,6 @@ object CliProjinfo {
       authority = if (o.authority.nonEmpty) Some(o.authority) else None,
       accuracy = o.accuracy,
       allowBallpark = !o.hideBallpark)
-    val all = OpFactory.createListForDisplay(src, dst, opts, gridMode)
-
     // the synthesized ballpark's domain is the shared CRS extent when the
     // pair's extents are equivalent, else World (reference
     // createBallparkGeographicOffset)
@@ -453,12 +478,48 @@ object CliProjinfo {
         Seq(Bbox(-180, -90, 180, 90))
       else c.boxes
 
+    val all0 = OpFactory.createListForDisplay(src, dst, opts, gridMode)
+    // the reference sorts by the candidate extent clipped to the area of
+    // interest (or to the CRS extents when none)
+    val e1 = sideBbox(src); val e2 = sideBbox(dst)
+    def clippedArea(c: Candidate): Double = {
+      def inter(a: Bbox, b: Bbox): Option[Bbox] = {
+        val w = math.max(a.west, b.west); val e = math.min(a.east, b.east)
+        val s = math.max(a.south, b.south); val n = math.min(a.north, b.north)
+        if (w <= e && s <= n) Some(Bbox(w, s, e, n)) else None
+      }
+      def clipTo(filter: Bbox): Double =
+        effBoxes(c).flatMap(cb => splitBox(filter).flatMap(fb => inter(cb, fb)))
+          .map(OpFactory.pseudoAreaOf).sum
+      aoi match {
+        case Some(box) => clipTo(box)
+        case None => (e1, e2) match {
+          case (Some(a), Some(b)) =>
+            val x = clipTo(a); val y = clipTo(b)
+            val xy = inter(a, b).map(clipTo).getOrElse(0.0)
+            x + y - xy
+          case (Some(a), None) => clipTo(a)
+          case (None, Some(b)) => clipTo(b)
+          case _ => effBoxes(c).map(OpFactory.pseudoAreaOf).sum
+        }
+      }
+    }
+    val all = OpFactory.sort(all0, knownAsAvailable = gridMode == GridMode.Known,
+      areaOf = clippedArea)
+
     def candDesc(c: Candidate): Option[String] =
       meta.descOfArea(c.areaName).orElse(
         if (c.ballpark) Some("World") else None)
 
+    // a plain geographic source against a bare vertical target lists only
+    // real geoid candidates (the reference synthesizes no ballpark vertical
+    // leg on this shape)
+    val bareVertTarget = db.vertical.contains(dst.code) && src.vert.isEmpty
     def filtered(intersects: Boolean): Vector[Candidate] = {
       var list = all
+      if (bareVertTarget)
+        list = list.filterNot(c => c.ballparkVertical ||
+          c.name.contains(" using "))
       // --area with a described extent: if any candidate's own extent has
       // exactly that description, restrict to those (reference filterOut
       // foundExtentWithExpectedDescription)
@@ -573,8 +634,15 @@ object CliProjinfo {
 
   /** candidate identity for display: the single op's code (with
     * INVERSE/DERIVED_FROM wrappers), or unknown. */
+  /** a vertical component reached through a compound CRS makes the shown
+    * operation a synthesized concatenation (unknown id); a bare vertical
+    * CRS side keeps the operation's own identity. */
+  private def compoundSide(r: Resolved): Boolean =
+    r.vert.isDefined && !db.vertical.contains(r.code)
+
   private def displayId(src: Resolved, dst: Resolved, c: Candidate): String = {
     val (lc, rc) = convLegs(src, dst, c)
+    if (compoundSide(src) || compoundSide(dst)) return "unknown id"
     if (c.ballpark || c.ballparkVertical) "unknown id"
     else if (c.dispHops.isEmpty && lc.isEmpty && rc.isDefined &&
       dst.projCode.isDefined) {
@@ -613,7 +681,8 @@ object CliProjinfo {
     val (lc, rc) = convLegs(src, dst, c)
     if (c.ballpark || c.ballparkVertical || c.accuracy < 0) "unknown accuracy"
     else if (c.dispHops.isEmpty) "0 m"
-    else if (c.dispHops.length == 1 && lc.isEmpty && rc.isEmpty) {
+    else if (c.dispHops.length == 1 && lc.isEmpty && rc.isEmpty &&
+      !compoundSide(src) && !compoundSide(dst)) {
       val acc = opAccText(c.dispHops.head._1)
       if (acc.isEmpty) "unknown accuracy" else acc + " m"
     } else WktOut.num(c.accuracy) + " m"
@@ -648,7 +717,7 @@ object CliProjinfo {
   /** domain-of-validity text: intersection with the containment shortcut
     * that preserves the contained extent's description. */
   private def displayArea(src: Resolved, dst: Resolved, c: Candidate): String = {
-    if (c.ballpark && c.dispHops.isEmpty) {
+    if ((c.ballpark || c.ballparkVertical) && c.dispHops.isEmpty) {
       // synthesized ballpark: the CRS pair's shared extent keeps its
       // description, otherwise the in-memory World extent
       val sa = crsAreaName(src); val da = crsAreaName(dst)
@@ -671,21 +740,9 @@ object CliProjinfo {
             math.min(cur.north, b.north)), None))
       }
     }
-    lc.foreach { _ =>
-      val code = src.projCode.get
-      val convKey = EpsgMeta.projConv.get(code).map(_._1).getOrElse("")
-      meta.convs.get(convKey).foreach(k =>
-        add(meta.extents.values.find(_.name == k.areaName).flatMap(_.bbox),
-          k.areaName))
-    }
+    // conversion legs count as world extent in the reference's getExtent
+    // (conversionExtentIsWorld) and so never narrow the intersection
     for ((op, _) <- c.dispHops) add(op.bbox, op.areaName)
-    rc.foreach { _ =>
-      val code = dst.projCode.get
-      val convKey = EpsgMeta.projConv.get(code).map(_._1).getOrElse("")
-      meta.convs.get(convKey).foreach(k =>
-        add(meta.extents.values.find(_.name == k.areaName).flatMap(_.bbox),
-          k.areaName))
-    }
     if (c.dispHops.isEmpty && (lc.isDefined || rc.isDefined)) {
       // bare conversion: its own extent
       val code = dst.projCode.orElse(src.projCode).get
@@ -699,7 +756,8 @@ object CliProjinfo {
   }
 
   private def crsAreaName(r: Resolved): String = {
-    val code = r.projCode.getOrElse(r.geod.code)
+    val code = if (db.vertical.contains(r.code)) r.code
+      else r.projCode.getOrElse(r.geod.code)
     meta.crs.get(code).map(_.areaName).getOrElse("")
   }
 
@@ -727,6 +785,8 @@ object CliProjinfo {
                            c: Candidate): Option[Node] = {
     val (lc, rc) = convLegs(src, dst, c)
     if (c.ballpark) return Some(ballparkWkt(src, dst, c))
+    if (c.ballparkVertical && c.dispHops.isEmpty && lc.isEmpty && rc.isEmpty)
+      return Some(ballparkVerticalWkt(src, dst, c))
     if (c.dispHops.isEmpty && lc.isEmpty && rc.isDefined) {
       val convKey = EpsgMeta.projConv.get(dst.projCode.get).map(_._1)
         .getOrElse("")
@@ -739,6 +799,8 @@ object CliProjinfo {
   }
 
   private def crsRefNode(r: Resolved): Option[Node] = {
+    if (db.vertical.contains(r.code))
+      return WktOut.crsNode(r.code, v2019 = true, ids = true, withUsage = false)
     val code = r.projCode.getOrElse(r.geod.code)
     val full = r.vert.map(v => db.compound.find(_._2.horiz == code)
       .map(_._1)).flatten
@@ -759,46 +821,72 @@ object CliProjinfo {
     val srcN = crsRefNode(src).map(n => Child(Node("SOURCECRS", Seq(Child(n)))))
     val dstN = crsRefNode(dst).map(n => Child(Node("TARGETCRS", Seq(Child(n)))))
     val derivedAlias = op.extras.get("grid").flatMap(db.gridAlias.get)
+    // inverse single operations print "Inverse of"-wrapped method names and
+    // INVERSE(...)-wrapped authorities (reference InverseTransformation)
+    def methodNode(mname: String, mkey: String): Node = {
+      val nm = if (inv) "Inverse of " + mname else mname
+      val key = if (inv) s"INVERSE(${mkey.substring(0, mkey.indexOf(':'))}):" +
+        mkey.substring(mkey.indexOf(':') + 1) else mkey
+      Node("METHOD", Seq(Q(nm), Child(WktOut.idNode(key))))
+    }
     val (methodParts, paramParts) = op.kind match {
       case 'G' =>
         val file = c.grids.headOption.map(_._1)
           .getOrElse(op.extras.getOrElse("grid", ""))
         val substituted = derivedAlias.exists(a =>
           a.proj.nonEmpty && a.proj != op.extras("grid"))
+        val aliasMethod = derivedAlias.map(_.method).getOrElse("hgridshift")
+        // only the horizontal-shift formats change METHOD on substitution;
+        // geoid models keep their EPSG method identity
         val m =
-          if (substituted) {
-            val kw = derivedAlias.map(_.method).getOrElse("hgridshift") match {
-              case "gridshift" => "GENERAL_SHIFT_GTIFF"
-              case "geoid_like" | "vgridshift" => "GEOGRAPHIC3D_TO_GRAVITYRELATEDHEIGHT_GTG"
-              case _ => "HORIZONTAL_SHIFT_GTIFF"
-            }
+          if (substituted && (aliasMethod == "hgridshift" || aliasMethod == "gridshift")) {
+            val kw = if (aliasMethod == "gridshift") "GENERAL_SHIFT_GTIFF"
+              else "HORIZONTAL_SHIFT_GTIFF"
             Node("METHOD", Seq(Q(kw)))
-          } else Node("METHOD", Seq(Q(om.methodName),
-            Child(WktOut.idNode(s"EPSG:${op.method}"))))
-        val pfileName = "Latitude and longitude difference file"
+          } else methodNode(om.methodName, s"EPSG:${op.method}")
+        val pfileName =
+          if (aliasMethod == "geoid_like" || aliasMethod == "vgridshift")
+            "Geoid (height correction) model file"
+          else "Latitude and longitude difference file"
         (Seq(Child(m)),
           Seq(Child(Node("PARAMETERFILE", Seq(Q(pfileName), Q(file))))))
       case _ =>
-        val m = Node("METHOD", Seq(Q(om.methodName),
-          Child(WktOut.idNode(s"EPSG:${op.method}"))))
-        (Seq(Child(m)), Nil)
+        (Seq(Child(methodNode(om.methodName, s"EPSG:${op.method}"))), Nil)
     }
     val acc = opAccText(op)
     val accN = if (acc.nonEmpty)
       Seq(Child(Node("OPERATIONACCURACY", Seq(Raw(acc))))) else Nil
     val usage = WktOut.usageParts(om.scope, op.areaName, op.bbox, v2019 = true)
     val idAuth = {
-      val derived = derivedAlias.exists(a =>
+      val derived = op.extras.get("grid").flatMap(db.gridAlias.get).exists(a =>
         a.proj.nonEmpty && a.proj != op.extras("grid"))
-      if (derived) s"DERIVED_FROM(${op.auth})" else op.auth
+      val base = if (derived) s"DERIVED_FROM(${op.auth})" else op.auth
+      if (inv) s"INVERSE($base)" else base
     }
-    val idN = Seq(Child(Node("ID", Seq(Q(idAuth),
-      Raw(op.code.substring(op.code.indexOf(':') + 1))))))
+    val idN = Seq(Child(WktOut.idNode(
+      s"$idAuth:${op.code.substring(op.code.indexOf(':') + 1)}")))
     val remark = if (om.remark.nonEmpty)
       Seq(Child(Node("REMARK", Seq(Q(om.remark))))) else Nil
     Node("COORDINATEOPERATION", Seq(Q(name)) ++ version ++
       srcN.toSeq ++ dstN.toSeq ++ methodParts ++ paramParts ++ accN ++
       usage ++ idN ++ remark)
+  }
+
+  private def ballparkVerticalWkt(src: Resolved, dst: Resolved,
+                                  c: Candidate): Node = {
+    val srcN = crsRefNode(src).map(n => Child(Node("SOURCECRS", Seq(Child(n)))))
+    val dstN = crsRefNode(dst).map(n => Child(Node("TARGETCRS", Seq(Child(n)))))
+    val method = Node("METHOD", Seq(Q("Change of Vertical Unit"),
+      Child(WktOut.idNode("EPSG:1069"))))
+    val param = Child(Node("PARAMETER", Seq(Q("Unit conversion scalar"), Raw("1"),
+      Child(WktOut.unitNode("EPSG:9201", ids = false)),
+      Child(WktOut.idNode("EPSG:1051")))))
+    val usage = Seq(Child(Node("USAGE", Seq(
+      Child(Node("SCOPE", Seq(Q("unknown")))),
+      Child(Node("AREA", Seq(Q("World")))),
+      Child(Node("BBOX", Seq(Raw("-90"), Raw("-180"), Raw("90"), Raw("180"))))))))
+    Node("COORDINATEOPERATION", Seq(Q(c.name)) ++ srcN.toSeq ++ dstN.toSeq ++
+      Seq(Child(method), param) ++ usage)
   }
 
   private def ballparkWkt(src: Resolved, dst: Resolved, c: Candidate): Node = {

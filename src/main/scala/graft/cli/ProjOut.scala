@@ -151,6 +151,39 @@ object ProjOut {
     s.copy(params = params)
   }
 
+  /** rewrite for the legacy PROJ.4 *CRS* string: numbers re-derived, named
+    * ellipsoid folded, UTM recognized, +towgs84 widened to seven terms (the
+    * reference exports a full 7-parameter bound transformation), +datum=
+    * replacing ellps+towgs84 when the CRS's datum is a legacy named datum;
+    * +units/+pm kept. */
+  def rewriteCrsStep(s0: Step, datumName: Option[String]): Step = {
+    val s = rewriteStepForCrs(s0)
+    var params = s.params
+    datumName match {
+      case Some(d) =>
+        params = params.filterNot(_._1 == "towgs84").map {
+          case ("ellps", _) => ("datum", d)
+          case p => p
+        }
+      case None =>
+        params = params.map {
+          case ("towgs84", v) if v.count(_ == ',') == 2 =>
+            ("towgs84", v + ",0,0,0,0")
+          case p => p
+        }
+    }
+    s.copy(params = params)
+  }
+
+  /** like rewriteStep but keeping +units=m (CRS strings print it). */
+  private def rewriteStepForCrs(s0: Step): Step = {
+    val keepUnits = s0.params.filter(_._1 == "units")
+    val s = rewriteStep(s0)
+    if (keepUnits.nonEmpty && !s.params.exists(_._1 == "units"))
+      s.copy(params = s.params ++ keepUnits)
+    else s
+  }
+
   // --------------------------------------------------- CS normalization
 
   /** I/O normalization steps for one end of the chain: authority axis
@@ -184,9 +217,36 @@ object ProjOut {
 
   // ----------------------------------------------------------- render
 
+  /** the reference formatter's peephole: adjacent identical steps with
+    * opposite senses cancel (a conversion wrapped around a projected-space
+    * op against the chain's own projected end). */
+  private def cancelAdjacentInverses(steps: Vector[Step]): Vector[Step] = {
+    var v = steps
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (!changed && i + 1 < v.length) {
+        val a = v(i); val b = v(i + 1)
+        val inverses =
+          (a.name == b.name && a.name != "pop" && a.name != "push" &&
+            a.inv != b.inv && a.params == b.params) ||
+          // pop/push (either order) of the same slots restores state
+          (Set(a.name, b.name) == Set("push", "pop") && !a.inv && !b.inv &&
+            a.params == b.params)
+        if (inverses) {
+          v = v.patch(i, Nil, 2)
+          changed = true
+        }
+        i += 1
+      }
+    }
+    v
+  }
+
   /** render steps as the reference PROJStringFormatter does. */
   def render(steps0: Vector[Step], multiline: Boolean): String = {
-    val steps = steps0.map(rewriteStep).filterNot(s =>
+    val steps = cancelAdjacentInverses(steps0.map(rewriteStep)).filterNot(s =>
       s.name == "noop" && steps0.length > 1)
     if (steps.isEmpty) return "+proj=noop"
     if (steps.length == 1) {

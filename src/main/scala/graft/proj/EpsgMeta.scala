@@ -33,7 +33,7 @@ object EpsgMeta {
                         /** (epsg param code, value text, uom key) */
                         params: Seq[(Int, String, String)],
                         areaName: String, scope: String)
-  final case class VDatum(code: String, name: String)
+  final case class VDatum(code: String, name: String, frameEpoch: String)
   final case class CrsMeta(areaName: String, scope: String, csKey: String,
                            deprecated: Boolean, remark: String)
   final case class DatumMeta(ellKey: String, pmKey: String, accText: String,
@@ -52,7 +52,9 @@ object EpsgMeta {
       val crs: Map[String, CrsMeta],
       val datums: Map[String, DatumMeta],
       val opMeta: Map[String, OpMeta],
-      val paramNames: Map[Int, String]) {
+      val paramNames: Map[Int, String],
+      /** deprecated object -> replacement codes (deprecation table) */
+      val replacements: Map[String, Seq[String]]) {
 
     /** extent description for an extent *name* as carried on ops/CRSs
       * (EPSG extent names are unique in practice; first wins). */
@@ -95,6 +97,7 @@ object EpsgMeta {
     val datums = Map.newBuilder[String, DatumMeta]
     val ops = Map.newBuilder[String, OpMeta]
     val pnames = Map.newBuilder[Int, String]
+    val repl = scala.collection.mutable.Map.empty[String, Vector[String]]
 
     def bbox(w: String, s: String, e: String, n: String): Option[Bbox] =
       if (w.isEmpty || s.isEmpty || e.isEmpty || n.isEmpty) None
@@ -133,9 +136,12 @@ object EpsgMeta {
               convs += f(1) -> Conv(f(1), f(2), f(3), f(4), params, f(6),
                 b64d(at(f, 7)))
             case "W" =>
-              vdatums += f(1) -> VDatum(f(1), f(2))
+              vdatums += f(1) -> VDatum(f(1), f(2),
+                if (f(3) == "-") "" else f(3))
             case "T" =>
               pnames += f(1).toInt -> f(2)
+            case "Y" =>
+              repl(f(1)) = repl.getOrElse(f(1), Vector.empty) :+ f(2)
             case "C" =>
               crs += f(1) -> CrsMeta(at(f, 12), b64d(at(f, 13)), at(f, 14),
                 at(f, 15) == "1", b64d(at(f, 16)))
@@ -163,7 +169,8 @@ object EpsgMeta {
 
     new Meta(extents.result(), uoms.result(), ells.result(), pms.result(),
       css.result(), convs.result(), vdatums.result(), crs.result(),
-      datums.result(), ops.result(), pnames.result())
+      datums.result(), ops.result(), pnames.result(),
+      repl.view.mapValues(_.toSeq).toMap)
   }
 
   /** projected-CRS extras not in EpsgDb.ProjCrs: conversion key and name.

@@ -275,6 +275,10 @@ object OpFactory {
     case Some(bb) => Seq(bb)
   }
 
+  /** the reference's getPseudoArea: equatorial-radian width times the
+    * sine-latitude band height. */
+  def pseudoAreaOf(b: Bbox): Double = pseudoArea(Some(b))
+
   private def pseudoArea(b: Option[Bbox]): Double = {
     val bb = b.getOrElse(Bbox(-180, -90, 180, 90))
     val w = math.toRadians(bb.west)
@@ -449,27 +453,38 @@ object OpFactory {
                 (if (inv) " inv" else "")
               steps += 1
             case "defmodel" if opts.displayOnly =>
-              // deformation-model ops (NZGD2000<->ITRF) print as a single
-              // defmodel step (reference io.cpp PROJ export of the
-              // PointMotionOperation-backed transformation)
+              // deformation-model ops print as a single defmodel step;
+              // "Operations are registered in EPSG with inverse order as
+              // the +proj=defmodel implementation"
+              // (reference singleoperation.cpp:4842), so the step's sense
+              // is the opposite of the EPSG operation's
               sb ++= s" step proj=defmodel model=$file" +
-                (if (inv) " inv" else "")
+                (if (!inv) " inv" else "")
               steps += 1
             case "tinshift" if opts.displayOnly =>
-              // TIN-based ops run in their interpolation CRS's projected
-              // space; wrap with that CRS's conversion when the ends are
-              // not already that projected CRS (Finland N43/N60 heights)
-              val wrap = op.extras.get("interp").flatMap(projBodyOf)
-              wrap match {
-                case Some(body) =>
-                  sb ++= s" step $body"
-                  sb ++= s" step proj=tinshift file=$file" +
-                    (if (inv) " inv" else "")
-                  sb ++= s" step $body inv"
+              // TIN-based ops run in projected space: either between two
+              // projected CRSs (YKJ -> TM35FIN) or between vertical CRSs in
+              // an interpolation CRS (Finland N43/N60 heights); the geodetic
+              // chain wraps them in the corresponding conversions
+              val interpWrap = op.extras.get("interp").flatMap(projBodyOf)
+              val endsIn = db.projected.get(if (hop.inv) op.dstCrs else op.srcCrs)
+                .flatMap(p => projBodyOf(p.code))
+              val endsOut = db.projected.get(if (hop.inv) op.srcCrs else op.dstCrs)
+                .flatMap(p => projBodyOf(p.code))
+              val tin = s" step proj=tinshift file=$file" +
+                (if (inv) " inv" else "")
+              (interpWrap, endsIn, endsOut) match {
+                case (Some(body), _, _) =>
+                  sb ++= s" step $body"; sb ++= tin; sb ++= s" step $body inv"
                   steps += 3
-                case None =>
-                  sb ++= s" step proj=tinshift file=$file" +
-                    (if (inv) " inv" else "")
+                case (None, Some(bIn), Some(bOut)) =>
+                  // adjacent inverse/forward conversion pairs cancel in the
+                  // display renderer's peephole, as in the reference's
+                  // PROJStringFormatter
+                  sb ++= s" step $bIn"; sb ++= tin; sb ++= s" step $bOut inv"
+                  steps += 3
+                case _ =>
+                  sb ++= tin
                   steps += 1
               }
             case other =>
@@ -595,14 +610,20 @@ object OpFactory {
   private lazy val opsByCode: Map[String, Op] =
     db.ops.iterator.map(o => o.code -> o).toMap
 
-  private def expandConcat(op: Op, inv: Boolean): Option[Seq[Hop]] = {
+  private def expandConcat(op: Op, inv: Boolean,
+                           displayOnly: Boolean = false): Option[Seq[Hop]] = {
     val steps = op.extras.getOrElse("steps", "")
     if (steps.isEmpty) return None
     val hops = Seq.newBuilder[Hop]
     for (s <- steps.split(',')) {
       val stepInv = s.startsWith("-")
-      opsByCode.get(s.substring(1)) match {
+      val code = s.substring(1)
+      opsByCode.get(code) match {
         case Some(o) if o.kind != 'C' && o.kind != 'S' => hops += Hop(o, stepInv)
+        case None if displayOnly && EpsgMeta.meta.convs.contains(code) =>
+          // conversion legs (projection to/from the projected-space op's own
+          // CRSs) are implied by the neighbouring op's wrap in assemble
+          ()
         case _ => return None // nested concats / raw PROJ strings unsupported
       }
     }
@@ -829,9 +850,21 @@ object OpFactory {
                            vp: VPlan): String = {
     if (vp.ballparkVertical) {
       val base = if (horizName.nonEmpty) horizName + " + " else ""
-      val from = src.vert.map(_.name).getOrElse(src.name)
-      val to = dst.vert.map(_.name).getOrElse(dst.name)
-      base + s"Transformation from $from to $to (ballpark vertical transformation)"
+      // the reference names the vertical side as the source; when only our
+      // destination is vertical the op is the inverse of the canonical one,
+      // and a vertical<->ellipsoidal ballpark carries the "without
+      // ellipsoid height" qualifier (operation.cpp BALLPARK_VERTICAL_*)
+      val suffix =
+        if (src.vert.isDefined != dst.vert.isDefined)
+          " (ballpark vertical transformation, without ellipsoid height to vertical height correction)"
+        else " (ballpark vertical transformation)"
+      if (src.vert.isEmpty && dst.vert.isDefined)
+        base + s"Inverse of Transformation from ${dst.vert.get.name} to ${src.geod.name}$suffix"
+      else {
+        val from = src.vert.map(_.name).getOrElse(src.name)
+        val to = dst.vert.map(_.name).getOrElse(dst.geod.name)
+        base + s"Transformation from $from to $to$suffix"
+      }
     } else {
       val parts = vp.preNames ++
         (if (horizName.nonEmpty) Seq(horizName) else Nil) ++ vp.postNames
@@ -906,56 +939,12 @@ object OpFactory {
         case _ => Vector.empty
       }
 
-    // display surface: a projected-space operation can also connect the
-    // GEOGRAPHIC (or differently-projected) realizations of its end datums
-    // by wrapping it in the end CRSs' conversions (reference
-    // createOperationsDerivedTo/FromBase; Finland KKJ -> ETRS89 goes
-    // through the YKJ -> TM35FIN TIN)
-    def projSpaceSeqs(a: String, b: String): Vector[Candidate] =
-      if (!opts.displayOnly) Vector.empty
-      else db.ops.iterator.flatMap { op =>
-        if (op.deprecated || db.superseded.contains(op.code) ||
-          !allowedAuth(op, opts) || op.kind != 'G') Iterator.empty
-        else if (!db.gridAlias.get(op.extras.getOrElse("grid", "")).exists(
-          _.method == "tinshift")) Iterator.empty
-        else {
-          def baseDatum(code: String): Option[String] =
-            db.projected.get(code).flatMap(p => db.geodetic.get(p.baseGeog))
-              .map(_.datum)
-          val sEnd = op.srcCrs; val dEnd = op.dstCrs
-          (baseDatum(sEnd), baseDatum(dEnd)) match {
-            case (Some(sd), Some(dd)) if sd == a && dd == b =>
-              Iterator((op, false, sEnd, dEnd))
-            case (Some(sd), Some(dd)) if sd == b && dd == a =>
-              Iterator((op, true, dEnd, sEnd))
-            case _ => Iterator.empty
-          }
-        }
-      }.flatMap { case (op, inv, fromProj, toProj) =>
-        for {
-          bodyIn <- if (src.projCode.contains(fromProj)) Some("")
-            else projBodyOf(fromProj).map(b => s" step $b")
-          bodyOut <- if (dst.projCode.contains(toProj)) Some("")
-            else projBodyOf(toProj).map(b => s" step $b inv")
-          (file, avail) = gridFile(op.extras("grid"), opts)
-        } yield {
-          val nm = if (inv) "Inverse of " + op.name else op.name
-          val tin = s" step proj=tinshift file=$file" + (if (inv) " inv" else "")
-          Candidate(nameOf(nm, VNull), op.accuracy, boxesOf(op.bbox),
-            pseudoArea(op.bbox), op.areaName, Seq((file, avail)),
-            ballpark = false, ballparkVertical = hasVert, 1,
-            "proj=pipeline" + bodyIn + tin + bodyOut,
-            dispHops = Seq((op, inv)),
-            wholeCrs = bodyIn.isEmpty && bodyOut.isEmpty)
-        }
-      }.toVector.filter(keep)
-
     val a = src.geod.datum
     val b = dst.geod.datum
     val horizSeqs: Vector[(Seq[Hop], String)] =
       if (db.sameDatum(a, b)) Vector((Nil, ""))
       else usableOps(a, b, opts).flatMap { h =>
-        if (h.op.kind == 'C') expandConcat(h.op, h.inv).map((_, h.name))
+        if (h.op.kind == 'C') expandConcat(h.op, h.inv, opts.displayOnly).map((_, h.name))
         else Some((Seq(h), h.name))
       }
 
@@ -969,18 +958,13 @@ object OpFactory {
 
     val direct: Vector[Candidate] = combine(horizSeqs)
 
-    val projSpace: Vector[Candidate] =
-      if (!opts.displayOnly || db.sameDatum(a, b)) Vector.empty
-      else projSpaceSeqs(a, b).filterNot(c =>
-        wholeAll.exists(_.pipeline == c.pipeline))
-
     // the reference searches intermediates only when nothing direct exists
     // at all (coordinateoperationfactory.cpp:4448 — the
     // "!resFindDirectNonEmptyBeforeFiltering" guard); a desired-accuracy
     // filter applies afterwards and can leave the list empty without
     // triggering a pivot search
     val viaPivot: Vector[Candidate] =
-      if ((wholeAll ++ direct ++ projSpace).nonEmpty || db.sameDatum(a, b))
+      if ((wholeAll ++ direct).nonEmpty || db.sameDatum(a, b))
         Vector.empty
       else combine(pivotHops(a, b, opts).map { case (hops, nm) => (hops, nm) })
 
@@ -1013,8 +997,7 @@ object OpFactory {
     }
 
     val nonBallpark0 =
-      (wholeAll ++ direct ++ projSpace ++ viaPivot ++ vertBallpark)
-        .flatMap(clipArea)
+      (wholeAll ++ direct ++ viaPivot ++ vertBallpark).flatMap(clipArea)
     val nonBallpark =
       if (opts.accuracy < 0) nonBallpark0
       else nonBallpark0.filter(c => c.accuracy >= 0 && c.accuracy <= opts.accuracy)
@@ -1058,7 +1041,7 @@ object OpFactory {
          if !op.deprecated && !db.superseded.contains(op.code) &&
            allowedAuth(op, opts) && op.kind != 'S') {
       def legOf(inv: Boolean): Option[Leg] =
-        (if (op.kind == 'C') expandConcat(op, inv)
+        (if (op.kind == 'C') expandConcat(op, inv, opts.displayOnly)
          else Some(Seq(Hop(op, inv))))
           .map(hs => Leg(hs, if (inv) "Inverse of " + op.name else op.name,
             op.bbox))
@@ -1194,6 +1177,21 @@ object OpFactory {
       }
   }
 
+  /** build the candidate for a single operation code between its own CRS
+    * ends, regardless of deprecation/supersession (projinfo -k operation). */
+  def operationByCode(code: String): Option[(Resolved, Resolved, Candidate)] =
+    db.ops.find(_.code == code).flatMap { op =>
+      for {
+        s <- resolveCode(op.srcCrs)
+        d <- resolveCode(op.dstCrs)
+        hops <- if (op.kind == 'C') expandConcat(op, inv = false,
+            displayOnly = true)
+          else Some(Seq(Hop(op, inv = false)))
+        c <- hopsToCandidate(s, d, hops, op.name,
+          Options(displayOnly = true, gridAvailable = _ => true))
+      } yield (s, d, c)
+    }
+
   private def nullOpName(src: Resolved, dst: Resolved): String =
     s"Null geographic offset from ${src.name} to ${dst.name}"
 
@@ -1202,7 +1200,12 @@ object OpFactory {
   /** the reference's SortFunction (coordinateoperationfactory.cpp:913-1160),
     * reduced to the characteristics this factory produces. */
   def sort(cands: Vector[Candidate],
-           knownAsAvailable: Boolean = false): Vector[Candidate] = {
+           knownAsAvailable: Boolean = false,
+           /** area key override: projinfo sorts by the extent clipped to
+             * the area of interest (reference sort() precomputation) */
+           areaOf: Candidate => Double = null): Vector[Candidate] = {
+    val areaKey: Candidate => Double =
+      if (areaOf == null) _.pseudoArea else areaOf
     // in the only-best/warn protocol, grids registered in the alias table
     // rank as available even when missing on disk (the reference's
     // considerKnownGridsAsAvailable), so a local fallback cannot outrank
@@ -1223,7 +1226,7 @@ object OpFactory {
         if (x.hasGrids && !y.hasGrids) return true
         if (!x.hasGrids && y.hasGrids) return false
       }
-      val areaA = x.pseudoArea; val areaB = y.pseudoArea
+      val areaA = areaKey(x); val areaB = areaKey(y)
       if (areaA > 0) {
         if (areaA > areaB) return true
         if (areaA < areaB) return false

@@ -68,8 +68,13 @@ object WktOut {
   private def codeOf(key: String): String = key.substring(key.indexOf(':') + 1)
   private def authOf(key: String): String = key.substring(0, key.indexOf(':'))
 
-  def idNode(key: String): Node =
-    Node("ID", Seq(Q(authOf(key)), Raw(codeOf(key))))
+  def idNode(key: String): Node = {
+    val code = codeOf(key)
+    // numeric codes print bare, alphanumeric ones quoted (WKTFormatter
+    // add(int) vs addQuotedString)
+    val codePart = if (code.nonEmpty && code.forall(_.isDigit)) Raw(code) else Q(code)
+    Node("ID", Seq(Q(authOf(key)), codePart))
+  }
 
   /** unit node; the reference normalizes the EPSG axis-degree variants to
     * plain "degree" (common.cpp UnitOfMeasure::DEGREE). */
@@ -103,13 +108,18 @@ object WktOut {
   def primemNode(pmKey: String, ids: Boolean): Node = {
     val p = meta.pms(pmKey)
     val u = meta.uoms(p.uomKey)
-    // sexagesimal-DMS prime meridian longitudes are stored in degrees in
-    // the sidecar pipeline; the R record keeps the original text, which for
-    // Greenwich is 0 either way. Non-zero sexagesimal pms (Paris) are out
-    // of the replayed corpus.
+    // sexagesimal D.MS longitudes convert to decimal degrees (the
+    // reference normalizes prime meridians to degree on load)
     val (value, uKey) =
-      if (u.name.startsWith("sexagesimal")) (num(p.lonText), "EPSG:9102")
-      else (num(p.lonText), p.uomKey)
+      if (u.name.startsWith("sexagesimal")) {
+        val raw = if (p.lonText.isEmpty) 0.0 else p.lonText.toDouble
+        val sign = if (raw < 0) -1.0 else 1.0
+        val v = math.abs(raw)
+        val d = math.floor(v)
+        val mm = math.floor((v - d) * 100 + 1e-9)
+        val ss = (v - d - mm / 100.0) * 10000.0
+        (num(sign * (d + mm / 60.0 + ss / 3600.0)), "EPSG:9102")
+      } else (num(p.lonText), p.uomKey)
     Node("PRIMEM", Seq(Q(p.name), Raw(value), Child(unitNode(uKey, ids = false))))
   }
 
@@ -219,6 +229,10 @@ object WktOut {
       else if (g.kind == EpsgDb.Geocentric) "GEODCRS" else "GEOGCRS"
     // this node prints its own ID when allowed, so the subtree below it
     // suppresses IDs (reference WKTFormatter stackHasId)
+    val dynamic =
+      if (v2019) db.datums(g.datum).frameEpoch.map(fe =>
+        Child(Node("DYNAMIC", Seq(Child(Node("FRAMEEPOCH", Seq(Raw(num(fe))))))))).toSeq
+      else Nil
     val datum = datumNode(g.datum, v2019, ids = false, selfId = false)
     val pm = primemNode(meta.datums(g.datum).pmKey, ids = false)
     val cs = if (withCs) csParts(cm.csKey, ids = false) else Nil
@@ -226,8 +240,8 @@ object WktOut {
       if (withUsage) usageParts(cm.scope, cm.areaName, g.bbox, v2019) else Nil
     val idPart = if (ids) Seq(Child(idNode(code))) else Nil
     val remark = if (withRemark && withUsage) remarkPart(cm.remark) else Nil
-    Node(kw, Seq(Q(g.name), Child(datum), Child(pm)) ++ cs ++ usage ++
-      idPart ++ remark)
+    Node(kw, Seq(Q(g.name)) ++ dynamic ++ Seq(Child(datum), Child(pm)) ++
+      cs ++ usage ++ idPart ++ remark)
   }
 
   /** CONVERSION node from the sidecar's K record. */
@@ -277,14 +291,16 @@ object WktOut {
     val v = db.vertical(code)
     val cm = meta.crs(code)
     val vd = meta.vdatums.get(v.datum)
+    val dynamic = vd.map(_.frameEpoch).filter(_.nonEmpty).map(fe =>
+      Child(Node("DYNAMIC", Seq(Child(Node("FRAMEEPOCH", Seq(Raw(num(fe))))))))).toSeq
     val datum = Node("VDATUM", Seq(Q(vd.map(_.name).getOrElse(v.datum))))
     val cs = csParts(cm.csKey, ids = false)
     val usage =
       if (withUsage) usageParts(cm.scope, cm.areaName, v.bbox, v2019) else Nil
     val idPart = if (ids) Seq(Child(idNode(code))) else Nil
     val remark = if (withUsage) remarkPart(cm.remark) else Nil
-    Node("VERTCRS", Seq(Q(v.name), Child(datum)) ++ cs ++ usage ++
-      idPart ++ remark)
+    Node("VERTCRS", Seq(Q(v.name)) ++ dynamic ++ Seq(Child(datum)) ++ cs ++
+      usage ++ idPart ++ remark)
   }
 
   /** any CRS by code: geodetic, projected, vertical, compound. */
