@@ -228,15 +228,19 @@ object CliProjinfo {
         // CRS (by code or name), falling back through datum/ensemble,
         // vertical datum, ellipsoid for bare names — the reference's
         // createFromUserInput object search order
-        val asCrs: Option[Resolved] =
-          if (o.kind == "crs") {
-            // -k crs: CRS names only (EGM2008 -> the height CRS)
-            OpFactory.resolve(s).orElse(
-              db.byName(s + " height", "V").headOption.flatMap { case (_, c) =>
-                OpFactory.resolveCode(c) })
-          } else OpFactory.resolve(s)
-        val asVertCrs = if (o.kind == "crs" && asCrs.isEmpty)
-          db.byName(s, "V").headOption else None
+        // a vertical CRS by code or (for -k crs) by "<name> height"
+        val asVertCode: Option[String] =
+          (if (s.contains(":")) Some(normKey(s)).filter(db.vertical.contains)
+           else None)
+            .orElse(if (o.kind == "crs")
+              db.byName(s + " height", "V").headOption.map(_._2)
+                .orElse(db.byName(s, "V").headOption.map(_._2))
+            else None)
+        asVertCode match {
+          case Some(vc) => return outputVertCrs(vc, o, io, sections)
+          case None => ()
+        }
+        val asCrs: Option[Resolved] = OpFactory.resolve(s)
         asCrs match {
           case Some(r) if o.kind == "crs" || s.contains(":") ||
             db.byName(s, "CPX").nonEmpty =>
@@ -270,6 +274,30 @@ object CliProjinfo {
     0
   }
 
+  /** standalone vertical CRS output: legacy +geoidgrids string plus the
+    * VERTCRS WKT. */
+  private def outputVertCrs(code: String, o: Opt, io: CliOut,
+                            sections: scala.collection.mutable.Builder[(String, String), Vector[(String, String)]]): Int = {
+    if (o.outPROJ) {
+      // the geoid grid of the operation binding this height to WGS 84
+      val v = db.vertical(code)
+      val geoidOp = db.ops.find(op => op.kind == 'G' && !op.deprecated &&
+        (op.dstCrs == code || op.srcCrs == code) &&
+        op.extras.get("grid").exists(g => db.gridAlias.contains(g)))
+      geoidOp.foreach { op =>
+        val grid = db.gridAlias(op.extras("grid")).proj
+        sections += (("PROJ.4 string:",
+          s"+geoidgrids=$grid +geoid_crs=WGS84 +vunits=m +no_defs +type=crs"))
+      }
+    }
+    if (o.outWkt2019)
+      sections += (("WKT2:2019 string:",
+        WktOut.render(WktOut.vertCrsNode(code, v2019 = true, ids = true),
+          !o.singleLine)))
+    emitSections(sections.result(), o, io)
+    0
+  }
+
   /** vertical CRS for a -k crs lookup of a datum-ish name */
   private def outputCrs(r: Resolved, o: Opt, io: CliOut,
                         sections: scala.collection.mutable.Builder[(String, String), Vector[(String, String)]]): Int = {
@@ -289,9 +317,15 @@ object CliProjinfo {
     if (o.outWkt2015)
       WktOut.crsNode(code, v2019 = false, ids = true).foreach(n =>
         sections += (("WKT2:2015 string:", WktOut.render(n, !o.singleLine))))
-    if (o.outWkt2019)
-      WktOut.crsNode(code, v2019 = true, ids = true).foreach(n =>
+    if (o.outWkt2019) {
+      val node =
+        if (o.promote3D && db.projected.contains(code))
+          WktOut.promotedProjCrsNode(code)
+            .orElse(WktOut.crsNode(code, v2019 = true, ids = true))
+        else WktOut.crsNode(code, v2019 = true, ids = true)
+      node.foreach(n =>
         sections += (("WKT2:2019 string:", WktOut.render(n, !o.singleLine))))
+    }
     emitSections(sections.result(), o, io)
     0
   }
@@ -323,7 +357,17 @@ object CliProjinfo {
         .map(_.stripPrefix("+"))
         .filterNot(t => t == "no_defs")
         .mkString(" ")).head
-      val step = ProjOut.rewriteCrsStep(step0, datumName)
+      var step = ProjOut.rewriteCrsStep(step0, datumName)
+      if (datumName.isEmpty && !step.params.exists(_._1 == "towgs84")) {
+        // the reference's createBoundCRSToWGS84IfPossible appends the best
+        // single-Helmert transformation as +towgs84
+        towgs84Of(code).foreach { t =>
+          val at = step.params.indexWhere(_._1 == "ellps") + 1
+          if (at > 0)
+            step = step.copy(params = (step.params.take(at) :+
+              ("towgs84", t)) ++ step.params.drop(at))
+        }
+      }
       val sb = new StringBuilder("+proj=" + step.name)
       for ((k, v) <- step.params) {
         sb += ' '; sb += '+'; sb ++= k
@@ -331,6 +375,47 @@ object CliProjinfo {
       }
       sb ++= " +no_defs +type=crs"
       sb.toString
+    }
+  }
+
+  /** x,y,z,rx,ry,rz,s of the best single-Helmert operation from the CRS's
+    * geodetic base to WGS 84, in towgs84's position-vector convention. */
+  private def towgs84Of(code: String): Option[String] = {
+    val geodCode = db.projected.get(code).map(_.baseGeog).getOrElse(code)
+    for {
+      g <- OpFactory.resolveCode(geodCode)
+      w <- OpFactory.resolveCode("EPSG:4326")
+      crsBox = db.projected.get(code).flatMap(_.bbox)
+        .orElse(db.geodetic.get(geodCode).flatMap(_.bbox))
+      list = OpFactory.createListForDisplay(g, w,
+        Options(allowBallpark = false), GridMode.Discard)
+        .filter(c => !c.ballpark && !c.ballparkVertical &&
+          c.dispHops.length == 1 && c.dispHops.head._1.kind == 'H' &&
+          !c.dispHops.head._2)
+      // the reference binds to WGS 84 with the CRS's own extent as the
+      // area of interest: among operations covering it, best accuracy wins
+      c <- crsBox.flatMap { box =>
+        val containing = list.filter(c => candContains(c.boxes, box))
+        val pool = if (containing.nonEmpty) containing
+          else list.filter(c => candIntersects(c.boxes, box))
+        pool.sortBy(c => if (c.accuracy < 0) Double.MaxValue else c.accuracy)
+          .headOption
+      }.orElse(list.headOption)
+    } yield {
+      val x = c.dispHops.head._1.extras
+      // position-vector methods per the factory's convention table; the
+      // coordinate-frame family flips rotation signs into towgs84 form
+      val m = c.dispHops.head._1.method
+      val pv = Set("9606", "1033", "1037", "1053", "1054", "1055", "1063",
+        "1061", "1065").contains(m)
+      def v(k: String) = x.getOrElse(k, "0")
+      def rot(k: String) = {
+        val t = v(k)
+        if (pv || t == "0") t
+        else if (t.startsWith("-")) t.substring(1) else "-" + t
+      }
+      Seq(v("x"), v("y"), v("z"), rot("rx"), rot("ry"), rot("rz"), v("s"))
+        .mkString(",")
     }
   }
 
@@ -414,13 +499,36 @@ object CliProjinfo {
     }
 
   private def outputOperations(o: Opt, io: CliOut): Int = {
+    // a PROJ-string source CRS with +geoidgrids binds heights through the
+    // named geoid model (reference BoundCRS with a geoid model)
+    if (o.sourceCrs.trim.startsWith("+proj=") &&
+      o.sourceCrs.contains("geoidgrids=")) {
+      val grid = o.sourceCrs.split("\\s+").map(_.stripPrefix("+"))
+        .find(_.startsWith("geoidgrids=")).map(_.substring(11)).getOrElse("")
+      OpFactory.resolve(o.targetCrs) match {
+        case Some(dst) if o.quiet && o.outPROJ =>
+          val pre = Vector(ProjOut.Step(inv = false, "unitconvert",
+            Vector(("xy_in", "deg"), ("xy_out", "rad"))))
+          val core = Vector(ProjOut.Step(inv = false, "vgridshift",
+            Vector(("grids", grid), ("multiplier", "1"))))
+          val post = ProjOut.ioSteps(dst, out = true, wholeCrs = false)
+          io.out(ProjOut.render(pre ++ core ++ post, !o.singleLine) + "\n")
+          return 0
+        case _ =>
+          io.err("crs not found: " + o.targetCrs + "\n"); return 1
+      }
+    }
     val src0 = OpFactory.resolve(o.sourceCrs)
     val dst0 = OpFactory.resolve(o.targetCrs)
     val (srcOpt, dstOpt) = (src0, dst0) match {
       case (Some(s), Some(d)) => (Some(s), Some(d))
       case (Some(s), None) => (Some(s), resolveVerticalSide(o.targetCrs, s))
       case (None, Some(d)) => (resolveVerticalSide(o.sourceCrs, d), Some(d))
-      case _ => (None, None)
+      case _ =>
+        // two bare vertical CRSs: both adopt a common horizontal
+        val w = OpFactory.resolveCode("EPSG:4326")
+        (w.flatMap(x => resolveVerticalSide(o.sourceCrs, x)),
+          w.flatMap(x => resolveVerticalSide(o.targetCrs, x)))
     }
     val src = srcOpt.getOrElse {
       io.err("crs not found: " + o.sourceCrs + "\n"); return 1 }
@@ -504,8 +612,12 @@ object CliProjinfo {
         }
       }
     }
+    // time-specific Helmert methods have no pipeline expression
+    // (reference: isPROJExportable sorts them last)
+    def exportable(c: Candidate): Boolean =
+      !c.dispHops.exists(h => h._1.method == "1065" || h._1.method == "1066")
     val all = OpFactory.sort(all0, knownAsAvailable = gridMode == GridMode.Known,
-      areaOf = clippedArea)
+      areaOf = clippedArea, exportableOf = exportable)
 
     def candDesc(c: Candidate): Option[String] =
       meta.descOfArea(c.areaName).orElse(
@@ -520,6 +632,14 @@ object CliProjinfo {
       if (bareVertTarget)
         list = list.filterNot(c => c.ballparkVertical ||
           c.name.contains(" using "))
+      // geocentric-to-geocentric pairs use geocentric-domain methods only
+      // (the reference never routes them through the geog2D/3D variants)
+      if (src.isGeocentric && dst.isGeocentric) {
+        val geogDomain = Set("9603", "9606", "9607", "9636", "1035", "1037",
+          "1038", "1039", "1063", "1133")
+        list = list.filterNot(c =>
+          c.dispHops.exists(h => geogDomain.contains(h._1.method)))
+      }
       // --area with a described extent: if any candidate's own extent has
       // exactly that description, restrict to those (reference filterOut
       // foundExtentWithExpectedDescription)
@@ -561,7 +681,8 @@ object CliProjinfo {
         val sections = Vector.newBuilder[(String, String)]
         if (o.outPROJ)
           sections += (("PROJ string:",
-            ProjOut.candidateProj(src, dst, list.head, !o.singleLine)))
+            ProjOut.candidateProj(src, dst, list.head, !o.singleLine,
+              o.normalizeAxisOrder)))
         if (o.outWkt2019)
           operationWkt(src, dst, list.head).foreach(n =>
             sections += (("WKT2:2019 string:", WktOut.render(n, !o.singleLine))))
@@ -663,13 +784,36 @@ object CliProjinfo {
     } else "unknown id"
   }
 
+  private def kindStr(r: Resolved): String =
+    if (r.kind == EpsgDb.Geog3D) "geog3D" else "geog2D"
+
   private def displayName(src: Resolved, dst: Resolved, c: Candidate): String = {
     val (lc, rc) = convLegs(src, dst, c)
     val parts = Vector.newBuilder[String]
     lc.foreach(n => parts += s"Inverse of $n")
+    // hops registered between geocentric CRSs reached from geographic ends
+    // go through synthesized geographic<->geocentric conversions, which the
+    // reference names explicitly
+    if (c.dispHops.nonEmpty && src.projCode.isEmpty && !src.isGeocentric) {
+      val (op0, inv0) = c.dispHops.head
+      val firstEnd = if (inv0) op0.dstCrs else op0.srcCrs
+      if (db.geodetic.get(firstEnd).exists(_.kind == EpsgDb.Geocentric))
+        parts += s"Conversion from ${src.geod.name} (${kindStr(src)}) to ${src.geod.name} (geocentric)"
+    }
     if (c.name.nonEmpty && !(c.dispHops.isEmpty && !c.ballpark &&
-      !c.ballparkVertical && (lc.isDefined || rc.isDefined)))
-      parts += c.name
+      !c.ballparkVertical && (lc.isDefined || rc.isDefined))) {
+      // a concatenation shown without its registry identity lists its step
+      // names (the reference synthesizes it in-memory)
+      if (c.dispHops.length > 1 && !c.name.contains(" + "))
+        parts += c.dispHops.map(h => hopName(h._1, h._2)).mkString(" + ")
+      else parts += c.name
+    }
+    if (c.dispHops.nonEmpty && dst.projCode.isEmpty && !dst.isGeocentric) {
+      val (opN, invN) = c.dispHops.last
+      val lastEnd = if (invN) opN.srcCrs else opN.dstCrs
+      if (db.geodetic.get(lastEnd).exists(_.kind == EpsgDb.Geocentric))
+        parts += s"Conversion from ${dst.geod.name} (geocentric) to ${dst.geod.name} (${kindStr(dst)})"
+    }
     rc.foreach(n => parts += n)
     val v = parts.result()
     if (v.isEmpty) c.name else v.mkString(" + ")
@@ -717,9 +861,10 @@ object CliProjinfo {
   /** domain-of-validity text: intersection with the containment shortcut
     * that preserves the contained extent's description. */
   private def displayArea(src: Resolved, dst: Resolved, c: Candidate): String = {
-    if ((c.ballpark || c.ballparkVertical) && c.dispHops.isEmpty) {
-      // synthesized ballpark: the CRS pair's shared extent keeps its
-      // description, otherwise the in-memory World extent
+    if (c.ballparkVertical && c.dispHops.isEmpty) return "World"
+    if (c.ballpark && c.dispHops.isEmpty) {
+      // synthesized geographic ballpark: the CRS pair's shared extent keeps
+      // its description, otherwise the in-memory World extent
       val sa = crsAreaName(src); val da = crsAreaName(dst)
       return if (sa.nonEmpty && sa == da)
         meta.descOfArea(sa).getOrElse("World")
@@ -750,6 +895,8 @@ object CliProjinfo {
       meta.convs.get(convKey).foreach(k =>
         acc = Some((Bbox(0, 0, 0, 0), meta.descOfArea(k.areaName))))
     }
+    if (c.dispHops.length > 1 &&
+      acc.exists(_._1 == Bbox(-180, -90, 180, 90))) return "World"
     acc.flatMap(_._2).getOrElse(
       if (acc.exists(_._1 == Bbox(-180, -90, 180, 90))) "World"
       else "unknown domain of validity")
@@ -771,8 +918,10 @@ object CliProjinfo {
     sb ++= ", "
     sb ++= displayArea(src, dst, c)
     if (c.ballpark || c.ballparkVertical) sb ++= ", has ballpark transformation"
-    if (c.dispHops.exists(h => h._1.extras.contains("epoch") ||
-      h._1.extras.contains("dx")))
+    // time-dependent = has parameter rates; time-specific Helmerts carry an
+    // epoch but take no per-coordinate time
+    if (c.dispHops.exists(h => h._1.extras.contains("dx") ||
+      h._1.extras.contains("drx")))
       sb ++= ", time-dependent operation"
     sb.toString
   }

@@ -228,12 +228,20 @@ object ProjOut {
       var i = 0
       while (!changed && i + 1 < v.length) {
         val a = v(i); val b = v(i + 1)
+        def pm(st: Step, k: String) = st.params.find(_._1 == k).map(_._2)
         val inverses =
           (a.name == b.name && a.name != "pop" && a.name != "push" &&
             a.inv != b.inv && a.params == b.params) ||
           // pop/push (either order) of the same slots restores state
           (Set(a.name, b.name) == Set("push", "pop") && !a.inv && !b.inv &&
-            a.params == b.params)
+            a.params == b.params) ||
+          // reciprocal unit conversions
+          (a.name == "unitconvert" && b.name == "unitconvert" &&
+            pm(a, "xy_in") == pm(b, "xy_out") &&
+            pm(a, "xy_out") == pm(b, "xy_in")) ||
+          // a 2,1 axis swap is its own inverse
+          (a.name == "axisswap" && b.name == "axisswap" &&
+            a.params == b.params && pm(a, "order").contains("2,1"))
         if (inverses) {
           v = v.patch(i, Nil, 2)
           changed = true
@@ -246,8 +254,11 @@ object ProjOut {
 
   /** render steps as the reference PROJStringFormatter does. */
   def render(steps0: Vector[Step], multiline: Boolean): String = {
-    val steps = cancelAdjacentInverses(steps0.map(rewriteStep)).filterNot(s =>
-      s.name == "noop" && steps0.length > 1)
+    val steps = cancelAdjacentInverses(steps0.map(rewriteStep).filterNot(s =>
+      (s.name == "noop" && steps0.length > 1) ||
+        // zero offsets are identity (the reference's exporter never emits
+        // them)
+        (s.name == "geogoffset" && s.params.forall(_._2 == "0"))))
     if (steps.isEmpty) return "+proj=noop"
     if (steps.length == 1) {
       val s = steps.head
@@ -284,14 +295,16 @@ object ProjOut {
 
   /** full display pipeline for a candidate between the resolved pair. */
   def candidateProj(src: Resolved, dst: Resolved, c: Candidate,
-                    multiline: Boolean): String = {
+                    multiline: Boolean, normalizeAxisOrder: Boolean = false): String = {
     val core = parse(c.pipeline)
     if (c.pipeline == "proj=noop" && c.dispHops.isEmpty &&
       src.projBody.isEmpty && dst.projBody.isEmpty &&
       !crossAxisOrUnits(src, dst))
       return "+proj=noop"
     val pre = ioSteps(src, out = false, c.wholeCrs)
+      .filterNot(s => normalizeAxisOrder && s.name == "axisswap")
     val post = ioSteps(dst, out = true, c.wholeCrs)
+      .filterNot(s => normalizeAxisOrder && s.name == "axisswap")
     val all = pre ++ core.filterNot(_.name == "noop") ++ post
     if (all.isEmpty) "+proj=noop" else render(all, multiline)
   }

@@ -112,7 +112,15 @@ object EpsgDb {
     def sameDatum(a: String, b: String): Boolean =
       a == b ||
         memberOf.getOrElse(a, Nil).contains(b) ||
-        memberOf.getOrElse(b, Nil).contains(a) ||
+        memberOf.getOrElse(b, Nil).contains(a)
+
+    /** two distinct member realizations of one ensemble: connected for
+      * glue-leg pruning, but NOT null-transformable (the reference's
+      * isSameGeodeticDatum equates a member with its ensemble only —
+      * member-to-member hops go through their registered transformations
+      * when any exist). */
+    def sameEnsembleMembers(a: String, b: String): Boolean =
+      a != b &&
         memberOf.getOrElse(a, Nil).exists(memberOf.getOrElse(b, Nil).contains)
 
     def byName(name: String, kinds: String): Seq[(Char, String)] = {

@@ -803,7 +803,7 @@ object OpFactory {
           // redundant duplicates of the ensemble-level op (the PROJ-authority
           // "(from ...)" derivations) and are skipped
           val side = if (up) srcDatum else dstDatum
-          if (!db.sameDatum(side, other))
+          if (!db.sameDatum(side, other) && !db.sameEnsembleMembers(side, other))
             for (g <- glueOps(side, other, opts))
               out += ((Seq(g, h, Hop(g.op, !g.inv)),
                 up, h.name, Seq(g.op.name)))
@@ -824,9 +824,27 @@ object OpFactory {
             else VPlan(Nil, hops, Nil, Seq(nm), using, false))
         (real.result(), Vector(VBallpark))
       case (Some(v1), Some(v2)) =>
+        // vertical hops whose interpolation frame lives on the destination
+        // side apply after the horizontal chain (display surface: keeps
+        // the printed order the reference produces)
+        def postSide(hops: Seq[Hop]): Boolean =
+          opts.displayOnly && hops.exists(h =>
+            h.op.extras.get("interp").flatMap(db.projected.get)
+              .flatMap(p => db.geodetic.get(p.baseGeog)).exists(g =>
+                g.datum == dstDatum && g.datum != srcDatum))
+        def addPlan(hops: Seq[Hop], names: Seq[String]): Unit =
+          real += (if (postSide(hops)) VPlan(Nil, hops, Nil, names, Nil, false)
+          else VPlan(hops, Nil, names, Nil, Nil, false))
         // direct vertical-to-vertical operations
         for ((h, other) <- vertEndHops(v1.code, opts) if other == v2.code)
-          real += VPlan(Seq(h), Nil, Seq(h.name), Nil, Nil, false)
+          addPlan(Seq(h), Seq(h.name))
+        // two-hop chains through an intermediate vertical frame (Finland
+        // N43 -> N60 -> N2000); display surface only
+        if (opts.displayOnly)
+          for ((h1, mid) <- vertEndHops(v1.code, opts)
+               if db.vertical.contains(mid) && mid != v2.code;
+               (h2, end2) <- vertEndHops(mid, opts) if end2 == v2.code)
+            addPlan(Seq(h1, h2), Seq(h1.name, h2.name))
         // geoid-pivot: v1 -> ellipsoidal(home1), glue home1/home2,
         // ellipsoidal(home2) -> v2
         val ups = vertEndHops(v1.code, opts).filter(p => db.datums.contains(p._2))
@@ -941,8 +959,12 @@ object OpFactory {
 
     val a = src.geod.datum
     val b = dst.geod.datum
+    val memberPairOps: Vector[Hop] =
+      if (db.sameEnsembleMembers(a, b)) usableOps(a, b, opts) else Vector.empty
     val horizSeqs: Vector[(Seq[Hop], String)] =
-      if (db.sameDatum(a, b)) Vector((Nil, ""))
+      if (db.sameDatum(a, b) ||
+        (db.sameEnsembleMembers(a, b) && memberPairOps.isEmpty))
+        Vector((Nil, ""))
       else usableOps(a, b, opts).flatMap { h =>
         if (h.op.kind == 'C') expandConcat(h.op, h.inv, opts.displayOnly).map((_, h.name))
         else Some((Seq(h), h.name))
@@ -964,7 +986,8 @@ object OpFactory {
     // filter applies afterwards and can leave the list empty without
     // triggering a pivot search
     val viaPivot: Vector[Candidate] =
-      if ((wholeAll ++ direct).nonEmpty || db.sameDatum(a, b))
+      if ((wholeAll ++ direct).nonEmpty || db.sameDatum(a, b) ||
+        db.sameEnsembleMembers(a, b))
         Vector.empty
       else combine(pivotHops(a, b, opts).map { case (hops, nm) => (hops, nm) })
 
@@ -1004,7 +1027,8 @@ object OpFactory {
 
     val ballpark: Vector[Candidate] =
       if (!opts.allowBallpark || opts.accuracy >= 0 || opts.area.isDefined ||
-          db.sameDatum(a, b) && nonBallpark.nonEmpty) Vector.empty
+          (db.sameDatum(a, b) || db.sameEnsembleMembers(a, b)) &&
+          nonBallpark.nonEmpty) Vector.empty
       else {
         try {
           val (pipe, grids, n, known) = assemble(src, dst, Nil, opts)
@@ -1016,8 +1040,11 @@ object OpFactory {
             case Some(b) if src.bbox.isDefined || dst.bbox.isDefined => Some(b)
             case _ => None
           }
+          val ballparkKind =
+            if (src.isGeocentric && dst.isGeocentric) "geocentric translation"
+            else "geographic offset"
           Vector(Candidate(
-            s"Ballpark geographic offset from ${src.name} to ${dst.name}",
+            s"Ballpark $ballparkKind from ${src.name} to ${dst.name}",
             -1.0, boxesOf(bb), pseudoArea(bb), "", grids,
             ballpark = true, ballparkVertical = hasVert, n, pipe,
             projSteps = n, gridsKnown = known))
@@ -1069,12 +1096,16 @@ object OpFactory {
       case _ => true
     }
     val out = Vector.newBuilder[(Seq[Hop], String)]
-    for (p <- fromA.keySet.intersect(toB.keySet).toVector.sorted;
+    // only geodetic datums pivot (the reference's intermediate-CRS search
+    // never bridges through vertical or projected CRSs)
+    for (p <- fromA.keySet.intersect(toB.keySet).toVector.sorted
+         if db.datums.contains(p);
          l1 <- fromA(p); l2 <- toB(p) if legsIntersect(l1, l2))
       out += ((l1.hops ++ l2.hops, l1.name + " + " + l2.name))
     if (out.result().isEmpty) {
       for ((p1, ls1) <- fromA; (p2, ls2) <- toB
-           if p1 != p2 && db.sameDatum(p1, p2); l1 <- ls1; l2 <- ls2
+           if p1 != p2 && (db.sameDatum(p1, p2) ||
+             db.sameEnsembleMembers(p1, p2)); l1 <- ls1; l2 <- ls2
            if legsIntersect(l1, l2))
         out += ((l1.hops ++ l2.hops, l1.name + " + " + l2.name))
     }
@@ -1203,7 +1234,10 @@ object OpFactory {
            knownAsAvailable: Boolean = false,
            /** area key override: projinfo sorts by the extent clipped to
              * the area of interest (reference sort() precomputation) */
-           areaOf: Candidate => Double = null): Vector[Candidate] = {
+           areaOf: Candidate => Double = null,
+           /** PROJ-exportability: methods the pipeline engine cannot express
+             * sort last (reference isPROJExportable, the first criterion) */
+           exportableOf: Candidate => Boolean = null): Vector[Candidate] = {
     val areaKey: Candidate => Double =
       if (areaOf == null) _.pseudoArea else areaOf
     // in the only-best/warn protocol, grids registered in the alias table
@@ -1213,6 +1247,11 @@ object OpFactory {
     def avail(c: Candidate): Boolean =
       c.gridsAvailable || (knownAsAvailable && c.gridsKnown)
     def less(x: Candidate, y: Candidate): Boolean = {
+      if (exportableOf != null) {
+        val ex = exportableOf(x); val ey = exportableOf(y)
+        if (ex && !ey) return true
+        if (!ex && ey) return false
+      }
       if (!x.ballpark && y.ballpark) return true
       if (x.ballpark && !y.ballpark) return false
       if (!x.ballparkVertical && y.ballparkVertical) return true

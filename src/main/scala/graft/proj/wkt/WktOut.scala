@@ -186,9 +186,14 @@ object WktOut {
     * reference does). Returns the parts to splice into the CRS node. */
   def csParts(csKey: String, ids: Boolean): Seq[Part] = {
     val cs = meta.css(csKey)
-    val n = cs.axes.length
-    val csNode = Node("CS", Seq(Raw(cs.typ), Raw(n.toString)))
-    val axes = cs.axes.zipWithIndex.map { case (a, i) =>
+    csPartsFrom(cs.typ, cs.axes, ids)
+  }
+
+  def csPartsFrom(typ: String, axesIn: Seq[EpsgMeta.Axis],
+                  ids: Boolean): Seq[Part] = {
+    val n = axesIn.length
+    val csNode = Node("CS", Seq(Raw(typ), Raw(n.toString)))
+    val axes = axesIn.zipWithIndex.map { case (a, i) =>
       val order = i + 1
       val orderPart =
         if (n > 1) Seq(Child(Node("ORDER", Seq(Raw(order.toString))))) else Nil
@@ -197,6 +202,33 @@ object WktOut {
         Seq(Child(unitNode(a.uomKey, ids))), bump = 1))
     }
     Child(csNode) +: axes
+  }
+
+  /** a projected CRS promoted to 3D (projinfo --3d): 3D base, appended
+    * ellipsoidal-height axis, unknown scope, a promotion remark, no own
+    * id — so nested identifiers print (reference promoteTo3D). */
+  def promotedProjCrsNode(code: String): Option[Node] = {
+    val p = db.projected(code)
+    val cm = meta.crs(code)
+    val base = db.geodetic(p.baseGeog)
+    val base3d = db.geodetic.values.find(g => g.datum == base.datum &&
+      g.kind == EpsgDb.Geog3D && g.name == base.name)
+    val (convKey, _) = EpsgMeta.projConv.getOrElse(code, ("", ""))
+    base3d.map { b3 =>
+      val baseNode = geodCrsNode(b3.code, v2019 = true, ids = true,
+        withUsage = false, withCs = false, withRemark = false)
+        .copy(kw = "BASEGEOGCRS")
+      val conv = if (convKey.nonEmpty && meta.convs.contains(convKey))
+        Seq(Child(conversionNode(convKey, ids = true))) else Nil
+      val axes3d = meta.css(cm.csKey).axes :+
+        EpsgMeta.Axis("Ellipsoidal height", "h", "up", "EPSG:9001")
+      val cs = csPartsFrom(meta.css(cm.csKey).typ, axes3d, ids = true)
+      val usage = usageParts("unknown", cm.areaName, p.bbox, v2019 = true)
+      val remark = Seq(Child(Node("REMARK",
+        Seq(Q(s"Promoted to 3D from $code")))))
+      Node("PROJCRS", Seq(Q(p.name), Child(baseNode)) ++ conv ++ cs ++
+        usage ++ remark)
+    }
   }
 
   /** USAGE (2019) or SCOPE/AREA/BBOX (2015) parts for a DB object. */

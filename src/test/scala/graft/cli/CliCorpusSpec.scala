@@ -139,4 +139,37 @@ class CliCorpusSpec extends AnyFunSuite {
   test("test_gie: gie front-end argument handling") {
     check("test_gie", gieApp, expectedPass = 4, skips = Map.empty)
   }
+
+  private def projinfoApp(args: Seq[String], stdin: String,
+                          files: Map[String, String],
+                          env: Map[String, String]): CliResult =
+    CliProjinfo.run(args, stdin, "projinfo", files, env)
+
+  /** The 50 projinfo expectations outside the replayed subset, with the
+    * component each one needs. Everything else — single-CRS WKT2:2019/2015
+    * + PROJ.4 output, -k object lookups, candidate listing with summaries /
+    * notes / DERIVED_FROM-INVERSE ids, --bbox/--area filtering, vertical /
+    * TIN / deformation paths, --3d promotion of a projected CRS — is
+    * byte-identical to the reference's stdout. */
+  private val projinfoSkips: Map[Int, String] = {
+    def at(ids: Seq[Int], why: String) = ids.map(_ -> why)
+    (at(Seq(1, 4), "WKT1 (GDAL/ESRI) output dialects not implemented") ++
+      at(Seq(5, 6, 65, 66), "SQL registry dump (-o SQL / --dump-db-structure) not implemented") ++
+      at(Seq(22), "lenient WKT1 input with grammar diagnostics not implemented") ++
+      at(Seq(30, 31), "2D/3D auto-promotion across compound pairs not modeled") ++
+      at(Seq(35, 87, 88, 106, 107), "the reference's multi-intermediate pivot chains not modeled") ++
+      at(Seq(47), "--searchpaths is environment-specific") ++
+      at(Seq(48, 49), "--remote-data reports network state") ++
+      at(Seq(64), "NKG authority excluded from the sidecar (network-grid ops)") ++
+      at(Seq(83), "coordinate epochs / point-motion operations not modeled") ++
+      at(Seq(85), "equal-score realization paths tie-break differently") ++
+      at((68 to 81), "--list-crs dumps the full registry") ++
+      at((90 to 103), "shell completions") ++
+      at(Seq(104, 105), "engineering CRSs not in the sidecar")).toMap
+  }
+
+  test("test_projinfo: CRS description and operation queries") {
+    check("test_projinfo", projinfoApp, expectedPass = 111 - projinfoSkips.size,
+      skips = projinfoSkips)
+  }
 }
