@@ -638,6 +638,28 @@ def main():
             r['accuracy'], r['deprecated'], 'steps=' + ','.join(toks), r['name'],
             r['description'], '', r['operation_version']))
 
+    # ---- ESRI authority: deprecated ESRI codes map to their EPSG
+    # replacements (the reference resolves ESRI:102100 via the deprecation
+    # table), and the ESRI WKT1 names alias the same EPSG objects.
+    # Z|ESRI:code|EPSG:code
+    esri_name = {}
+    for t in ('geodetic_crs', 'projected_crs', 'vertical_crs', 'compound_crs'):
+        for r in db.execute(f"select code, name from {t}"
+                            " where auth_name='ESRI'"):
+            esri_name[str(r['code'])] = r['name']
+    kind_for_dep = {'geodetic_crs': 'C', 'projected_crs': 'P',
+                    'vertical_crs': 'V', 'compound_crs': 'X'}
+    for r in db.execute("select table_name t, deprecated_code c,"
+                        " replacement_auth_name ra, replacement_code rc"
+                        " from deprecation where deprecated_auth_name='ESRI'"):
+        if r['ra'] != 'EPSG' or r['t'] not in kind_for_dep:
+            continue
+        lines.append(f"Z|ESRI:{r['c']}|EPSG:{r['rc']}")
+        nm = esri_name.get(str(r['c']))
+        if nm:
+            names.append((nm.lower(), kind_for_dep[r['t']],
+                          f"EPSG:{r['rc']}", 0))
+
     # ---- deprecation (replacement objects): Y|old|new
     for r in db.execute("select table_name t, deprecated_auth_name a,"
                         " deprecated_code c, replacement_auth_name ra,"

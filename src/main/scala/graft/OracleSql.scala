@@ -925,6 +925,40 @@ object OracleSql {
     FROM gen WHERE i = n
     ORDER BY doc_id"""
 
+  /** JPEG counterpart of mediaPixels: the baseline encoder draws one
+    * quantized DC per 8x8 block from the same LCG (dc = top byte % 193 -
+    * 96); with the DC quantizer at 8 the IDCT of a DC-only block is the
+    * exact flat value dc + 128, so DuckDB regenerates the block stream and
+    * folds the per-pixel statistics in closed form — the index-weighted
+    * polynomial sums each block's raster positions analytically
+    * (sum over an 8x8 block at (bx,by) of (row*W + col + 1) =
+    * 64*(by*8*W + bx*8 + 1) + 224*W + 224). */
+  def mediaJpeg: String =
+    s"""WITH RECURSIVE jpg AS (
+      SELECT doc_id,
+        CAST(8 * (1 + doc_id % 6) AS BIGINT) AS w,
+        CAST(8 * (1 + (doc_id*5) % 6) AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 = 2),
+    gen AS (
+      SELECT doc_id, w, h, (w//8)*(h//8) AS nb, CAST(0 AS BIGINT) AS k,
+             CAST(doc_id AS HUGEINT) AS s,
+             CAST(0 AS BIGINT) AS px_sum, CAST(0 AS BIGINT) AS px_poly
+      FROM jpg
+      UNION ALL
+      SELECT doc_id, w, h, nb, k + 1, s2,
+        px_sum + 64 * v,
+        (px_poly + v * (64 * ((k // (w//8)) * 8 * w + (k % (w//8)) * 8 + 1)
+                        + 224 * w + 224)) % 1000000007
+      FROM (
+        SELECT doc_id, w, h, nb, k, px_sum, px_poly,
+          (s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616 AS s2,
+          CAST((s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+               // 72057594037927936 AS BIGINT) % 193 - 96 + 128 AS v
+        FROM gen WHERE k < nb) t)
+    SELECT doc_id, w * h AS n_px, px_sum, px_poly
+    FROM gen WHERE k = nb
+    ORDER BY doc_id"""
+
   /** Audio counterpart of mediaPixels: the WAV encoder draws signed 16-bit
     * PCM samples from the same LCG (top 16 bits); DuckDB re-generates
     * every sample (b in 0..65535, signed = b - 65536 when b >= 32768) and

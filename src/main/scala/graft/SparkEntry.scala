@@ -805,6 +805,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "media_jpeg" -> ((s, dir) => {
+      // CONTENT-deep JPEG check: encode a real baseline JFIF per doc, then
+      // decode it through the full entropy path (canonical Huffman tables
+      // built from DHT, DC prediction, EOB runs, byte unstuffing, dequant,
+      // IDCT, level shift) and fold per-pixel statistics; the DC-only
+      // synthetic makes the IDCT output integer-exact, so the oracle
+      // regenerates every pixel from the seed stream in closed form — a
+      // wrong Huffman table, sign decode or block raster changes the hash
+      import graft.spark.MediaFunctions._
+      t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 3 === 2)
+        .select(col("doc_id"),
+          jpegPixelStats(mediaEncodeJpeg(col("doc_id"))).as("st"))
+        .select(col("doc_id"), col("st.n_px").as("n_px"),
+          col("st.px_sum").as("px_sum"), col("st.px_poly").as("px_poly"))
+        .orderBy("doc_id")
+    }),
+
     "media_samples" -> ((s, dir) => {
       // audio counterpart of media_pixels: real RIFF data-chunk walk +
       // little-endian PCM sample decode, verified per-sample against the
@@ -1089,6 +1107,7 @@ object SparkEntry {
          GROUP BY 1,2 ORDER BY 1,2""",
     "media_features" -> OracleSql.mediaFeatures,
     "media_pixels" -> OracleSql.mediaPixels,
+    "media_jpeg" -> OracleSql.mediaJpeg,
     "media_samples" -> OracleSql.mediaSamples,
     // row identity across snapshot commit + compaction: the oracle computes
     // the per-bucket metrics from the SOURCE table; the Spark side reads

@@ -17,7 +17,7 @@ package graft.cli
 object Main {
   def main(argv: Array[String]): Unit = {
     if (argv.isEmpty) {
-      System.err.println("usage: graft.cli.Main {proj|invproj|cs2cs|cct} [args...]")
+      System.err.println("usage: graft.cli.Main {proj|invproj|cs2cs|cct|gie|projinfo} [args...]")
       sys.exit(1)
     }
     val prog = argv.head

@@ -59,6 +59,8 @@ object EpsgDb {
       val ops: Vector[Op],
       val gridAlias: Map[String, GridAlias],
       val superseded: Set[String],
+      /** authority code aliases (deprecated ESRI codes -> EPSG objects) */
+      val codeAlias: Map[String, String],
       /** same-pair supersession (flag=1 rows): superseded -> replacements.
         * The factory applies the reference's refined rule — discard only
         * when a replacement is in the same candidate pool and does not
@@ -170,6 +172,7 @@ object EpsgDb {
     val ops = Vector.newBuilder[Op]
     val gridAlias = Map.newBuilder[String, GridAlias]
     val superseded = Set.newBuilder[String]
+    val codeAlias = Map.newBuilder[String, String]
     val supersededBy = scala.collection.mutable.Map.empty[String, Vector[String]]
     val names = scala.collection.mutable.Map.empty[(String, Char), Vector[String]]
 
@@ -225,6 +228,8 @@ object EpsgDb {
                 f(11) == "1", extras, f(13), f(14))
             case "A" =>
               gridAlias += f(1) -> GridAlias(f(2), f(3), f(4), f(5), f(6) == "1")
+            case "Z" =>
+              codeAlias += f(1) -> f(2)
             case "U" =>
               // same_source_target_crs flag in f(3): only such rows
               // participate in the reference's discardSuperseded protocol
@@ -241,7 +246,7 @@ object EpsgDb {
 
     new Db(geodetic.result(), projected.result(), vertical.result(),
       compound.result(), datums.result(), ensembles.result(), ops.result(),
-      gridAlias.result(), superseded.result(),
+      gridAlias.result(), superseded.result(), codeAlias.result(),
       supersededBy.view.mapValues(_.toSeq).toMap,
       names.view.mapValues(_.toSeq).toMap)
   }

@@ -47,9 +47,11 @@ object OpFactory {
         .orElse(geod.bbox)
   }
 
-  /** resolve an auth:code ("EPSG:4326", "4326+5773" handled by caller). */
+  /** resolve an auth:code ("EPSG:4326", "4326+5773" handled by caller);
+    * deprecated ESRI codes resolve to their EPSG replacements. */
   def resolveCode(code0: String): Option[Resolved] = {
-    val code = normCode(code0)
+    val code1 = normCode(code0)
+    val code = db.codeAlias.getOrElse(code1, code1)
     db.geodetic.get(code).map { g =>
       Resolved(g, g.kind, None, None, None, g.name, code)
     }.orElse(db.projected.get(code).flatMap { p =>

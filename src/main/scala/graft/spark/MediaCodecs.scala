@@ -310,6 +310,369 @@ object MediaCodecs {
     out.array()
   }
 
+  /** Baseline JFIF encoder for the synthetic corpus: grayscale, 8x8-tiled
+    * dimensions, one DC-only quantized coefficient per block drawn from the
+    * shared LCG (dc in [-96, 96]), ACs end-of-blocked. The DC quantizer is
+    * 8, so a correct decode yields the EXACT flat block value dc + 128 —
+    * which lets the DuckDB oracle reconstruct every pixel in closed form
+    * while the decoder still runs the full entropy path (canonical Huffman
+    * tables from DHT, DC prediction with signed size categories, EOB runs,
+    * 0xFF00 byte stuffing, dequantization, IDCT, level shift). */
+  def encodeJpegBaseline(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { b(v >> 8); b(v) }
+    u16(0xFFD8) // SOI
+    u16(0xFFE0); u16(16); out.write("JFIF".getBytes("ASCII")); b(0)
+    u16(0x0101); b(0); u16(1); u16(1); b(0); b(0)
+    // DQT: table 0, 8-bit; DC quantizer 8, everything else 16
+    u16(0xFFDB); u16(2 + 1 + 64); b(0)
+    for (i <- 0 until 64) b(if (i == 0) 8 else 16)
+    // SOF0: 8-bit, grayscale
+    u16(0xFFC0); u16(8 + 3); b(8); u16(height); u16(width)
+    b(1); b(1); b(0x11); b(0)
+    // DHT: DC table 0 — the 12 size categories as a canonical 4-bit code;
+    // AC table 0 — EOB/0x01/0x11 at 2 bits (the decoder builds both
+    // generically from BITS/HUFFVAL)
+    val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acBits = Array(0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    u16(0xFFC4); u16(2 + (1 + 16 + 12) + (1 + 16 + 3))
+    b(0x00); dcBits.foreach(b); (0 to 11).foreach(b)
+    b(0x10); acBits.foreach(b); Seq(0x00, 0x01, 0x11).foreach(b)
+    // SOS
+    u16(0xFFDA); u16(6 + 2); b(1); b(1); b(0x00); b(0); b(63); b(0)
+    // entropy-coded data
+    var bitBuf = 0; var bitCnt = 0
+    val body = new java.io.ByteArrayOutputStream()
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1); bitCnt += 1
+        if (bitCnt == 8) {
+          body.write(bitBuf)
+          if (bitBuf == 0xff) body.write(0x00) // stuffing
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    // canonical codes: DC category c -> code c at 4 bits; AC EOB -> 00b
+    var s = seed
+    var pred = 0
+    val nBlocks = (width / 8) * (height / 8)
+    var k = 0
+    while (k < nBlocks) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val dc = (((s >>> 56) & 0xff).toInt % 193) - 96
+      var diff = dc - pred
+      pred = dc
+      var cat = 0
+      var mag = math.abs(diff)
+      while (mag != 0) { cat += 1; mag >>= 1 }
+      putBits(cat, 4) // DC size category
+      if (cat > 0) {
+        if (diff < 0) diff += (1 << cat) - 1 // one's-complement negatives
+        putBits(diff, cat)
+      }
+      putBits(0, 2) // AC EOB
+      k += 1
+    }
+    if (bitCnt > 0) { // pad with 1s
+      bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+      body.write(bitBuf)
+      if (bitBuf == 0xff) body.write(0x00)
+    }
+    out.write(body.toByteArray)
+    u16(0xFFD9)
+    out.toByteArray
+  }
+
+  /** zigzag scan order (T.81 figure A.6 — public spec constant). */
+  private val zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    // canonical code assignment: (length, code) -> value
+    val maxLen = 16
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = code - 1
+        if (bits(l - 1) == 0) maxCode(l) = -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(len: Int, code: Int): Int = vals(valPtr(len) + code - minCode(len))
+  }
+
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    var bitBuf = 0
+    var bitCnt = 0
+    var eof = false
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= bytes.length) { eof = true; return 0 }
+        var byte0 = bytes(pos) & 0xff; pos += 1
+        if (byte0 == 0xff) {
+          val next = if (pos < bytes.length) bytes(pos) & 0xff else 0xd9
+          if (next == 0x00) pos += 1 // stuffed
+          else if (next >= 0xd0 && next <= 0xd7) { // restart marker
+            pos += 1
+            byte0 = if (pos < bytes.length) { val v = bytes(pos) & 0xff; pos += 1; v }
+              else { eof = true; 0 }
+          } else { eof = true; return 0 } // EOI or other marker
+        }
+        bitBuf = byte0; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    def decode(t: HuffTable): Int = {
+      var code = nextBit()
+      var l = 1
+      while (l <= 16 && (t.maxCode(l) < 0 || code > t.maxCode(l))) {
+        code = (code << 1) | nextBit()
+        l += 1
+      }
+      if (l > 16 || eof) -1 else t.value(l, code)
+    }
+  }
+
+  /** full baseline JFIF decode: Huffman entropy decode (DC prediction, AC
+    * runs, EOB/ZRL), dequantization, zigzag, IDCT, level shift; grayscale
+    * returns luma bytes, 3-component YCbCr converts to interleaved RGB
+    * with box upsampling of subsampled chroma. None on malformed input. */
+  def decodeJpegPixels(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+      (bytes(1) & 0xff) != 0xd8) return None
+    val quant = Array.fill(4)(new Array[Int](64))
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var width = 0; var height = 0; var nComp = 0
+    // per component: id, h, v, quant table; then at SOS: dc/ac table ids
+    val compH = new Array[Int](4); val compV = new Array[Int](4)
+    val compQ = new Array[Int](4)
+    val compDc = new Array[Int](4); val compAc = new Array[Int](4)
+    var pos = 2
+    var scanStart = -1
+    while (scanStart < 0 && pos + 4 <= bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xff) return None
+      val marker = bytes(pos + 1) & 0xff
+      val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      if (len < 2) return None
+      marker match {
+        case 0xDB => // DQT
+          var p = pos + 4
+          while (p < pos + 2 + len) {
+            val pq = (bytes(p) & 0xf0) >> 4; val tq = bytes(p) & 0x0f
+            p += 1
+            var i = 0
+            while (i < 64) {
+              quant(tq)(i) =
+                if (pq == 0) bytes(p + i) & 0xff
+                else ((bytes(p + 2 * i) & 0xff) << 8) | (bytes(p + 2 * i + 1) & 0xff)
+              i += 1
+            }
+            p += (if (pq == 0) 64 else 128)
+          }
+        case 0xC0 | 0xC1 => // SOF0/1 (baseline)
+          height = ((bytes(pos + 5) & 0xff) << 8) | (bytes(pos + 6) & 0xff)
+          width = ((bytes(pos + 7) & 0xff) << 8) | (bytes(pos + 8) & 0xff)
+          nComp = bytes(pos + 9) & 0xff
+          if (nComp != 1 && nComp != 3) return None
+          var c = 0
+          while (c < nComp) {
+            val base = pos + 10 + 3 * c
+            compH(c) = (bytes(base + 1) & 0xf0) >> 4
+            compV(c) = bytes(base + 1) & 0x0f
+            compQ(c) = bytes(base + 2) & 0x0f
+            c += 1
+          }
+        case 0xC2 => return None // progressive unsupported
+        case 0xC4 => // DHT
+          var p = pos + 4
+          while (p < pos + 2 + len) {
+            val tc = (bytes(p) & 0xf0) >> 4; val th = bytes(p) & 0x0f
+            val bits = new Array[Int](16)
+            var total = 0
+            var i = 0
+            while (i < 16) { bits(i) = bytes(p + 1 + i) & 0xff; total += bits(i); i += 1 }
+            val vals = new Array[Int](total)
+            i = 0
+            while (i < total) { vals(i) = bytes(p + 17 + i) & 0xff; i += 1 }
+            val t = new HuffTable(bits, vals)
+            if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+            p += 17 + total
+          }
+        case 0xDA => // SOS
+          val ns = bytes(pos + 4) & 0xff
+          if (ns != nComp) return None
+          var c = 0
+          while (c < ns) {
+            compDc(c) = (bytes(pos + 6 + 2 * c) & 0xf0) >> 4
+            compAc(c) = bytes(pos + 6 + 2 * c) & 0x0f
+            c += 1
+          }
+          scanStart = pos + 2 + len
+        case 0xD9 => return None
+        case _ => ()
+      }
+      if (scanStart < 0) pos += 2 + len
+    }
+    if (scanStart < 0 || width == 0 || height == 0) return None
+
+    val hMax = (0 until nComp).map(compH).max
+    val vMax = (0 until nComp).map(compV).max
+    val mcuW = 8 * hMax; val mcuH = 8 * vMax
+    val mcusX = (width + mcuW - 1) / mcuW
+    val mcusY = (height + mcuH - 1) / mcuH
+    // per-component planes at full MCU-grid resolution
+    val planeW = (0 until nComp).map(c => mcusX * compH(c) * 8).toArray
+    val planeH = (0 until nComp).map(c => mcusY * compV(c) * 8).toArray
+    val planes = (0 until nComp).map(c =>
+      new Array[Byte](planeW(c) * planeH(c))).toArray
+    val preds = new Array[Int](nComp)
+    val reader = new BitReader(bytes, scanStart)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+
+    def idctInto(plane: Array[Byte], pw: Int, ox: Int, oy: Int, q: Array[Int]): Unit = {
+      // separable 2-D inverse DCT (T.81 A.3.3), double precision
+      var i = 0
+      while (i < 64) { tmp(i) = coef(i).toDouble * q(i); i += 1 }
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var sum = 0.0
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            val cx = math.cos((2 * x + 1) * u * math.Pi / 16)
+            while (v < 8) {
+              val cu = if (u == 0) 0.70710678118654752440 else 1.0
+              val cv = if (v == 0) 0.70710678118654752440 else 1.0
+              sum += cu * cv * tmp(v * 8 + u) * cx *
+                math.cos((2 * y + 1) * v * math.Pi / 16)
+              v += 1
+            }
+            u += 1
+          }
+          val s = math.round(sum / 4 + 128).toInt
+          plane((oy + y) * pw + ox + x) =
+            (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var c = 0
+        while (c < nComp) {
+          val dcT = dcTabs(compDc(c)); val acT = acTabs(compAc(c))
+          if (dcT == null || acT == null) return None
+          var by = 0
+          while (by < compV(c)) {
+            var bx = 0
+            while (bx < compH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              val cat = reader.decode(dcT)
+              if (cat < 0) return None
+              var diff = if (cat == 0) 0 else reader.bits(cat)
+              if (cat > 0 && diff < (1 << (cat - 1))) diff -= (1 << cat) - 1
+              preds(c) += diff
+              coef(0) = preds(c)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = reader.decode(acT)
+                if (rs < 0) return None
+                val run = rs >> 4; val size = rs & 0x0f
+                if (size == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else eob = true
+                } else {
+                  k += run
+                  if (k > 63) return None
+                  var v = reader.bits(size)
+                  if (v < (1 << (size - 1))) v -= (1 << size) - 1
+                  coef(zigzag(k)) = v
+                  k += 1
+                }
+              }
+              idctInto(planes(c), planeW(c),
+                (mx * compH(c) + bx) * 8, (my * compV(c) + by) * 8,
+                quant(compQ(c)))
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+
+    if (nComp == 1) {
+      // crop to the declared dimensions
+      val outPx = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(planes(0), y * planeW(0), outPx, y * width, width)
+        y += 1
+      }
+      Some(outPx)
+    } else {
+      val outPx = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          def sample(c: Int): Int = {
+            val sx = x * compH(c) / hMax; val sy = y * compV(c) / vMax
+            planes(c)(sy * planeW(c) + sx) & 0xff
+          }
+          val yy = sample(0).toDouble
+          val cb = sample(1) - 128.0
+          val cr = sample(2) - 128.0
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          val o = (y * width + x) * 3
+          outPx(o) = clamp(yy + 1.402 * cr)
+          outPx(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          outPx(o + 2) = clamp(yy + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+      Some(outPx)
+    }
+  }
+
   /** scan JPEG markers for a SOFn frame header (excluding DHT/JPG/DAC). */
   def decodeJpeg(bytes: Array[Byte]): Option[MediaInfo] = {
     if (bytes.length < 4) return None

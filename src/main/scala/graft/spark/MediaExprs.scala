@@ -75,6 +75,29 @@ object MediaKernels {
       case None => null
     }
 
+  /** deterministic baseline JPEG for the content-deep check: dimensions
+    * and DC stream derived from the seed (see MediaCodecs). */
+  def encodeJpegForSeed(seed: Long): Array[Byte] =
+    MediaCodecs.encodeJpegBaseline(
+      8 * (1 + (seed % 6)).toInt, 8 * (1 + ((seed * 5) % 6)).toInt, seed)
+
+  /** full-content JPEG check: Huffman entropy decode + dequant + IDCT,
+    * then fold (n_px, px_sum, px_poly); null when the payload doesn't
+    * decode. */
+  def jpegPixelStats(payload: Array[Byte]): InternalRow =
+    MediaCodecs.decodeJpegPixels(payload) match {
+      case Some(px) =>
+        var sum = 0L; var poly = 0L; var i = 0
+        while (i < px.length) {
+          val b = px(i) & 0xff
+          sum += b
+          poly = (poly + b.toLong * (i + 1)) % 1000000007L
+          i += 1
+        }
+        new GenericInternalRow(Array[Any](px.length.toLong, sum, poly))
+      case None => null
+    }
+
   /** full-content WAV check: RIFF data-chunk walk + LE int16 decode, then
     * fold (n_smp, smp_sum, smp_poly); null when the payload doesn't
     * decode. */
@@ -242,6 +265,36 @@ case class WavSampleStatsExpr(payload: Expression) extends MediaStaticCall {
     copy(c(0))
 }
 
+/** deterministic baseline JPEG payload from a seed */
+case class MediaEncodeJpegExpr(seed: Expression) extends MediaStaticCall {
+  override def children: Seq[Expression] = Seq(seed)
+  override def inputSpec: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def staticCall: String = "encodeJpegForSeed"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null else MediaKernels.encodeJpegForSeed(a(0).asInstanceOf[Long])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0))
+}
+
+/** content-deep JPEG stats: entropy decode + IDCT, fold (n, sum, poly) */
+case class JpegPixelStatsExpr(payload: Expression) extends MediaStaticCall {
+  override def children: Seq[Expression] = Seq(payload)
+  override def inputSpec: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_px", LongType), StructField("px_sum", LongType),
+    StructField("px_poly", LongType)))
+  override def staticCall: String = "jpegPixelStats"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null else MediaKernels.jpegPixelStats(a(0).asInstanceOf[Array[Byte]])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0))
+}
+
 /** Column API for the media expressions. */
 object MediaFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -263,6 +316,12 @@ object MediaFunctions {
 
   /** PNG content stats struct (n_px, px_sum, px_poly). */
   def pngPixelStats(payload: Column): Column = col(PngPixelStatsExpr(ex(payload)))
+
+  /** deterministic baseline JPEG payload from an integer seed. */
+  def mediaEncodeJpeg(seed: Column): Column = col(MediaEncodeJpegExpr(ex(seed)))
+
+  /** JPEG content stats struct (n_px, px_sum, px_poly). */
+  def jpegPixelStats(payload: Column): Column = col(JpegPixelStatsExpr(ex(payload)))
 
   /** WAV content stats struct (n_smp, smp_sum, smp_poly). */
   def wavSampleStats(payload: Column): Column = col(WavSampleStatsExpr(ex(payload)))
