@@ -50,10 +50,17 @@ def norm_args(args):
 
 def conv_test(t, idx):
     out = {"index": idx}
-    for k in ("comment", "in", "input", "stdout", "stderr", "out", "grep",
-              "grep-v", "skipif"):
+    for k in ("comment", "in", "input", "stdout", "stderr", "out", "skipif"):
         if k in t and t[k] is not None:
             out[k] = str(t[k])
+    # grep/grep-v accept a single pattern or a list applied sequentially
+    # (reference run_cli_test.py:390,554); normalize to a list
+    for k in ("grep", "grep-v"):
+        if k in t and t[k] is not None:
+            v = t[k]
+            out[k] = [str(x) for x in (v if isinstance(v, list) else [v])]
+    if "sort" in t:
+        out["sort"] = True
     if "args" in t:
         out["args"] = norm_args(t["args"])
     else:

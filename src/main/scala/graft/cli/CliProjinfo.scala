@@ -1,6 +1,6 @@
 package graft.cli
 
-import graft.proj.{EpsgDb, EpsgMeta}
+import graft.proj.{CrsInventory, EpsgDb, EpsgMeta}
 import graft.proj.EpsgDb.Bbox
 import graft.proj.OpFactory
 import graft.proj.OpFactory.{Candidate, GridMode, Options, Resolved}
@@ -45,6 +45,8 @@ object CliProjinfo {
     var showSuperseded = false
     var promote3D = false
     var normalizeAxisOrder = false
+    var listCrs = false
+    var listCrsFilter = ""
     var positional = Vector.empty[String]
   }
 
@@ -52,7 +54,11 @@ object CliProjinfo {
           files: Map[String, String],
           env: Map[String, String] = Map.empty): CliResult = {
     val io = new CliOut
-    val code = try execute(args, io, env)
+    val code = try {
+      if (args.length >= 2 && args.head == "completion")
+        completion(args.drop(2), io)
+      else execute(args, io, env)
+    }
     catch {
       case e: CliExit =>
         io.err(e.message + "\n"); e.code
@@ -132,6 +138,10 @@ object CliProjinfo {
         case "--show-superseded" => o.showSuperseded = true
         case "--pivot-crs" => next()
         case "--s_epoch" | "--t_epoch" => next()
+        case "--list-crs" =>
+          o.listCrs = true
+          if (i + 1 < args.length && !args(i + 1).startsWith("-"))
+            o.listCrsFilter = next()
         case _ if a.startsWith("-") && a.length > 1 =>
           io.err(s"Unrecognized option: $a\n")
           return usage(io)
@@ -150,6 +160,14 @@ object CliProjinfo {
       io.err(s"Too many parameters: ${o.positional(1)}\n")
       return usage(io)
     }
+    if (o.bboxStr.nonEmpty && o.area.nonEmpty) {
+      io.err("ERROR: --bbox and --area are exclusive\n")
+      return 1
+    }
+    if (o.listCrs) {
+      val rc = runListCrs(o, io)
+      if (rc != 0) return rc
+    }
     if (o.sourceCrs.nonEmpty && o.targetCrs.isEmpty) {
       io.err("Source CRS specified, but missing target CRS\n")
       return usage(io)
@@ -159,12 +177,9 @@ object CliProjinfo {
       return usage(io)
     }
     if (userString.isEmpty && o.sourceCrs.isEmpty) {
+      if (o.listCrs) return 0
       io.err("Missing user string\n")
       return usage(io)
-    }
-    if (o.bboxStr.nonEmpty && o.area.nonEmpty) {
-      io.err("ERROR: --bbox and --area are exclusive\n")
-      return 1
     }
     if (!o.outSpecified) { o.outPROJ = true; o.outWkt2019 = true }
 
@@ -1054,5 +1069,221 @@ object CliProjinfo {
     Node("COORDINATEOPERATION", Seq(Q(c.name)) ++ srcN.toSeq ++ dstN.toSeq ++
       Seq(Child(method), offset("Latitude offset", 8601),
         offset("Longitude offset", 8602)) ++ usage)
+  }
+
+  // --------------------------------------------------------- --list-crs
+
+  /** enumerate the registry, reference projinfo_lib.cpp:1954 — the
+    * getCRSInfoList sweep with type / deprecation / bbox / area filters. */
+  private def runListCrs(o: Opt, io: CliOut): Int = {
+    var allowDeprecated = false
+    var types = Set.empty[String]
+    val tokens =
+      if (o.listCrsFilter.isEmpty) Nil else o.listCrsFilter.split(',').toList
+    for (t <- tokens) t.toLowerCase match {
+      case "allow_deprecated" => allowDeprecated = true
+      case "geodetic" => types ++= Set("g2", "g3", "gc")
+      case "geocentric" => types += "gc"
+      case "geographic" => types ++= Set("g2", "g3")
+      case "geographic_2d" => types += "g2"
+      case "geographic_3d" => types += "g3"
+      case "vertical" => types += "vt"
+      case "projected" => types += "pj"
+      case "compound" => types += "cp"
+      case "engineering" => types += "en"
+      case other =>
+        io.err(s"Unrecognized value for option --list-crs: $other\n")
+        return usage(io)
+    }
+
+    // area-of-interest filter (reference makeBboxFilter with
+    // errorIfSeveralAreaMatches=false: several matches fall back to a
+    // substring filter on each CRS's own area description)
+    var bboxFilter: Option[Bbox] = None
+    if (o.bboxStr.nonEmpty) {
+      val p = o.bboxStr.split(',')
+      if (p.length != 4) {
+        io.err(s"Incorrect number of values for option --bbox: ${o.bboxStr}\n")
+        return usage(io)
+      }
+      bboxFilter = Some(Bbox(p(0).toDouble, p(1).toDouble, p(2).toDouble,
+        p(3).toDouble))
+    } else if (o.area.nonEmpty) {
+      if (!o.area.contains(' ') && o.area.contains(':')) {
+        val e = meta.extents.get(normKey(o.area)).getOrElse {
+          io.err("Area of use retrieval failed: extent not found\n"); return 1
+        }
+        bboxFilter = e.bbox
+      } else {
+        val exact = meta.areasByName(o.area, approx = false)
+        if (exact.length == 1) bboxFilter = exact.head.bbox
+        else {
+          val approx = meta.areasByName(o.area, approx = true)
+          if (approx.length == 1) bboxFilter = approx.head.bbox
+          else if (approx.isEmpty) {
+            io.err("No area of use matching provided name\n"); return 1
+          } // several matches: substring filter below
+        }
+      }
+    }
+    val areaLower = o.area.toLowerCase
+
+    val allowed =
+      if (o.authority.isEmpty) Seq("") else o.authority.split(',').toSeq
+    for (auth <- allowed; info <- CrsInventory.inv.forAuthority(auth)) {
+      val keep = (allowDeprecated || !info.deprecated) &&
+        (types.isEmpty || types.contains(info.typ)) &&
+        (bboxFilter match {
+          case Some(f) => info.bbox.exists { b =>
+            val parts = splitBox(b)
+            if (o.spatialIntersects) parts.exists(p => boxIntersects(f, p))
+            else parts.forall(p => boxContains(f, p))
+          }
+          case None =>
+            o.area.isEmpty || info.areaName.toLowerCase.contains(areaLower)
+        })
+      if (keep)
+        io.out(s"${info.auth}:${info.code} \"${info.name}\"" +
+          (if (info.deprecated) " [deprecated]" else "") + "\n")
+    }
+    0
+  }
+
+  // --------------------------------------------------------- completion
+
+  /** shell-completion word suggestions, reference
+    * projinfo_lib.cpp:1182 (suggestCompletion). */
+  private def completion(args: Seq[String], io: CliOut): Int = {
+    if (args.exists(_.isEmpty)) return 0
+    val auths = CrsInventory.inv.authorities
+    var first = true
+    def printSp(s: String): Unit = {
+      if (!first) io.out(" "); first = false; io.out(s)
+    }
+    if (args.isEmpty) {
+      auths.foreach(a => printSp(a + ":")); io.out("\n"); return 0
+    }
+    if (args.length == 1 && args.head.head != '-' && !args.head.contains(':'))
+      auths.filter(_.startsWith(args.head)).foreach(a => printSp(a + ":"))
+
+    def isOption(opt: String) = args.last == opt ||
+      (args.length >= 2 && args(args.length - 2) == opt)
+
+    if (isOption("-k")) { io.out("crs operation datum ensemble ellipsoid\n"); return 0 }
+    if (isOption("-o")) {
+      if (args.last.startsWith("WKT1:")) io.out("GDAL ESRI\n")
+      else if (args.last.startsWith("WKT2:")) io.out("2019 2015\n")
+      else io.out("all PROJ WKT2:2019 WKT2:2015 WKT1:GDAL WKT1:ESRI PROJJSON SQL\n")
+      return 0
+    }
+    if (isOption("--spatial-test")) { io.out("contains intersects\n"); return 0 }
+    if (isOption("--crs-extent-use")) { io.out("none both intersection smallest\n"); return 0 }
+    if (isOption("--grid-check")) { io.out("none discard_missing sort known_available\n"); return 0 }
+    if (isOption("--pivot-crs")) {
+      if (args.last.last == ':') return 0
+      io.out("always if_no_direct_transformation never")
+      auths.foreach(a => io.out(" " + a + ":"))
+      io.out("\n")
+      return 0
+    }
+    if (args.last.head == '-') {
+      val knownOptions = Seq("-o", "-k", "--summary", "-q", "--area",
+        "--bbox", "--spatial-test", "--crs-extent-use", "--grid-check",
+        "--pivot-crs", "--show-superseded", "--hide-ballpark", "--accuracy",
+        "--allow-ellipsoidal-height-as-vertical-crs", "--boundcrs-to-wgs84",
+        "--authority", "--main-db-path", "--aux-db-path", "--identify",
+        "--3d", "--output-id", "--c-ify", "--single-line", "--searchpaths",
+        "--remote-data", "--list-crs", "--dump-db-structure", "-s",
+        "--s_epoch", "-t", "--t_epoch")
+      if (knownOptions.contains(args.last)) return 0
+      knownOptions.foreach(printSp)
+      io.out("\n")
+      return 0
+    }
+
+    // reconstruct a quoted multi-word CRS name from the word list
+    var lastArg = args.last
+    var j = args.length
+    var stop = false
+    while (!stop && j >= 1) {
+      j -= 1
+      val a = args(j)
+      if (a.length >= 2 && a.last == '"') stop = true
+      else if (a.length >= 2 && a.head == '"') {
+        val sb = new StringBuilder(a.substring(1))
+        for (k <- j + 1 until args.length) { sb.append(' ').append(args(k)) }
+        lastArg = sb.toString
+        stop = true
+      }
+    }
+
+    val inv = CrsInventory.inv
+    def esc(s: String): String = s.replace(" ", "\\ ")
+
+    val columnPos = args.last.indexOf(':')
+    if (columnPos >= 0) {
+      val authName = args.last.substring(0, columnPos)
+      val codeStart = args.last.substring(columnPos + 1)
+      val matches = inv.forAuthority(authName).filter(i =>
+        !i.deprecated && (codeStart.isEmpty || i.code.startsWith(codeStart)))
+      val res =
+        if (matches.length == 1) matches.map(_.code)
+        else matches.map(i => s"${i.code} -- ${i.name}")
+      res.foreach(v => printSp(esc(v)))
+      io.out("\n")
+      return 0
+    }
+
+    var matched = false
+    for (authName <- Seq("EPSG", ""); if !matched) {
+      val hits = inv.forAuthority(authName).filter(i =>
+        !i.deprecated && i.name.startsWith(lastArg))
+      for (i <- hits) {
+        var v = i.name
+        if (args.last == "+" || args.last == "/") {
+          val pos = v.indexOf(args.last.head)
+          if (pos >= 0 && pos + 1 < v.length && v.charAt(pos + 1) == ' ')
+            v = v.substring(pos + 2)
+        }
+        printSp(esc(v))
+      }
+      if (!first) { io.out("\n"); matched = true }
+    }
+
+    // `<horizontal CRS name> +` suggests vertical CRSs sharing the
+    // horizontal CRS's area of use (or World ones as a fallback)
+    val posSpacePlus = lastArg.indexOf(" +")
+    if (!matched && posSpacePlus >= 0) {
+      val horizName = lastArg.substring(0, posSpacePlus)
+      val horizTypes = Set("g2", "pj", "en")
+      val cand = inv.all.find(i => horizTypes.contains(i.typ) &&
+        i.name.equalsIgnoreCase(horizName))
+      cand.foreach { h =>
+        // single domain of validity only (multiple usage rows → skip)
+        val sameCrs = inv.all.count(i => i.auth == h.auth && i.code == h.code)
+        if (sameCrs == 1 && h.bbox.isDefined) {
+          def trimArea(s: String): String = {
+            val d = s.indexOf(" -"); if (d >= 0) s.substring(0, d) else s
+          }
+          val horizArea = trimArea(h.areaName)
+          val vlist = inv.forAuthority(h.auth).filter(i =>
+            !i.deprecated && i.bbox.isDefined && i.typ == "vt" &&
+              !i.name.startsWith("EPSG example"))
+          var attempt = 0
+          while (first && attempt < 2) {
+            for (v <- vlist) {
+              val vArea = trimArea(v.areaName)
+              val ok =
+                if (attempt == 0) horizArea.nonEmpty && horizArea == vArea
+                else vArea == "World."
+              if (ok) printSp(esc(v.name))
+            }
+            if (!first) io.out("\n")
+            attempt += 1
+          }
+        }
+      }
+    }
+    0
   }
 }

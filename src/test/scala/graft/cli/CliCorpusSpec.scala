@@ -145,11 +145,12 @@ class CliCorpusSpec extends AnyFunSuite {
                           env: Map[String, String]): CliResult =
     CliProjinfo.run(args, stdin, "projinfo", files, env)
 
-  /** The 50 projinfo expectations outside the replayed subset, with the
+  /** The 22 projinfo expectations outside the replayed subset, with the
     * component each one needs. Everything else — single-CRS WKT2:2019/2015
     * + PROJ.4 output, -k object lookups, candidate listing with summaries /
     * notes / DERIVED_FROM-INVERSE ids, --bbox/--area filtering, vertical /
-    * TIN / deformation paths, --3d promotion of a projected CRS — is
+    * TIN / deformation paths, --3d promotion of a projected CRS,
+    * --list-crs registry dumps, and shell-completion suggestions — is
     * byte-identical to the reference's stdout. */
   private val projinfoSkips: Map[Int, String] = {
     def at(ids: Seq[Int], why: String) = ids.map(_ -> why)
@@ -163,9 +164,7 @@ class CliCorpusSpec extends AnyFunSuite {
       at(Seq(64), "NKG authority excluded from the sidecar (network-grid ops)") ++
       at(Seq(83), "coordinate epochs / point-motion operations not modeled") ++
       at(Seq(85), "equal-score realization paths tie-break differently") ++
-      at((68 to 81), "--list-crs dumps the full registry") ++
-      at((90 to 103), "shell completions") ++
-      at(Seq(104, 105), "engineering CRSs not in the sidecar")).toMap
+      at(Seq(104, 105), "engineering CRSs not in the operation sidecar")).toMap
   }
 
   test("test_projinfo: CRS description and operation queries") {

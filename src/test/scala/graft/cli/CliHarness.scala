@@ -15,7 +15,8 @@ object CliHarness {
                            input: String, out: Option[String],
                            stdout: Option[String], stderr: Option[String],
                            exitcode: Int, sub: Option[(String, String)],
-                           grep: Option[String], grepV: Option[String],
+                           grep: Seq[String], grepV: Seq[String],
+                           sort: Boolean,
                            files: Seq[(String, String)],
                            env: Map[String, String])
 
@@ -33,6 +34,11 @@ object CliHarness {
     val root = Json.parse(text).asInstanceOf[JObj]
     def str(o: JObj, k: String): Option[String] = o.fields.get(k).collect { case JStr(s) => s }
     def num(o: JObj, k: String): Option[Int] = o.fields.get(k).collect { case JNum(v, _) => v.toInt }
+    def strList(o: JObj, k: String): Seq[String] = o.fields.get(k) match {
+      case Some(JArr(vs)) => vs.collect { case JStr(s) => s }
+      case Some(JStr(s)) => Seq(s)
+      case _ => Seq.empty
+    }
     val tests = root.fields("tests").asInstanceOf[JArr].items.map { tv =>
       val t = tv.asInstanceOf[JObj]
       val args = t.fields.get("args") match {
@@ -63,8 +69,9 @@ object CliHarness {
         stderr = str(t, "stderr"),
         exitcode = num(t, "exitcode").getOrElse(0),
         sub = sub,
-        grep = str(t, "grep"),
-        grepV = str(t, "grep-v"),
+        grep = strList(t, "grep"),
+        grepV = strList(t, "grep-v"),
+        sort = t.fields.get("sort").contains(JBool(true)),
         files = files,
         env = tenv)
     }
@@ -107,6 +114,7 @@ object CliHarness {
       val re = java.util.regex.Pattern.compile(pat)
       ls = ls.map(l => re.matcher(l).replaceAll(repl))
     }
+    if (t.sort) ls = ls.sorted
     ls
   }
 
