@@ -545,10 +545,24 @@ object CliProjinfo {
         (w.flatMap(x => resolveVerticalSide(o.sourceCrs, x)),
           w.flatMap(x => resolveVerticalSide(o.targetCrs, x)))
     }
-    val src = srcOpt.getOrElse {
-      io.err("crs not found: " + o.sourceCrs + "\n"); return 1 }
-    val dst = dstOpt.getOrElse {
-      io.err("crs not found: " + o.targetCrs + "\n"); return 1 }
+    // --3d promotes a bare geographic 2D side to the geographic 3D CRS of
+    // the same datum and name (reference promoteTo3D with dbContext lookup)
+    def promote(r: Resolved): Resolved =
+      if (!o.promote3D || r.kind != EpsgDb.Geog2D || r.projCode.isDefined ||
+        r.vert.isDefined) r
+      else db.geodetic.values
+        .filter(g => g.kind == EpsgDb.Geog3D && g.datum == r.geod.datum &&
+          g.name == r.geod.name)
+        .toSeq.sortBy(g => g.code.drop(g.code.indexOf(':') + 1)
+          .toIntOption.getOrElse(Int.MaxValue))
+        .headOption
+        .map(g => r.copy(geod = g, kind = EpsgDb.Geog3D, code = g.code))
+        .getOrElse(r)
+
+    val src = promote(srcOpt.getOrElse {
+      io.err("crs not found: " + o.sourceCrs + "\n"); return 1 })
+    val dst = promote(dstOpt.getOrElse {
+      io.err("crs not found: " + o.targetCrs + "\n"); return 1 })
 
     // area of interest
     var aoi: Option[Bbox] = None

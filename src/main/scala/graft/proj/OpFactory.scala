@@ -961,12 +961,11 @@ object OpFactory {
 
     val a = src.geod.datum
     val b = dst.geod.datum
-    val memberPairOps: Vector[Hop] =
-      if (db.sameEnsembleMembers(a, b)) usableOps(a, b, opts) else Vector.empty
+    // two distinct member realizations of one ensemble are distinct datums
+    // (reference isSameGeodeticDatum): direct registry ops when any exist,
+    // else the pivot search below — never a synthesized null offset
     val horizSeqs: Vector[(Seq[Hop], String)] =
-      if (db.sameDatum(a, b) ||
-        (db.sameEnsembleMembers(a, b) && memberPairOps.isEmpty))
-        Vector((Nil, ""))
+      if (db.sameDatum(a, b)) Vector((Nil, ""))
       else usableOps(a, b, opts).flatMap { h =>
         if (h.op.kind == 'C') expandConcat(h.op, h.inv, opts.displayOnly).map((_, h.name))
         else Some((Seq(h), h.name))
@@ -988,10 +987,10 @@ object OpFactory {
     // filter applies afterwards and can leave the list empty without
     // triggering a pivot search
     val viaPivot: Vector[Candidate] =
-      if ((wholeAll ++ direct).nonEmpty || db.sameDatum(a, b) ||
-        db.sameEnsembleMembers(a, b))
+      if ((wholeAll ++ direct).nonEmpty || db.sameDatum(a, b))
         Vector.empty
-      else combine(pivotHops(a, b, opts).map { case (hops, nm) => (hops, nm) })
+      else combine(pivotHops(a, b, opts, src.name, dst.name)
+        .map { case (hops, nm) => (hops, nm) })
 
     // ballpark vertical transformation: always an alternative against an
     // ellipsoidal side; between two vertical datums the reference only
@@ -1058,30 +1057,69 @@ object OpFactory {
 
   /** datum-pivot hop pairs A -> I -> B (reference
     * createOperationsWithDatumPivot), including ensemble-aware joins. */
-  private def pivotHops(a: String, b: String,
-                        opts: Options): Vector[(Seq[Hop], String)] = {
+  private def pivotHops(a: String, b: String, opts: Options,
+                        srcName: String = "",
+                        dstName: String = ""): Vector[(Seq[Hop], String)] = {
     // a pivot leg is a single op, or a concatenated op expanded into its
     // steps (the gridless NTF(Paris)->WGS 84 composite is the fallback the
     // reference reaches for out-of-extent points)
-    final case class Leg(hops: Seq[Hop], name: String, bbox: Option[Bbox])
+    final case class Leg(hops: Seq[Hop], name: String, bbox: Option[Bbox],
+                         pivotCrs: String,
+                         /** a generator-synthesized ensemble-member null op
+                           * (glue, not a registry transformation) */
+                         nullGlue: Boolean)
     val fromA = scala.collection.mutable.Map.empty[String, Vector[Leg]]
     val toB = scala.collection.mutable.Map.empty[String, Vector[Leg]]
+
+    // the reference's pivot vetoes: NAD83(CSRS)[x] -> NAD83(CSRS)[y] never
+    // bridges through the generic NAD83 or WGS 84
+    // (factory.cpp:8403-8408 gcrs.name NOT IN, coordinateoperationfactory
+    // checkPivot), and ETRFxx -> ETRFyy only accepts an ITRFzz pivot with
+    // min(xx,yy) <= zz <= max(xx,yy) (factory.cpp checkPivot in
+    // createFromCRSCodesWithIntermediates)
+    val nadCsrsPair = srcName.startsWith("NAD83(CSRS)") &&
+      dstName.startsWith("NAD83(CSRS)")
+    val etrfPair = srcName.startsWith("ETRF") && dstName.startsWith("ETRF")
+    def frameDate(s: String, prefix: String): Int = {
+      val d = s.drop(prefix.length).takeWhile(_.isDigit)
+      if (!s.startsWith(prefix) || d.isEmpty) -1
+      else { val v = d.toInt; if (v >= 80 && v <= 99) v + 1900 else v }
+    }
+    def pivotOk(pivotCrs: String): Boolean = {
+      val nm = db.geodetic.get(pivotCrs).map(_.name).getOrElse("")
+      if (nadCsrsPair && (nm == "NAD83" || nm == "WGS 84")) return false
+      if (etrfPair && nm.startsWith("ITRF")) {
+        val sd = frameDate(srcName, "ETRF"); val td = frameDate(dstName, "ETRF")
+        val id = frameDate(nm, "ITRF")
+        if (sd > 0 && td > 0 && id > 0 &&
+          (id < math.min(sd, td) || id > math.max(sd, td))) return false
+      }
+      true
+    }
+
     for (op <- db.ops
          if !op.deprecated && !db.superseded.contains(op.code) &&
            allowedAuth(op, opts) && op.kind != 'S') {
-      def legOf(inv: Boolean): Option[Leg] =
+      val s = db.endKey(op.srcCrs); val d = db.endKey(op.dstCrs)
+      // an op whose two ends share a datum family (ensemble <-> member) is
+      // our synthesized null glue — the reference creates these at runtime,
+      // so its registry pivot search never sees them (the middle op of a
+      // datum-pivot chain must carry identifiers:
+      // coordinateoperationfactory.cpp:3282 "not a transformation
+      // synthesized by ourselves")
+      val nullGlue = op.kind != 'C' && db.sameDatum(s, d)
+      def legOf(inv: Boolean, pivotCrs: String): Option[Leg] =
         (if (op.kind == 'C') expandConcat(op, inv, opts.displayOnly)
          else Some(Seq(Hop(op, inv))))
           .map(hs => Leg(hs, if (inv) "Inverse of " + op.name else op.name,
-            op.bbox))
-      val s = db.endKey(op.srcCrs); val d = db.endKey(op.dstCrs)
-      if (s == a && d != b) legOf(false).foreach(l =>
+            op.bbox, pivotCrs, nullGlue))
+      if (s == a && d != b) legOf(false, op.dstCrs).foreach(l =>
         fromA(d) = fromA.getOrElse(d, Vector.empty) :+ l)
-      if (d == a && s != b) legOf(true).foreach(l =>
+      if (d == a && s != b) legOf(true, op.srcCrs).foreach(l =>
         fromA(s) = fromA.getOrElse(s, Vector.empty) :+ l)
-      if (s == b && d != a) legOf(true).foreach(l =>
+      if (s == b && d != a) legOf(true, op.srcCrs).foreach(l =>
         toB(d) = toB.getOrElse(d, Vector.empty) :+ l)
-      if (d == b && s != a) legOf(false).foreach(l =>
+      if (d == b && s != a) legOf(false, op.dstCrs).foreach(l =>
         toB(s) = toB.getOrElse(s, Vector.empty) :+ l)
     }
     // the two legs' extents must intersect (reference
@@ -1100,15 +1138,18 @@ object OpFactory {
     val out = Vector.newBuilder[(Seq[Hop], String)]
     // only geodetic datums pivot (the reference's intermediate-CRS search
     // never bridges through vertical or projected CRSs)
+    def chainOk(l1: Leg, l2: Leg): Boolean =
+      legsIntersect(l1, l2) && pivotOk(l1.pivotCrs) && pivotOk(l2.pivotCrs) &&
+        !(l1.nullGlue && l2.nullGlue)
     for (p <- fromA.keySet.intersect(toB.keySet).toVector.sorted
          if db.datums.contains(p);
-         l1 <- fromA(p); l2 <- toB(p) if legsIntersect(l1, l2))
+         l1 <- fromA(p); l2 <- toB(p) if chainOk(l1, l2))
       out += ((l1.hops ++ l2.hops, l1.name + " + " + l2.name))
     if (out.result().isEmpty) {
       for ((p1, ls1) <- fromA; (p2, ls2) <- toB
            if p1 != p2 && (db.sameDatum(p1, p2) ||
              db.sameEnsembleMembers(p1, p2)); l1 <- ls1; l2 <- ls2
-           if legsIntersect(l1, l2))
+           if chainOk(l1, l2))
         out += ((l1.hops ++ l2.hops, l1.name + " + " + l2.name))
     }
     out.result()
