@@ -548,8 +548,11 @@ object CliProjinfo {
     // --3d promotes a bare geographic 2D side to the geographic 3D CRS of
     // the same datum and name (reference promoteTo3D with dbContext lookup)
     def promote(r: Resolved): Resolved =
-      if (!o.promote3D || r.kind != EpsgDb.Geog2D || r.projCode.isDefined ||
-        r.vert.isDefined) r
+      if (!o.promote3D || r.kind != EpsgDb.Geog2D || r.vert.isDefined) r
+      else if (r.projCode.isDefined)
+        // a projected CRS promotes in place: its 2D base gains the height
+        // axis (reference promoteTo3D on ProjectedCRS)
+        r.copy(kind = EpsgDb.Geog3D)
       else db.geodetic.values
         .filter(g => g.kind == EpsgDb.Geog3D && g.datum == r.geod.datum &&
           g.name == r.geod.name)
@@ -830,7 +833,8 @@ object CliProjinfo {
         parts += s"Conversion from ${src.geod.name} (${kindStr(src)}) to ${src.geod.name} (geocentric)"
     }
     if (c.name.nonEmpty && !(c.dispHops.isEmpty && !c.ballpark &&
-      !c.ballparkVertical && (lc.isDefined || rc.isDefined))) {
+      !c.ballparkVertical && src.vert.isEmpty && dst.vert.isEmpty &&
+      (lc.isDefined || rc.isDefined))) {
       // a concatenation shown without its registry identity lists its step
       // names (the reference synthesizes it in-memory)
       if (c.dispHops.length > 1 && !c.name.contains(" + "))
@@ -890,7 +894,23 @@ object CliProjinfo {
   /** domain-of-validity text: intersection with the containment shortcut
     * that preserves the contained extent's description. */
   private def displayArea(src: Resolved, dst: Resolved, c: Candidate): String = {
-    if (c.ballparkVertical && c.dispHops.isEmpty) return "World"
+    if (c.ballparkVertical && c.dispHops.isEmpty) {
+      // the synthesized vertical ballpark keeps the vertical CRS's own
+      // extent only when it equals the paired geodetic CRS's extent
+      // (reference createBallparkGeographicOffset sameExtent rule:
+      // "World." for EGM2008 height vs WGS 84, the in-memory World
+      // extent otherwise)
+      val v = src.vert.orElse(dst.vert)
+      val otherGeod = if (src.vert.isDefined) dst.geod else src.geod
+      val sameExtent = (v.flatMap(_.bbox), otherGeod.bbox) match {
+        case (Some(a), Some(b)) => a == b
+        case _ => false
+      }
+      return if (sameExtent)
+        v.map(_.code).flatMap(meta.crs.get).map(_.areaName)
+          .flatMap(meta.descOfArea).getOrElse("World")
+      else "World"
+    }
     if (c.ballpark && c.dispHops.isEmpty) {
       // synthesized geographic ballpark: the CRS pair's shared extent keeps
       // its description, otherwise the in-memory World extent
@@ -917,6 +937,8 @@ object CliProjinfo {
     // conversion legs count as world extent in the reference's getExtent
     // (conversionExtentIsWorld) and so never narrow the intersection
     for ((op, _) <- c.dispHops) add(op.bbox, op.areaName)
+    if (c.dispHops.isEmpty && c.areaName.nonEmpty)
+      return meta.descOfArea(c.areaName).getOrElse(c.areaName)
     if (c.dispHops.isEmpty && (lc.isDefined || rc.isDefined)) {
       // bare conversion: its own extent
       val code = dst.projCode.orElse(src.projCode).get

@@ -529,6 +529,14 @@ object OpFactory {
               val dh = x.getOrElse("p8603", "0").toDouble
               sb ++= s" step proj=geogoffset dh=$dh" + (if (hop.inv) " inv" else "")
               steps += 1
+            case "1136" | "1131" =>
+              // Geographic3D to GravityRelatedHeight / to Geog2D+GravityRelatedHeight
+              // with a CONSTANT geoid height (EPSG 8604): H = h - N
+              // (reference: the grid-free BES islands ops, e.g. EPSG:10657)
+              toForm(RAD)
+              val n = x.getOrElse("p8604", "0").toDouble
+              sb ++= s" step proj=geogoffset dh=${-n}" + (if (hop.inv) " inv" else "")
+              steps += 1
             case "9601" =>
               // longitude rotation: the rotation value IS the prime-meridian
               // difference between the op's end CRSs; the hop chain is
@@ -914,7 +922,18 @@ object OpFactory {
     val hasVert = src.vert.isDefined || dst.vert.isDefined
     val vertVert = src.vert.isDefined && dst.vert.isDefined &&
       src.vert.get.code != dst.vert.get.code
-    val (vReal, _) = verticalPlans(src, dst, opts)
+    // a 2D projected side paired with a compound carries no ellipsoidal
+    // height, so geoid operations cannot engage (the reference only applies
+    // them after --3d promotion); the vertical degrades to a null height
+    // passthrough between the shared geographic CRSs
+    val vertBlocked2D =
+      (dst.vert.isDefined && src.vert.isEmpty && src.projCode.isDefined &&
+        src.kind == Geog2D) ||
+        (src.vert.isDefined && dst.vert.isEmpty && dst.projCode.isDefined &&
+          dst.kind == Geog2D)
+    val (vReal, _) =
+      if (vertBlocked2D) (Vector.empty[VPlan], Vector.empty[VPlan])
+      else verticalPlans(src, dst, opts)
     /** vertical plans crossed with every geographic hop sequence; VNull
       * when no vertical component is in play */
     val plans: Vector[VPlan] = if (!hasVert) Vector(VNull) else vReal
@@ -981,6 +1000,24 @@ object OpFactory {
 
     val direct: Vector[Candidate] = combine(horizSeqs)
 
+    // the degraded-vertical candidate for the 2D-projected-vs-compound
+    // shape: the shared geographic CRSs joined by a null offset ("Inverse
+    // of Null geographic offset from WGS 84 to WGS 84" after the inverse
+    // projection leg), accuracy 0, World domain
+    val blocked2DNull: Vector[Candidate] =
+      if (!vertBlocked2D || !db.sameDatum(a, b)) Vector.empty
+      else {
+        val projSide = if (src.vert.isDefined) dst else src
+        val inv = projSide.code == src.code
+        val nm0 = s"Null geographic offset from ${projSide.geod.name} " +
+          s"to ${projSide.geod.name}"
+        val nm = if (inv) s"Inverse of $nm0" else nm0
+        hopsToCandidate(src, dst, Nil, nm, opts, ballparkVertical = false,
+          hopCount = Some(1))
+          .map(c => c.copy(accuracy = 0.0, areaName = "World",
+            boxes = Seq(Bbox(-180, -90, 180, 90)))).toVector
+      }
+
     // the reference searches intermediates only when nothing direct exists
     // at all (coordinateoperationfactory.cpp:4448 — the
     // "!resFindDirectNonEmptyBeforeFiltering" guard); a desired-accuracy
@@ -997,7 +1034,7 @@ object OpFactory {
     // materializes it when the real per-leg candidates were discarded
     val sameVertCode = src.vert.isDefined && dst.vert.isDefined && !vertVert
     val vertBallpark: Vector[Candidate] =
-      if (!hasVert || !opts.allowBallpark || sameVertCode ||
+      if (!hasVert || !opts.allowBallpark || sameVertCode || vertBlocked2D ||
           (vertVert && (direct.exists(!_.ballparkVertical) ||
             viaPivot.exists(!_.ballparkVertical)))) Vector.empty
       else (for ((hs, hn) <- horizSeqs;
@@ -1021,7 +1058,8 @@ object OpFactory {
     }
 
     val nonBallpark0 =
-      (wholeAll ++ direct ++ viaPivot ++ vertBallpark).flatMap(clipArea)
+      (wholeAll ++ direct ++ blocked2DNull ++ viaPivot ++ vertBallpark)
+        .flatMap(clipArea)
     val nonBallpark =
       if (opts.accuracy < 0) nonBallpark0
       else nonBallpark0.filter(c => c.accuracy >= 0 && c.accuracy <= opts.accuracy)
@@ -1301,6 +1339,11 @@ object OpFactory {
       if (x.ballparkVertical && !y.ballparkVertical) return false
       if (avail(x) && !avail(y)) return true
       if (avail(y) && !avail(x)) return false
+      // grids registered in the alias DB go before unregistered ones
+      // (reference SortFunction gridsKnown_ — e.g. the 1'x1' EGM2008 grid
+      // with no grid_alternatives row sorts after the 2.5' one)
+      if (x.gridsKnown && !y.gridsKnown) return true
+      if (y.gridsKnown && !x.gridsKnown) return false
       val accA = x.accuracy; val accB = y.accuracy
       if (accA >= 0 && accB < 0) return true
       if (accB >= 0 && accA < 0) return false

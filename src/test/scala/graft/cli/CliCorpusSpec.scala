@@ -157,9 +157,7 @@ class CliCorpusSpec extends AnyFunSuite {
     (at(Seq(1, 4), "WKT1 (GDAL/ESRI) output dialects not implemented") ++
       at(Seq(5, 6, 65, 66), "SQL registry dump (-o SQL / --dump-db-structure) not implemented") ++
       at(Seq(22), "lenient WKT1 input with grammar diagnostics not implemented") ++
-      at(Seq(30, 31), "2D/3D auto-promotion across compound pairs not modeled") ++
       at(Seq(35), "AGD-pivot chains: the reference's 3-hop GDA94/GDA2020 bridge not modeled") ++
-      at(Seq(107), "compound-target vertical pivot (Saba) not modeled") ++
       at(Seq(47), "--searchpaths is environment-specific") ++
       at(Seq(48, 49), "--remote-data reports network state") ++
       at(Seq(64), "NKG authority excluded from the sidecar (network-grid ops)") ++
