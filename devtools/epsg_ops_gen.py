@@ -36,8 +36,8 @@ OUT = os.path.join(os.path.dirname(__file__), "..",
                    "src/main/resources/graft/epsg_ops")
 
 ORDER = ['unit_of_measure','extent','scope','prime_meridian','ellipsoid',
- 'geodetic_datum','vertical_datum','coordinate_system','axis',
- 'geodetic_crs','vertical_crs','conversion','projected_crs','compound_crs',
+ 'geodetic_datum','vertical_datum','engineering_datum','coordinate_system','axis',
+ 'geodetic_crs','vertical_crs','engineering_crs','conversion','projected_crs','compound_crs',
  'helmert_transformation','grid_transformation','grid_alternatives',
  'grid_alternatives_generated_noaa','other_transformation',
  'concatenated_operation','concatenated_operation_step','alias_name',
@@ -437,6 +437,22 @@ def main():
                      f"{area}|{b64(scope)}|{r['csa']}:{r['csc']}|{r['deprecated']}|"
                      f"{b64(r['description'])}")
         names.append((r['name'].lower(), 'V', key, r['deprecated']))
+
+    # ---- engineering CRSs (J records: plane-grid CRSs with no geodetic
+    # base; reachable only through registered whole-CRS operations such as
+    # Cartesian Grid Offsets, e.g. Christmas Island Grid 1985)
+    for r in db.execute("select auth_name,code,name,"
+                        "coordinate_system_auth_name csa,"
+                        "coordinate_system_code csc,deprecated"
+                        " from engineering_crs"):
+        if r['auth_name'] not in AUTHS:
+            continue
+        key = f"{r['auth_name']}:{r['code']}"
+        w, s, e, n, area = extent_of('engineering_crs', r['auth_name'],
+                                     r['code'])
+        lines.append(f"J|{key}|{r['csa']}:{r['csc']}|{w}|{s}|{e}|{n}|"
+                     f"{area}|{r['name']}")
+        names.append((r['name'].lower(), 'J', key, r['deprecated']))
 
     # ---- compound CRSs
     for r in db.execute("select auth_name,code,name,horiz_crs_auth_name ha,"

@@ -513,7 +513,55 @@ object CliProjinfo {
       case None => r.bbox
     }
 
+  /** engineering-CRS sides: a plane grid with no geodetic base, reachable
+    * only through registered whole-CRS operations (Cartesian Grid Offsets,
+    * reference createOperations on EngineeringCRS — e.g. Christmas Island
+    * Grid 1985 to GDA94 / MGA zone 48). */
+  private def resolveEngineering(spec: String): Option[String] = {
+    val byCode =
+      if (spec.contains(":") && !spec.contains(" "))
+        Some(normKey(spec)).filter(db.engineering.contains)
+      else None
+    byCode.orElse(db.byName(spec, "J").headOption.map(_._2))
+  }
+
+  private def outputEngineering(engS: Option[String], engD: Option[String],
+                                o: Opt, io: CliOut): Int = {
+    val pipe: Option[String] =
+      if (engS.isDefined && engS == engD) Some("proj=noop")
+      else {
+        val eng = engS.orElse(engD).get
+        val otherSpec = if (engS.isDefined) o.targetCrs else o.sourceCrs
+        val other = resolveEngineering(otherSpec).orElse(
+          OpFactory.resolve(otherSpec).map(r => r.projCode.getOrElse(r.code)))
+        other.flatMap { oc =>
+          db.ops.find(op => !op.deprecated && op.method == "9656" &&
+            ((op.srcCrs == eng && op.dstCrs == oc) ||
+              (op.srcCrs == oc && op.dstCrs == eng))).map { op =>
+            val inv = (op.srcCrs == eng) != engS.isDefined
+            val x = op.extras.getOrElse("p8728", "0")
+            val y = op.extras.getOrElse("p8729", "0")
+            if (inv) s"proj=pipeline step proj=affine xoff=$x yoff=$y inv"
+            else s"proj=affine xoff=$x yoff=$y"
+          }
+        }
+      }
+    pipe match {
+      case Some(p) =>
+        val rendered = ProjOut.render(ProjOut.parse(p), !o.singleLine)
+        if (o.quiet) io.out(rendered + "\n")
+        else io.out("PROJ string:\n" + rendered + "\n")
+        0
+      case None =>
+        io.err("No operation found\n"); 1
+    }
+  }
+
   private def outputOperations(o: Opt, io: CliOut): Int = {
+    val engS = resolveEngineering(o.sourceCrs)
+    val engD = resolveEngineering(o.targetCrs)
+    if (engS.isDefined || engD.isDefined)
+      return outputEngineering(engS, engD, o, io)
     // a PROJ-string source CRS with +geoidgrids binds heights through the
     // named geoid model (reference BoundCRS with a geoid model)
     if (o.sourceCrs.trim.startsWith("+proj=") &&

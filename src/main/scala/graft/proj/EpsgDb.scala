@@ -32,6 +32,10 @@ object EpsgDb {
                            name: String)
   final case class CompCrs(code: String, horiz: String, vert: String,
                            name: String)
+  /** plane-grid CRS with no geodetic base (Cartesian engineering grid);
+    * reachable only through registered whole-CRS operations */
+  final case class EngCrs(code: String, bbox: Option[Bbox], areaName: String,
+                          name: String)
   final case class Datum(code: String, frameEpoch: Option[Double],
                          ensembleAccuracy: Option[Double], name: String)
 
@@ -54,6 +58,7 @@ object EpsgDb {
       val projected: Map[String, ProjCrs],
       val vertical: Map[String, VertCrs],
       val compound: Map[String, CompCrs],
+      val engineering: Map[String, EngCrs],
       val datums: Map[String, Datum],
       val ensembleMembers: Map[String, Seq[String]],
       val ops: Vector[Op],
@@ -167,6 +172,7 @@ object EpsgDb {
     val projected = Map.newBuilder[String, ProjCrs]
     val vertical = Map.newBuilder[String, VertCrs]
     val compound = Map.newBuilder[String, CompCrs]
+    val engineering = Map.newBuilder[String, EngCrs]
     val datums = Map.newBuilder[String, Datum]
     val ensembles = Map.newBuilder[String, Seq[String]]
     val ops = Vector.newBuilder[Op]
@@ -210,6 +216,9 @@ object EpsgDb {
                 bbox(f(3), f(4), f(5), f(6)), f(7))
             case "X" =>
               compound += f(1) -> CompCrs(f(1), f(2), f(3), f(4))
+            case "J" =>
+              engineering += f(1) -> EngCrs(f(1),
+                bbox(f(3), f(4), f(5), f(6)), f(7), f(8))
             case "D" =>
               datums += f(1) -> Datum(f(1), dOpt(f(2)), dOpt(f(3)), f(4))
             case "M" =>
@@ -245,7 +254,8 @@ object EpsgDb {
     } finally reader.close()
 
     new Db(geodetic.result(), projected.result(), vertical.result(),
-      compound.result(), datums.result(), ensembles.result(), ops.result(),
+      compound.result(), engineering.result(), datums.result(),
+      ensembles.result(), ops.result(),
       gridAlias.result(), superseded.result(), codeAlias.result(),
       supersededBy.view.mapValues(_.toSeq).toMap,
       names.view.mapValues(_.toSeq).toMap)

@@ -693,8 +693,9 @@ object OpFactory {
         Some("proj=affine " +
           s"xoff=${x.getOrElse("p8623", "0")} s11=${x.getOrElse("p8624", "1")} s12=${x.getOrElse("p8625", "0")} " +
           s"yoff=${x.getOrElse("p8639", "0")} s21=${x.getOrElse("p8640", "0")} s22=${x.getOrElse("p8641", "1")}")
-      case "9656" =>
-        Some(s"proj=affine xoff=${x.getOrElse("p8645", "0")} yoff=${x.getOrElse("p8646", "0")}")
+      case "9656" => // Cartesian Grid Offsets (EPSG 8728/8729 E/N offsets)
+        Some(s"proj=affine xoff=${x.getOrElse("p8728", x.getOrElse("p8645", "0"))} " +
+          s"yoff=${x.getOrElse("p8729", x.getOrElse("p8646", "0"))}")
       case _ => None
     }
     // a bare op string has no way to carry the inversion (the `inv` flag is

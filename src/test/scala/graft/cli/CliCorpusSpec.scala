@@ -162,8 +162,7 @@ class CliCorpusSpec extends AnyFunSuite {
       at(Seq(48, 49), "--remote-data reports network state") ++
       at(Seq(64), "NKG authority excluded from the sidecar (network-grid ops)") ++
       at(Seq(83), "coordinate epochs / point-motion operations not modeled") ++
-      at(Seq(85), "equal-score realization paths tie-break differently") ++
-      at(Seq(104, 105), "engineering CRSs not in the operation sidecar")).toMap
+      at(Seq(85), "equal-score realization paths tie-break differently")).toMap
   }
 
   test("test_projinfo: CRS description and operation queries") {
