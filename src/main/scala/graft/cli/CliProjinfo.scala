@@ -28,6 +28,9 @@ object CliProjinfo {
     var outPROJ = false
     var outWkt2019 = false
     var outWkt2015 = false
+    var outWkt1Gdal = false
+    var outWkt1Esri = false
+    var outProjjson = false
     var outSpecified = false
     var quiet = false
     var singleLine = false
@@ -93,10 +96,14 @@ object CliProjinfo {
             .replace(':', '_') match {
             case "ALL" =>
               o.outPROJ = true; o.outWkt2019 = true; o.outWkt2015 = true
+              o.outWkt1Gdal = true; o.outWkt1Esri = true; o.outProjjson = true
             case "DEFAULT" => o.outPROJ = true; o.outWkt2019 = true
             case "PROJ" => o.outPROJ = true
             case "WKT2_2019" | "WKT2_2018" => o.outWkt2019 = true
             case "WKT2_2015" => o.outWkt2015 = true
+            case "WKT1_GDAL" => o.outWkt1Gdal = true
+            case "WKT1_ESRI" => o.outWkt1Esri = true
+            case "PROJJSON" => o.outProjjson = true
             case other =>
               io.err(s"Unrecognized value for option -o: $f\n")
               return usage(io)
@@ -341,6 +348,18 @@ object CliProjinfo {
       node.foreach(n =>
         sections += (("WKT2:2019 string:", WktOut.render(n, !o.singleLine))))
     }
+    // WKT1 bodies carry a trailing blank line (the reference prints them
+    // with an extra newline)
+    if (o.outWkt1Gdal)
+      graft.proj.wkt.Wkt1Out.gdalGeogNode(code).foreach(n =>
+        sections += (("WKT1:GDAL string:",
+          WktOut.render(n, !o.singleLine) + "\n")))
+    if (o.outWkt1Esri)
+      graft.proj.wkt.Wkt1Out.esriGeogString(code).foreach(s =>
+        sections += (("WKT1:ESRI string:", s + "\n")))
+    if (o.outProjjson)
+      graft.proj.wkt.ProjJsonOut.geodCrs(code).foreach(j =>
+        sections += (("PROJJSON:", j)))
     emitSections(sections.result(), o, io)
     0
   }
