@@ -61,6 +61,9 @@ def conv_test(t, idx):
             out[k] = [str(x) for x in (v if isinstance(v, list) else [v])]
     if "sort" in t:
         out["sort"] = True
+    for k in ("head", "tail"):
+        if k in t and t[k] is not None:
+            out[k] = int(t[k])
     if "args" in t:
         out["args"] = norm_args(t["args"])
     else:

@@ -226,6 +226,11 @@ def main():
         lines.append(f"R|{r['auth_name']}:{r['code']}|{r['name']}|"
                      f"{num(r['longitude'])}|{r['uom_auth_name']}:{r['uom_code']}")
 
+    # ---- scopes: F|auth:code|b64(text) (usage scope codes for SQL export)
+    for r in db.execute("select auth_name,code,scope from scope"):
+        if r['auth_name'] in AUTHS:
+            lines.append(f"F|{r['auth_name']}:{r['code']}|{b64(r['scope'])}")
+
     # ---- coordinate systems (axes): S|auth:code|type|axes
     # axes = name~abbrev~orientation~uomKey;...  ordered by cs order
     cs_axes = {}

@@ -31,6 +31,9 @@ object CliProjinfo {
     var outWkt1Gdal = false
     var outWkt1Esri = false
     var outProjjson = false
+    var outSql = false
+    var outputId = ""
+    var dumpDb = false
     var outSpecified = false
     var quiet = false
     var singleLine = false
@@ -104,6 +107,7 @@ object CliProjinfo {
             case "WKT1_GDAL" => o.outWkt1Gdal = true
             case "WKT1_ESRI" => o.outWkt1Esri = true
             case "PROJJSON" => o.outProjjson = true
+            case "SQL" => o.outSql = true
             case other =>
               io.err(s"Unrecognized value for option -o: $f\n")
               return usage(io)
@@ -145,6 +149,8 @@ object CliProjinfo {
         case "--show-superseded" => o.showSuperseded = true
         case "--pivot-crs" => next()
         case "--s_epoch" | "--t_epoch" => next()
+        case "--output-id" => o.outputId = next()
+        case "--dump-db-structure" => o.dumpDb = true
         case "--list-crs" =>
           o.listCrs = true
           if (i + 1 < args.length && !args(i + 1).startsWith("-"))
@@ -167,9 +173,21 @@ object CliProjinfo {
       io.err(s"Too many parameters: ${o.positional(1)}\n")
       return usage(io)
     }
+    // --dump-db-structure with an object implies quiet SQL output
+    // (reference projinfo_lib.cpp:1906)
+    if (o.dumpDb && userString.nonEmpty && !o.outSpecified) {
+      o.outSpecified = true; o.outSql = true; o.quiet = true
+    }
     if (o.bboxStr.nonEmpty && o.area.nonEmpty) {
       io.err("ERROR: --bbox and --area are exclusive\n")
       return 1
+    }
+    if (o.dumpDb) {
+      val in = getClass.getResourceAsStream("/graft/epsg_db_structure")
+      require(in != null, "missing /graft/epsg_db_structure sidecar")
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      io.out(text)
     }
     if (o.listCrs) {
       val rc = runListCrs(o, io)
@@ -184,7 +202,7 @@ object CliProjinfo {
       return usage(io)
     }
     if (userString.isEmpty && o.sourceCrs.isEmpty) {
-      if (o.listCrs) return 0
+      if (o.listCrs || o.dumpDb) return 0
       io.err("Missing user string\n")
       return usage(io)
     }
@@ -210,6 +228,18 @@ object CliProjinfo {
   private def outputSingleObject(s: String, o: Opt, io: CliOut): Int = {
     val sections = Vector.newBuilder[(String, String)]
     def wktOf(n: Node): String = WktOut.render(n, !o.singleLine)
+
+    if (o.outSql && o.outputId.nonEmpty && s.trim.startsWith("+proj=")) {
+      val i = o.outputId.indexOf(':')
+      return graft.proj.wkt.SqlOut.projStringProjected(s,
+        o.outputId.substring(0, i), o.outputId.substring(i + 1),
+        materialize = o.authority.nonEmpty) match {
+        case Some(lines) =>
+          emitSections(Vector(("SQL:", lines.mkString("\n"))), o, io); 0
+        case None =>
+          io.err("SQL export not supported for this object\n"); 1
+      }
+    }
 
     o.kind match {
       case "ellipsoid" =>
@@ -360,6 +390,12 @@ object CliProjinfo {
     if (o.outProjjson)
       graft.proj.wkt.ProjJsonOut.geodCrs(code).foreach(j =>
         sections += (("PROJJSON:", j)))
+    if (o.outSql && o.outputId.nonEmpty) {
+      val i = o.outputId.indexOf(':')
+      graft.proj.wkt.SqlOut.registryGeodetic(code,
+        o.outputId.substring(0, i), o.outputId.substring(i + 1))
+        .foreach(lines => sections += (("SQL:", lines.mkString("\n"))))
+    }
     emitSections(sections.result(), o, io)
     0
   }

@@ -54,7 +54,18 @@ object EpsgMeta {
       val opMeta: Map[String, OpMeta],
       val paramNames: Map[Int, String],
       /** deprecated object -> replacement codes (deprecation table) */
-      val replacements: Map[String, Seq[String]]) {
+      val replacements: Map[String, Seq[String]],
+      /** scope code -> text (usage scope references for SQL export) */
+      val scopes: Map[String, String]) {
+
+    /** scope text -> smallest-coded scope key (SQL-export reverse lookup) */
+    lazy val scopeByText: Map[String, String] =
+      scopes.toSeq.sortBy { case (k, _) =>
+        k.substring(k.indexOf(':') + 1).toIntOption.getOrElse(Int.MaxValue) }
+        .foldLeft(Map.empty[String, String]) { case (m, (k, t)) =>
+          if (m.contains(t)) m else m + (t -> k)
+        }
+
 
     /** extent description for an extent *name* as carried on ops/CRSs
       * (EPSG extent names are unique in practice; first wins). */
@@ -97,6 +108,7 @@ object EpsgMeta {
     val datums = Map.newBuilder[String, DatumMeta]
     val ops = Map.newBuilder[String, OpMeta]
     val pnames = Map.newBuilder[Int, String]
+    val scopes = Map.newBuilder[String, String]
     val repl = scala.collection.mutable.Map.empty[String, Vector[String]]
 
     def bbox(w: String, s: String, e: String, n: String): Option[Bbox] =
@@ -112,6 +124,8 @@ object EpsgMeta {
         if (line.nonEmpty && line.charAt(0) != '#') {
           val f = line.split("\\|", -1)
           f(0) match {
+            case "F" =>
+              scopes += f(1) -> b64d(at(f, 2))
             case "E" =>
               extents += f(1) -> Extent(f(1), bbox(f(2), f(3), f(4), f(5)),
                 f(6), at(f, 7))
@@ -170,7 +184,7 @@ object EpsgMeta {
     new Meta(extents.result(), uoms.result(), ells.result(), pms.result(),
       css.result(), convs.result(), vdatums.result(), crs.result(),
       datums.result(), ops.result(), pnames.result(),
-      repl.view.mapValues(_.toSeq).toMap)
+      repl.view.mapValues(_.toSeq).toMap, scopes.result())
   }
 
   /** projected-CRS extras not in EpsgDb.ProjCrs: conversion key and name.

@@ -154,8 +154,7 @@ class CliCorpusSpec extends AnyFunSuite {
     * byte-identical to the reference's stdout. */
   private val projinfoSkips: Map[Int, String] = {
     def at(ids: Seq[Int], why: String) = ids.map(_ -> why)
-    (at(Seq(5, 6, 65, 66), "SQL registry dump (-o SQL / --dump-db-structure) not implemented") ++
-      at(Seq(22), "lenient WKT1 input with grammar diagnostics not implemented") ++
+    (at(Seq(22), "lenient WKT1 input with grammar diagnostics not implemented") ++
       at(Seq(35), "AGD-pivot chains: the reference's 3-hop GDA94/GDA2020 bridge not modeled") ++
       at(Seq(47), "--searchpaths is environment-specific") ++
       at(Seq(48, 49), "--remote-data reports network state") ++

@@ -17,6 +17,7 @@ object CliHarness {
                            exitcode: Int, sub: Option[(String, String)],
                            grep: Seq[String], grepV: Seq[String],
                            sort: Boolean,
+                           head: Option[Int], tail: Option[Int],
                            files: Seq[(String, String)],
                            env: Map[String, String])
 
@@ -72,6 +73,7 @@ object CliHarness {
         grep = strList(t, "grep"),
         grepV = strList(t, "grep-v"),
         sort = t.fields.get("sort").contains(JBool(true)),
+        head = num(t, "head"), tail = num(t, "tail"),
         files = files,
         env = tenv)
     }
@@ -115,6 +117,8 @@ object CliHarness {
       ls = ls.map(l => re.matcher(l).replaceAll(repl))
     }
     if (t.sort) ls = ls.sorted
+    t.head.foreach(n => ls = ls.take(n))
+    t.tail.foreach(n => ls = ls.takeRight(n))
     ls
   }
 
