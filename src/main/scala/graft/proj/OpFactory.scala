@@ -801,38 +801,44 @@ object OpFactory {
       * `up` = orthometric->ellipsoidal (source side), else ellipsoidal->
       * orthometric (destination side). Returns (hops, atSrcSide, name,
       * using) tuples. */
-    def leg(vcode: String, up: Boolean): Vector[(Seq[Hop], Boolean, String, Seq[String])] = {
-      val out = Vector.newBuilder[(Seq[Hop], Boolean, String, Seq[String])]
+    /** legKind: 0 = homed on the vertical's own side, 1 = homed on the
+      * opposite side, 2 = glued through a third datum. */
+    def leg(vcode: String, up: Boolean): Vector[(Seq[Hop], Boolean, String, Seq[String], Int)] = {
+      val out = Vector.newBuilder[(Seq[Hop], Boolean, String, Seq[String], Int)]
+      val ownSide = if (up) srcDatum else dstDatum
+      val otherSide = if (up) dstDatum else srcDatum
       for ((h0, other) <- vertEndHops(vcode, opts)
            if db.datums.contains(other) || db.geodetic.values.exists(_.datum == other)) {
         val h = if (up) h0 else Hop(h0.op, !h0.inv)
-        if (other == srcDatum) out += ((Seq(h), true, h.name, Nil))
-        else if (other == dstDatum) out += ((Seq(h), false, h.name, Nil))
+        if (other == ownSide) out += ((Seq(h), up, h.name, Nil, 0))
+        else if (other == otherSide) out += ((Seq(h), !up, h.name, Nil, 1))
         else {
           // glue the leg's home datum to the side it applies on; legs homed
           // on a member realization of the side's datum ensemble are
           // redundant duplicates of the ensemble-level op (the PROJ-authority
           // "(from ...)" derivations) and are skipped
-          val side = if (up) srcDatum else dstDatum
-          if (!db.sameDatum(side, other) && !db.sameEnsembleMembers(side, other))
-            for (g <- glueOps(side, other, opts))
+          if (!db.sameDatum(ownSide, other) && !db.sameEnsembleMembers(ownSide, other))
+            for (g <- glueOps(ownSide, other, opts))
               out += ((Seq(g, h, Hop(g.op, !g.inv)),
-                up, h.name, Seq(g.op.name)))
+                up, h.name, Seq(g.op.name), 2))
         }
       }
       out.result()
     }
 
+    // the vertical leg executes on its own compound's side of the chain
+    // (reference createOperationsCompoundToGeog applies the vertical
+    // transformation before the horizontal one, and the inverse shape
+    // after it), regardless of which geographic CRS the op is homed on —
+    // a geoid shift is a pure height offset in pipeline form
     (sv, dv) match {
       case (Some(v), None) =>
-        for ((hops, atSrc, nm, using) <- leg(v.code, up = true))
-          real += (if (atSrc) VPlan(hops, Nil, Seq(nm), Nil, using, false)
-            else VPlan(Nil, hops, Nil, Seq(nm), using, false))
+        for ((hops, _, nm, using, _) <- leg(v.code, up = true))
+          real += VPlan(hops, Nil, Seq(nm), Nil, using, false)
         (real.result(), Vector(VBallpark))
       case (None, Some(v)) =>
-        for ((hops, atSrc, nm, using) <- leg(v.code, up = false))
-          real += (if (atSrc) VPlan(hops, Nil, Seq(nm), Nil, using, false)
-            else VPlan(Nil, hops, Nil, Seq(nm), using, false))
+        for ((hops, _, nm, using, _) <- leg(v.code, up = false))
+          real += VPlan(Nil, hops, Nil, Seq(nm), using, false)
         (real.result(), Vector(VBallpark))
       case (Some(v1), Some(v2)) =>
         // vertical hops whose interpolation frame lives on the destination

@@ -145,7 +145,7 @@ class CliCorpusSpec extends AnyFunSuite {
                           env: Map[String, String]): CliResult =
     CliProjinfo.run(args, stdin, "projinfo", files, env)
 
-  /** The 22 projinfo expectations outside the replayed subset, with the
+  /** The 7 projinfo expectations outside the replayed subset, with the
     * component each one needs. Everything else — single-CRS WKT2:2019/2015
     * + PROJ.4 output, -k object lookups, candidate listing with summaries /
     * notes / DERIVED_FROM-INVERSE ids, --bbox/--area filtering, vertical /
@@ -159,8 +159,7 @@ class CliCorpusSpec extends AnyFunSuite {
       at(Seq(47), "--searchpaths is environment-specific") ++
       at(Seq(48, 49), "--remote-data reports network state") ++
       at(Seq(64), "NKG authority excluded from the sidecar (network-grid ops)") ++
-      at(Seq(83), "coordinate epochs / point-motion operations not modeled") ++
-      at(Seq(85), "equal-score realization paths tie-break differently")).toMap
+      at(Seq(83), "coordinate epochs / point-motion operations not modeled")).toMap
   }
 
   test("test_projinfo: CRS description and operation queries") {
