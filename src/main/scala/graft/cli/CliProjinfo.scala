@@ -751,8 +751,24 @@ object CliProjinfo {
     // (reference: isPROJExportable sorts them last)
     def exportable(c: Candidate): Boolean =
       !c.dispHops.exists(h => h._1.method == "1065" || h._1.method == "1066")
-    val all = OpFactory.sort(all0, knownAsAvailable = gridMode == GridMode.Known,
+    val allSorted = OpFactory.sort(all0, knownAsAvailable = gridMode == GridMode.Known,
       areaOf = clippedArea, exportableOf = exportable)
+    // reference removeUninterestingOps: for the same extent, drop a
+    // candidate with similar-or-worse accuracy than the previously kept
+    // one that takes strictly more transformation steps
+    val all = {
+      val out = Vector.newBuilder[Candidate]
+      var last = Option.empty[Candidate]
+      for (c <- allSorted) {
+        val drop = last.exists { l =>
+          val accWorse = (c.accuracy >= l.accuracy && l.accuracy >= 0) ||
+            (c.accuracy < 0 && l.accuracy >= 0)
+          accWorse && c.boxes == l.boxes && c.stepCount > l.stepCount
+        }
+        if (!drop) { out += c; last = Some(c) }
+      }
+      out.result()
+    }
 
     def candDesc(c: Candidate): Option[String] =
       meta.descOfArea(c.areaName).orElse(

@@ -1033,7 +1033,8 @@ object OpFactory {
     val viaPivot: Vector[Candidate] =
       if ((wholeAll ++ direct).nonEmpty || db.sameDatum(a, b))
         Vector.empty
-      else combine(pivotHops(a, b, opts, src.name, dst.name)
+      else combine(pivotHops(a, b, opts, src.name, dst.name,
+        bothGeographic = src.isLongLat && dst.isLongLat)
         .map { case (hops, nm) => (hops, nm) })
 
     // ballpark vertical transformation: always an alternative against an
@@ -1100,11 +1101,41 @@ object OpFactory {
     sort(nonBallpark, knownAsAvailable = mode == GridMode.Known) ++ ballpark
   }
 
+  /** display name of an expanded hop chain: step names joined with " + ",
+    * inserting the geographic<->geocentric conversion the reference
+    * synthesizes when consecutive steps are registered on different
+    * realizations of one datum ("GDA94 to GDA2020 (2) + Conversion from
+    * GDA2020 (geog2D) to GDA2020 (geocentric) + GDA2020 to WGS 84 (G1762)
+    * (1)"). */
+  private def hopChainName(hs: Seq[Hop]): String = {
+    def kindTag(g: GeodCrs): String =
+      if (g.kind == Geocentric) "geocentric"
+      else if (g.kind == Geog3D) "geog3D" else "geog2D"
+    val parts = Vector.newBuilder[String]
+    var prevEnd = Option.empty[String]
+    for (h <- hs) {
+      prevEnd.foreach { pe =>
+        (db.geodetic.get(pe), db.geodetic.get(h.srcEnd)) match {
+          case (Some(g1), Some(g2)) if g1.code != g2.code &&
+            g1.datum == g2.datum &&
+            (g1.kind == Geocentric) != (g2.kind == Geocentric) =>
+            parts += s"Conversion from ${g1.name} (${kindTag(g1)}) " +
+              s"to ${g2.name} (${kindTag(g2)})"
+          case _ => ()
+        }
+      }
+      parts += h.name
+      prevEnd = Some(h.dstEnd)
+    }
+    parts.result().mkString(" + ")
+  }
+
   /** datum-pivot hop pairs A -> I -> B (reference
     * createOperationsWithDatumPivot), including ensemble-aware joins. */
   private def pivotHops(a: String, b: String, opts: Options,
                         srcName: String = "",
-                        dstName: String = ""): Vector[(Seq[Hop], String)] = {
+                        dstName: String = "",
+                        bothGeographic: Boolean = false): Vector[(Seq[Hop], String)] = {
     // a pivot leg is a single op, or a concatenated op expanded into its
     // steps (the gridless NTF(Paris)->WGS 84 composite is the fallback the
     // reference reaches for out-of-extent points)
@@ -1112,7 +1143,10 @@ object OpFactory {
                          pivotCrs: String,
                          /** a generator-synthesized ensemble-member null op
                            * (glue, not a registry transformation) */
-                         nullGlue: Boolean)
+                         nullGlue: Boolean,
+                         /** the op's own end CRSs are both geographic (the
+                           * first intermediate search only admits these) */
+                         geogReg: Boolean)
     val fromA = scala.collection.mutable.Map.empty[String, Vector[Leg]]
     val toB = scala.collection.mutable.Map.empty[String, Vector[Leg]]
 
@@ -1153,11 +1187,16 @@ object OpFactory {
       // coordinateoperationfactory.cpp:3282 "not a transformation
       // synthesized by ourselves")
       val nullGlue = op.kind != 'C' && db.sameDatum(s, d)
+      def isGeogCrs(c: String): Boolean =
+        db.geodetic.get(c).exists(_.kind != Geocentric)
+      val geogReg = isGeogCrs(op.srcCrs) && isGeogCrs(op.dstCrs)
       def legOf(inv: Boolean, pivotCrs: String): Option[Leg] =
         (if (op.kind == 'C') expandConcat(op, inv, opts.displayOnly)
          else Some(Seq(Hop(op, inv))))
-          .map(hs => Leg(hs, if (inv) "Inverse of " + op.name else op.name,
-            op.bbox, pivotCrs, nullGlue))
+          .map(hs => Leg(hs,
+            if (hs.length > 1) hopChainName(hs)
+            else if (inv) "Inverse of " + op.name else op.name,
+            op.bbox, pivotCrs, nullGlue, geogReg))
       if (s == a && d != b) legOf(false, op.dstCrs).foreach(l =>
         fromA(d) = fromA.getOrElse(d, Vector.empty) :+ l)
       if (d == a && s != b) legOf(true, op.srcCrs).foreach(l =>
@@ -1180,24 +1219,40 @@ object OpFactory {
             math.max(x.south, y.south) <= math.min(x.north, y.north)))
       case _ => true
     }
-    val out = Vector.newBuilder[(Seq[Hop], String)]
     // only geodetic datums pivot (the reference's intermediate-CRS search
     // never bridges through vertical or projected CRSs)
     def chainOk(l1: Leg, l2: Leg): Boolean =
       legsIntersect(l1, l2) && pivotOk(l1.pivotCrs) && pivotOk(l2.pivotCrs) &&
         !(l1.nullGlue && l2.nullGlue)
-    for (p <- fromA.keySet.intersect(toB.keySet).toVector.sorted
-         if db.datums.contains(p);
-         l1 <- fromA(p); l2 <- toB(p) if chainOk(l1, l2))
-      out += ((l1.hops ++ l2.hops, l1.name + " + " + l2.name))
-    if (out.result().isEmpty) {
-      for ((p1, ls1) <- fromA; (p2, ls2) <- toB
-           if p1 != p2 && (db.sameDatum(p1, p2) ||
-             db.sameEnsembleMembers(p1, p2)); l1 <- ls1; l2 <- ls2
-           if chainOk(l1, l2))
-        out += ((l1.hops ++ l2.hops, l1.name + " + " + l2.name))
+    // The reference searches intermediates in two passes: first the
+    // geographic-CRS-code join (createFromCRSCodesWithIntermediates with
+    // intermediateObjectType GEOGRAPHIC_CRS — both legs must be registered
+    // between geographic CRSs when the endpoints are geographic), then,
+    // only when that finds nothing, the datum-based join that also admits
+    // geocentric-registered legs. This is what keeps AGD66 -> WGS 84
+    // (G1762) on the concatenated GDA94 -> GDA2020 -> G1762 path instead
+    // of the geocentric-domain direct helmerts.
+    def collect(requireGeogReg: Boolean): Vector[(Seq[Hop], String)] = {
+      val o2 = Vector.newBuilder[(Seq[Hop], String)]
+      def ok(l1: Leg, l2: Leg): Boolean = chainOk(l1, l2) &&
+        (!requireGeogReg || (l1.geogReg && l2.geogReg))
+      for (p <- fromA.keySet.intersect(toB.keySet).toVector.sorted
+           if db.datums.contains(p);
+           l1 <- fromA(p); l2 <- toB(p) if ok(l1, l2))
+        o2 += ((l1.hops ++ l2.hops, l1.name + " + " + l2.name))
+      if (o2.result().isEmpty) {
+        for ((p1, ls1) <- fromA; (p2, ls2) <- toB
+             if p1 != p2 && (db.sameDatum(p1, p2) ||
+               db.sameEnsembleMembers(p1, p2)); l1 <- ls1; l2 <- ls2
+             if ok(l1, l2))
+          o2 += ((l1.hops ++ l2.hops, l1.name + " + " + l2.name))
+      }
+      o2.result()
     }
-    out.result()
+    if (bothGeographic) {
+      val geogPass = collect(requireGeogReg = true)
+      if (geogPass.nonEmpty) geogPass else collect(requireGeogReg = false)
+    } else collect(requireGeogReg = false)
   }
 
   /** The operation list the reference's proj_create_crs_to_crs ends up
