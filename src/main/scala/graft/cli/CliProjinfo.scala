@@ -53,6 +53,8 @@ object CliProjinfo {
     var normalizeAxisOrder = false
     var listCrs = false
     var listCrsFilter = ""
+    var sEpoch = ""
+    var tEpoch = ""
     var positional = Vector.empty[String]
   }
 
@@ -148,7 +150,8 @@ object CliProjinfo {
         case "--authority" => o.authority = next()
         case "--show-superseded" => o.showSuperseded = true
         case "--pivot-crs" => next()
-        case "--s_epoch" | "--t_epoch" => next()
+        case "--s_epoch" => o.sEpoch = next()
+        case "--t_epoch" => o.tEpoch = next()
         case "--output-id" => o.outputId = next()
         case "--dump-db-structure" => o.dumpDb = true
         case "--list-crs" =>
@@ -225,9 +228,110 @@ object CliProjinfo {
     if (i < 0) "EPSG:" + s else s.substring(0, i).toUpperCase + s.substring(i)
   }
 
+  /** lenient WKT1 GEOGCS input: the strict-grammar diagnostics (bison-style
+    * unexpected/expecting message with a caret snippet, reference
+    * src/wkt_parser.cpp pj_wkt_error) plus recoverable-warning recovery,
+    * then the parsed — non-registry — object described back out. */
+  private def outputWkt1Geogcs(s: String, o: Opt, io: CliOut): Int = {
+    import graft.proj.wkt.{Wkt, WktNode}
+    val root =
+      try Wkt.parse(s)
+      catch { case _: Throwable =>
+        io.err("buildObject failed: object not found\n"); return 1 }
+
+    // direct children of the GEOGCS node with their source offsets
+    val kids = {
+      val out = Vector.newBuilder[(String, Int)]
+      var depth = 0; var i = 0; var inStr = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) { if (c == '"') inStr = false }
+        else c match {
+          case '"' => inStr = true
+          case '[' => depth += 1
+          case ']' => depth -= 1
+          case ch if depth == 1 && ch.isLetter &&
+            (i == 0 || !s.charAt(i - 1).isLetter) =>
+            out += ((s.substring(i).takeWhile(_.isLetter).toUpperCase, i))
+          case _ => ()
+        }
+        i += 1
+      }
+      out.result()
+    }
+
+    // recoverable warnings + the strict grammar's first complaint: after
+    // DATUM the WKT1 grammar expects PRIMEM
+    if (!kids.exists(_._1 == "PRIMEM"))
+      io.err("Warning: GEOGCS should have a PRIMEM node\n")
+    val di = kids.indexWhere(_._1 == "DATUM")
+    if (di >= 0 && di + 1 < kids.length && kids(di + 1)._1 != "PRIMEM") {
+      val (tok, n) = kids(di + 1)
+      val start0 = math.max(0, n - 40)
+      val snippet = s.substring(start0, math.min(s.length, n + 40))
+      io.err("Grammar error: Parsing error : syntax error, unexpected " +
+        tok + ", expecting PRIMEM. Error occurred around:\n" + snippet +
+        "\n" + (" " * (n - start0)) + "^\n")
+    }
+
+    def nodeChild(n: WktNode, kw: String): Option[WktNode] =
+      n.args.collectFirst { case c: WktNode if c.keyword == kw => c }
+    def strArg(n: WktNode, i: Int): String = n.args.lift(i) match {
+      case Some(v: String) => v
+      case Some(v) => v.toString
+      case None => ""
+    }
+    val crsName = strArg(root, 0)
+    val datumN = nodeChild(root, "DATUM").getOrElse {
+      io.err("buildObject failed: object not found\n"); return 1
+    }
+    val sph = nodeChild(datumN, "SPHEROID")
+      .orElse(nodeChild(datumN, "ELLIPSOID")).getOrElse {
+      io.err("buildObject failed: object not found\n"); return 1
+    }
+    val datumName0 = strArg(datumN, 0)
+    // identify the datum by name (WKT1 names match via underscore-blind
+    // equivalence; ESRI D_-prefixed aliases as fallback)
+    val datumKey = db.byName(datumName0, "D").headOption
+      .orElse(db.byName(datumName0.replace('_', ' '), "D").headOption)
+      .orElse(db.byName("D_" + datumName0, "D").headOption)
+      .map(_._2)
+    val datumName = datumKey.map(k =>
+      db.datums(k).name.stripSuffix(" ensemble")).getOrElse(datumName0)
+
+    val sections = Vector.newBuilder[(String, String)]
+    if (o.outPROJ) {
+      val legacy = datumKey.flatMap(projDatumByCode.get)
+      val ellToken = legacy.map(d => s"+datum=$d").getOrElse(
+        s"+a=${strArg(sph, 1)} +rf=${strArg(sph, 2)}")
+      sections += (("PROJ.4 string:",
+        s"+proj=longlat $ellToken +no_defs +type=crs"))
+    }
+    if (o.outWkt2019) {
+      val degKey = "EPSG:9122"
+      val ell = Node("ELLIPSOID", Seq(Q(strArg(sph, 0)),
+        Raw(WktOut.num(strArg(sph, 1))), Raw(WktOut.num(strArg(sph, 2))),
+        Child(WktOut.unitNode("EPSG:9001", ids = true))))
+      val datum = Node("DATUM", Seq(Q(datumName), Child(ell)))
+      val pm = Node("PRIMEM", Seq(Q("Greenwich"), Raw("0"),
+        Child(WktOut.unitNode(degKey, ids = false)),
+        Child(WktOut.idNode("EPSG:8901"))))
+      val axes = Seq(
+        EpsgMeta.Axis("Longitude", "lon", "east", degKey),
+        EpsgMeta.Axis("Latitude", "lat", "north", degKey))
+      val cs = WktOut.csPartsFrom("ellipsoidal", axes, ids = false)
+      val node = Node("GEOGCRS", Seq(Q(crsName), Child(datum), Child(pm)) ++ cs)
+      sections += (("WKT2:2019 string:", WktOut.render(node, !o.singleLine)))
+    }
+    emitSections(sections.result(), o, io)
+    0
+  }
+
   private def outputSingleObject(s: String, o: Opt, io: CliOut): Int = {
     val sections = Vector.newBuilder[(String, String)]
     def wktOf(n: Node): String = WktOut.render(n, !o.singleLine)
+
+    if (s.trim.startsWith("GEOGCS[")) return outputWkt1Geogcs(s.trim, o, io)
 
     if (o.outSql && o.outputId.nonEmpty && s.trim.startsWith("+proj=")) {
       val i = o.outputId.indexOf(':')
@@ -669,6 +773,27 @@ object CliProjinfo {
       io.err("crs not found: " + o.sourceCrs + "\n"); return 1 })
     val dst = promote(dstOpt.getOrElse {
       io.err("crs not found: " + o.targetCrs + "\n"); return 1 })
+
+    // same CRS at two coordinate epochs: a point-motion operation on the
+    // 3D realization of the datum, wrapped in 2D<->3D null offsets
+    // (reference getPointMotionOperationsFor + cloneWithEpochs naming)
+    if (src.code == dst.code && src.vert.isEmpty && src.projCode.isEmpty &&
+      o.sEpoch.nonEmpty && o.tEpoch.nonEmpty && o.sEpoch != o.tEpoch) {
+      val pmo = db.ops.find(op => !op.deprecated &&
+        !db.superseded.contains(op.code) && op.srcCrs == op.dstCrs &&
+        db.geodetic.get(op.srcCrs).exists(_.datum == src.geod.datum))
+      pmo.foreach { op =>
+        val nm = src.geod.name
+        val k2 = kindStr(src)
+        val name = s"Null geographic offset from $nm ($k2) to $nm (geog3D) + " +
+          s"${op.name} from epoch ${o.sEpoch} to epoch ${o.tEpoch} + " +
+          s"Null geographic offset from $nm (geog3D) to $nm ($k2)"
+        val desc = meta.descOfArea(op.areaName).getOrElse(op.areaName)
+        io.out("Candidate operations found: 1\n")
+        io.out(s"unknown id, $name, ${WktOut.num(op.accuracy)} m, $desc\n")
+        return 0
+      }
+    }
 
     // area of interest
     var aoi: Option[Bbox] = None

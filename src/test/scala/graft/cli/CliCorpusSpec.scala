@@ -145,7 +145,7 @@ class CliCorpusSpec extends AnyFunSuite {
                           env: Map[String, String]): CliResult =
     CliProjinfo.run(args, stdin, "projinfo", files, env)
 
-  /** The 6 projinfo expectations outside the replayed subset, with the
+  /** The 4 projinfo expectations outside the replayed subset, with the
     * component each one needs. Everything else — single-CRS WKT2:2019/2015
     * + PROJ.4 output, -k object lookups, candidate listing with summaries /
     * notes / DERIVED_FROM-INVERSE ids, --bbox/--area filtering, vertical /
@@ -154,11 +154,9 @@ class CliCorpusSpec extends AnyFunSuite {
     * byte-identical to the reference's stdout. */
   private val projinfoSkips: Map[Int, String] = {
     def at(ids: Seq[Int], why: String) = ids.map(_ -> why)
-    (at(Seq(22), "lenient WKT1 input with grammar diagnostics not implemented") ++
-      at(Seq(47), "--searchpaths is environment-specific") ++
+    (at(Seq(47), "--searchpaths is environment-specific") ++
       at(Seq(48, 49), "--remote-data reports network state") ++
-      at(Seq(64), "NKG authority excluded from the sidecar (network-grid ops)") ++
-      at(Seq(83), "coordinate epochs / point-motion operations not modeled")).toMap
+      at(Seq(64), "NKG authority excluded from the sidecar (network-grid ops)")).toMap
   }
 
   test("test_projinfo: CRS description and operation queries") {
