@@ -48,7 +48,7 @@ ORDER = ['unit_of_measure','extent','scope','prime_meridian','ellipsoid',
  'grid_transformation_custom','non_imported_operations',
  'geodetic_datum_ensemble_member','vertical_datum_ensemble_member','metadata']
 
-AUTHS = ("EPSG", "PROJ", "IAU_2015", "IGNF")
+AUTHS = ("EPSG", "PROJ", "IAU_2015", "IGNF", "ESRI")
 
 def load():
     db = sqlite3.connect(':memory:')
