@@ -226,6 +226,15 @@ def main():
         lines.append(f"R|{r['auth_name']}:{r['code']}|{r['name']}|"
                      f"{num(r['longitude'])}|{r['uom_auth_name']}:{r['uom_code']}")
 
+    # ---- registry metadata: G|key|value (data/version identifiers the
+    # catalog surface reports — PROJ_DATA.VERSION drives projsync's
+    # version_added/version_removed filtering)
+    for r in db.execute("select key, value from metadata where key in "
+                        "('EPSG.VERSION','PROJ_DATA.VERSION',"
+                        "'DATABASE.LAYOUT.VERSION.MAJOR',"
+                        "'DATABASE.LAYOUT.VERSION.MINOR')"):
+        lines.append(f"G|{r['key']}|{r['value']}")
+
     # ---- scopes: F|auth:code|b64(text) (usage scope codes for SQL export)
     for r in db.execute("select auth_name,code,scope from scope"):
         if r['auth_name'] in AUTHS:

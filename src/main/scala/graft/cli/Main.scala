@@ -17,7 +17,7 @@ package graft.cli
 object Main {
   def main(argv: Array[String]): Unit = {
     if (argv.isEmpty) {
-      System.err.println("usage: graft.cli.Main {proj|invproj|cs2cs|cct|gie|projinfo} [args...]")
+      System.err.println("usage: graft.cli.Main {proj|invproj|cs2cs|cct|gie|projinfo|projsync|geod|invgeod} [args...]")
       sys.exit(1)
     }
     val prog = argv.head
@@ -34,6 +34,10 @@ object Main {
       case "cs2cs" | "invcs2cs" => CliCs2cs.run(args, stdin, prog, diskFiles(args))
       case "cct" => CliCct.run(args, stdin, prog, diskFiles(args))
       case "gie" => CliGie.run(args, stdin, prog, diskFiles(args))
+      case "projinfo" => CliProjinfo.run(args, stdin, prog, diskFiles(args),
+        sys.env)
+      case "projsync" => CliProjsync.run(args, stdin, prog, diskFiles(args))
+      case "geod" | "invgeod" => CliGeod.run(args, stdin, prog, diskFiles(args))
       case other =>
         System.err.println(s"unknown tool: $other")
         sys.exit(1)

@@ -56,7 +56,9 @@ object EpsgMeta {
       /** deprecated object -> replacement codes (deprecation table) */
       val replacements: Map[String, Seq[String]],
       /** scope code -> text (usage scope references for SQL export) */
-      val scopes: Map[String, String]) {
+      val scopes: Map[String, String],
+      /** registry metadata (EPSG.VERSION, PROJ_DATA.VERSION, layout) */
+      val metadata: Map[String, String]) {
 
     /** scope text -> smallest-coded scope key (SQL-export reverse lookup) */
     lazy val scopeByText: Map[String, String] =
@@ -109,6 +111,7 @@ object EpsgMeta {
     val ops = Map.newBuilder[String, OpMeta]
     val pnames = Map.newBuilder[Int, String]
     val scopes = Map.newBuilder[String, String]
+    val metadataKv = Map.newBuilder[String, String]
     val repl = scala.collection.mutable.Map.empty[String, Vector[String]]
 
     def bbox(w: String, s: String, e: String, n: String): Option[Bbox] =
@@ -126,6 +129,8 @@ object EpsgMeta {
           f(0) match {
             case "F" =>
               scopes += f(1) -> b64d(at(f, 2))
+            case "G" =>
+              metadataKv += f(1) -> at(f, 2)
             case "E" =>
               extents += f(1) -> Extent(f(1), bbox(f(2), f(3), f(4), f(5)),
                 f(6), at(f, 7))
@@ -184,7 +189,8 @@ object EpsgMeta {
     new Meta(extents.result(), uoms.result(), ells.result(), pms.result(),
       css.result(), convs.result(), vdatums.result(), crs.result(),
       datums.result(), ops.result(), pnames.result(),
-      repl.view.mapValues(_.toSeq).toMap, scopes.result())
+      repl.view.mapValues(_.toSeq).toMap, scopes.result(),
+      metadataKv.result())
   }
 
   /** projected-CRS extras not in EpsgDb.ProjCrs: conversion key and name.
