@@ -89,6 +89,12 @@ object AnnIndex {
       .withColumn("bk", explode(TrainingOps.bucketsFor(col("c_vec"), hyperFor(meta))))
       .select(col("c_id"), col("c_vec"),
         col("bk.tbl").as("tbl"), col("bk.b").as("bucket"))
+      // co-locate each (tbl, bucket) on one task before the partitioned
+      // write: one file per bucket directory instead of one per
+      // (input-partition x bucket) — at 1000 executors the difference is
+      // ~tables*2^planes files vs millions of small files, and the pruned
+      // query's listing cost shrinks the same way
+      .repartition(col("tbl"), col("bucket"))
       .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
     val out = fs(spark, path).create(metaPath(path), true)
     out.write(
