@@ -233,6 +233,40 @@ object SparkEntry {
         .select("q_id", "point_id", "dist_q", "rnk")
     }),
 
+    "geo_hex_knn" -> ((s, dir) => {
+      // the hex-grid kNN path (webmerc + flat-top axial hex ring join +
+      // Karney ranking) against the SAME independent fully-converged
+      // Vincenty oracle geo_knn_geodesic uses: two different engine cell
+      // substrates (S2 cell rings there, planar hex rings here) must both
+      // reproduce the brute-force ellipsoidal answer. Output re-ranked on
+      // metre-quantized distance with point_id ties, matching the
+      // oracle's bucketing convention.
+      val pts = t(s, dir, "customer")
+        .select(col("c_custkey"), explode(sequence(lit(0), lit(15))).as("j"))
+        .select((col("c_custkey") * 16 + col("j")).as("point_id"))
+        .select(col("point_id"),
+          (lit(139.49) + (col("point_id") * 193 % 4000) * 0.0001).as("lon"),
+          (lit(35.49) + (col("point_id") * 149 % 4000) * 0.0001).as("lat"))
+      val q = s.range(0, 20).select(
+        col("id").as("q_id"),
+        (lit(139.59005) + (col("id") * 37 % 100) * 0.001031).as("lon"),
+        (lit(35.59005) + (col("id") * 59 % 100) * 0.001073).as("lat"))
+      // density-adaptive hex size: guaranteed ring reach (2 rings of
+      // inradius sqrt(3)/2 * sizeM, deflated by webmerc's 1/cos(35.6°))
+      // keeps >= 2.5x margin over the worst-case 5th-neighbor radius
+      val n = countOf(s, dir, "customer") * 16
+      val sizeM = if (n >= 150000) 600.0 else if (n >= 15000) 1500.0 else 4000.0
+      val res = SpatialJoins.hexKnnJoin(q, pts, k = 8, sizeM = sizeM, rings = 2)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist_q"), col("point_id"))
+      res
+        .withColumn("dist_q", round(col("dist_m")).cast("long"))
+        .withColumn("rnk2", row_number().over(w))
+        .where(col("rnk2") <= 5)
+        .select(col("q_id"), col("point_id"), col("dist_q"),
+          col("rnk2").as("rnk"))
+    }),
+
     "geo_s2_cells" -> ((s, dir) => {
       // S2 face + (u,v) — the closed-form projection half of the cell
       // mapping, oracle-checked in SQL; the Hilbert-curve id itself is
@@ -1034,6 +1068,7 @@ object SparkEntry {
     "geo_geoid" -> OracleSql.geoGeoid,
     "geo_geodesic_meridian" -> OracleSql.geoGeodesicMeridian,
     "geo_knn_geodesic" -> OracleSql.geoKnnGeodesic,
+    "geo_hex_knn" -> OracleSql.geoKnnGeodesic,
 
     "docs_spans" ->
       """WITH base AS (
