@@ -320,6 +320,99 @@ def main():
                           r[f'param{k}_uom_auth_name'], r[f'param{k}_uom_code'])
         return p
 
+    # ESRI WKT1 projection name -> (proj name, [(esri param, proj param)]).
+    # Every CRS gets lon_0 from Central_Meridian and x_0/y_0 from
+    # False_Easting/Northing implicitly; this table adds the rest.
+    # (Behavioral provenance: the reference's ESRI method mapping,
+    # src/iso19111/operation/esriparammappings.cpp — public data.)
+    ESRI_PROJ = {
+      'Transverse_Mercator_Complex': ('tmerc', [('Latitude_Of_Origin', 'lat_0'), ('Scale_Factor', 'k')]),
+      'Lambert_Conformal_Conic_1SP': ('lcc1sp', [('Latitude_Of_Origin', 'lat_0'), ('Scale_Factor', 'k_0')]),
+      'Equidistant_Conic': ('eqdc', [('Latitude_Of_Origin', 'lat_0'), ('Standard_Parallel_1', 'lat_1'), ('Standard_Parallel_2', 'lat_2')]),
+      'Azimuthal_Equidistant': ('aeqd', [('Latitude_Of_Origin', 'lat_0'), ('Latitude_Of_Center', 'lat_0'), ('Longitude_Of_Center', 'lon_0')]),
+      'Stereographic': ('stere', [('Latitude_Of_Origin', 'lat_0'), ('Scale_Factor', 'k')]),
+      'Stereographic_North_Pole': ('stere', [('!lat_0', '90'), ('Standard_Parallel_1', 'lat_ts')]),
+      'Stereographic_South_Pole': ('stere', [('!lat_0', '-90'), ('Standard_Parallel_1', 'lat_ts')]),
+      'Sinusoidal': ('sinu', []),
+      'Lambert_Azimuthal_Equal_Area': ('laea', [('Latitude_Of_Origin', 'lat_0'), ('Latitude_Of_Center', 'lat_0'), ('Longitude_Of_Center', 'lon_0')]),
+      'Bonne': ('bonne', [('Standard_Parallel_1', 'lat_1')]),
+      'Winkel_Tripel': ('wintri', [('Standard_Parallel_1', 'lat_1')]),
+      'Orthographic': ('ortho', [('Latitude_Of_Origin', 'lat_0'), ('Latitude_Of_Center', 'lat_0'), ('Longitude_Of_Center', 'lon_0')]),
+      'Plate_Carree': ('eqc', []),
+      'Equidistant_Cylindrical_Ellipsoidal': ('eqc', [('Standard_Parallel_1', 'lat_ts')]),
+      'Miller_Cylindrical': ('mill', []),
+      'Mollweide': ('moll', []),
+      'Eckert_I': ('eck1', []), 'Eckert_II': ('eck2', []),
+      'Eckert_III': ('eck3', []), 'Eckert_IV': ('eck4', []),
+      'Eckert_V': ('eck5', []), 'Eckert_VI': ('eck6', []),
+      'Gall_Stereographic': ('gall', []),
+      'Behrmann': ('cea', [('!lat_ts', '30')]),
+      'Winkel_I': ('wink1', [('Standard_Parallel_1', 'lat_ts')]),
+      'Winkel_II': ('wink2', [('Standard_Parallel_1', 'lat_1')]),
+      'Quartic_Authalic': ('qua_aut', []),
+      'Loximuthal': ('loxim', [('Central_Parallel', 'lat_1'), ('Standard_Parallel_1', 'lat_1')]),
+      'Van_der_Grinten_I': ('vandg', []),
+      'Robinson': ('robin', []),
+      'Two_Point_Equidistant': ('tpeqd', [('Latitude_Of_1st_Point', 'lat_1'), ('Longitude_Of_1st_Point', 'lon_1'), ('Latitude_Of_2nd_Point', 'lat_2'), ('Longitude_Of_2nd_Point', 'lon_2')]),
+      'Cylindrical_Equal_Area': ('cea', [('Standard_Parallel_1', 'lat_ts')]),
+      'Aitoff': ('aitoff', []),
+      'Hammer_Aitoff': ('hammer', []),
+      'Flat_Polar_Quartic': ('mbtfpq', []),
+      'Craster_Parabolic': ('crast', []),
+      'Times': ('times', []),
+      'Vertical_Near_Side_Perspective': ('nsper', [('Latitude_Of_Center', 'lat_0'), ('Longitude_Of_Center', 'lon_0'), ('Height', 'h')]),
+      'Wagner_IV': ('wag4', []), 'Wagner_V': ('wag5', []),
+      'Wagner_VII': ('wag7', []),
+      'Natural_Earth': ('natearth', []), 'Natural_Earth_II': ('natearth2', []),
+      'Patterson': ('patterson', []),
+      'Compact_Miller': ('comill', []),
+      'Goode_Homolosine': ('goode', []),
+      'Gnomonic': ('gnom', [('Latitude_Of_Origin', 'lat_0'), ('Latitude_Of_Center', 'lat_0'), ('Longitude_Of_Center', 'lon_0')]),
+      'Mercator': ('merc', [('Standard_Parallel_1', 'lat_ts')]),
+      'Mercator_Auxiliary_Sphere': ('webmerc', []),
+    }
+
+    def body_from_esri_text(text, geod_key):
+        """proj-string body parsed from an ESRI WKT1 text_definition, for
+        ESRI projected CRSs that carry no conversion row (the world /
+        continental systems), or None when the projection is unmapped."""
+        if not text or geod_key not in geod_ell:
+            return None
+        mproj = re.search(r'PROJECTION\["([^"]+)"\]', text)
+        if not mproj or mproj.group(1) not in ESRI_PROJ:
+            return None
+        pname, extra = ESRI_PROJ[mproj.group(1)]
+        params = dict(re.findall(r'PARAMETER\["([^"]+)",([-0-9.eE]+)\]', text))
+        # the last UNIT is the projected linear unit; scale false E/N by it
+        units_found = re.findall(r'UNIT\["[^"]+",([-0-9.eE]+)\]', text)
+        to_m = float(units_found[-1]) if units_found else 1.0
+        toks = [f"proj={pname}"]
+        if pname == 'lcc1sp':
+            # lcc 1SP spells lat_1 = lat_0
+            toks[0] = "proj=lcc"
+            la = params.get('Latitude_Of_Origin', '0')
+            toks.append(f"lat_1={num(float(la))}")
+        seen = set()
+        for ek, pk in extra:
+            if pk in seen:
+                continue
+            if ek.startswith('!'):
+                toks.append(f"{ek[1:]}={pk}")
+                seen.add(ek[1:])
+            elif ek in params:
+                toks.append(f"{pk}={num(float(params[ek]))}")
+                seen.add(pk)
+        if 'lon_0' not in seen and 'Central_Meridian' in params:
+            toks.append(f"lon_0={num(float(params['Central_Meridian']))}")
+        toks.append(f"x_0={num(float(params.get('False_Easting', '0')) * to_m)}")
+        toks.append(f"y_0={num(float(params.get('False_Northing', '0')) * to_m)}")
+        a, rf, pm = geod_ell[geod_key]
+        toks.append(f"a={num(a)} rf={num(rf)}" if rf else f"a={num(a)} b={num(a)}")
+        if pm:
+            toks.append(f"pm={num(pm)}")
+        toks.append("units=m" if abs(to_m - 1.0) < 1e-12 else f"to_meter={num(to_m)}")
+        return " ".join(toks)
+
     def body_of(conv_key, geod_key):
         """proj-string body for a non-EPSG projected CRS, or None."""
         r = conv_rows.get(conv_key)
@@ -353,9 +446,17 @@ def main():
                 pmtok = f" pm={num(pm)}" if pm else ""
                 return f"proj={r['method_code']}{ell}{pmtok} units=m"
             return None
-        if m == 9807:
+        if m == 9807 or m == 9808:
+            # ESRI encodes Transverse Mercator (South Orientated) as 9807
+            # with a NEGATIVE scale factor (the Cape/Hartebeesthoek Lo
+            # grids); the reference maps TMSO to tmerc with axis=wsu
+            # (conversion.cpp:4074)
+            k = S(8805)
+            south = m == 9808 or (k is not None and k < 0)
+            ax = " axis=wsu" if south else ""
+            kv = abs(k) if k is not None else 1.0
             core = (f"proj=tmerc lat_0={num(A(8801, 0.0))} lon_0={num(A(8802, 0.0))}"
-                    f" k={num(S(8805))} x_0={num(L(8806))} y_0={num(L(8807))}")
+                    f" k={num(kv)} x_0={num(L(8806))} y_0={num(L(8807))}{ax}")
         elif m == 9801:
             la = num(A(8801, 0.0))
             core = (f"proj=lcc lat_1={la} lat_0={la} lon_0={num(A(8802, 0.0))}"
@@ -382,6 +483,32 @@ def main():
         elif m == 1024:
             core = (f"proj=webmerc lat_0={num(A(8801, 0.0))} lon_0={num(A(8802, 0.0))}"
                     f" x_0={num(L(8806))} y_0={num(L(8807))}")
+        elif m == 9805:
+            core = (f"proj=merc lat_ts={num(A(8823, 0.0))} lon_0={num(A(8802, 0.0))}"
+                    f" x_0={num(L(8806))} y_0={num(L(8807))}")
+        elif m == 9822:
+            core = (f"proj=aea lat_0={num(A(8821, 0.0))} lon_0={num(A(8822, 0.0))}"
+                    f" lat_1={num(A(8823, 0.0))} lat_2={num(A(8824, 0.0))}"
+                    f" x_0={num(L(8826))} y_0={num(L(8827))}")
+        elif m == 9806:
+            core = (f"proj=cass lat_0={num(A(8801, 0.0))} lon_0={num(A(8802, 0.0))}"
+                    f" x_0={num(L(8806))} y_0={num(L(8807))}")
+        elif m == 9812:
+            # Hotine Oblique Mercator variant A = omerc no_uoff
+            core = (f"proj=omerc no_uoff lat_0={num(A(8811, 0.0))}"
+                    f" lonc={num(A(8812, 0.0))} alpha={num(A(8813, 0.0))}"
+                    f" gamma={num(A(8814, 0.0))} k={num(S(8815))}"
+                    f" x_0={num(L(8806))} y_0={num(L(8807))}")
+        elif m == 9818:
+            core = (f"proj=poly lat_0={num(A(8801, 0.0))} lon_0={num(A(8802, 0.0))}"
+                    f" x_0={num(L(8806))} y_0={num(L(8807))}")
+        elif m == 1078:
+            core = (f"proj=eqearth lon_0={num(A(8802, 0.0))}"
+                    f" x_0={num(L(8806))} y_0={num(L(8807))}")
+        elif m == 1052:
+            core = (f"proj=col_urban lat_0={num(A(8801, 0.0))}"
+                    f" lon_0={num(A(8802, 0.0))} x_0={num(L(8806))}"
+                    f" y_0={num(L(8807))} h_0={num(L(1039))}")
         else:
             return None
         a, rf, pm = geod_ell[geod_key]
@@ -392,7 +519,7 @@ def main():
     for r in db.execute("select auth_name,code,name,geodetic_crs_auth_name ga,"
                         "geodetic_crs_code gc,conversion_auth_name ca,"
                         "conversion_code cc,coordinate_system_auth_name csa,"
-                        "coordinate_system_code csc,description,deprecated"
+                        "coordinate_system_code csc,description,deprecated,text_definition td"
                         " from projected_crs"):
         if r['auth_name'] not in AUTHS:
             continue
@@ -401,8 +528,9 @@ def main():
         scope = scope_of('projected_crs', r['auth_name'], r['code'])
         body = ''
         if r['auth_name'] != 'EPSG':
-            body = body_of((r['ca'], str(r['cc'])),
-                           f"{r['ga']}:{r['gc']}") or ''
+            body = (body_of((r['ca'], str(r['cc'])),
+                            f"{r['ga']}:{r['gc']}") or
+                    body_from_esri_text(r['td'], f"{r['ga']}:{r['gc']}") or '')
             body = base64.b64encode(body.encode()).decode() if body else ''
         cv = conv_rows.get((r['ca'], str(r['cc'])))
         cname = cv['name'] if cv is not None else ''
