@@ -437,14 +437,32 @@ def main():
         try:
             m = int(r['method_code'])
         except (TypeError, ValueError):
-            # raw PROJ-method conversions ('PROJ','mill','PROJ mill'):
-            # parameterless legacy registry projections
+            # raw PROJ-method conversions ('PROJ','mill'); some registries
+            # use display-cased or legacy codes (IAU 'ROBINSON', IGNF
+            # 'gstm') that map onto the proj op names, and carry the
+            # standard natural-origin parameter set
+            PROJ_METHOD_MAP = {'ROBINSON': 'robin', 'MOLLWEIDE': 'moll',
+                               'SINUSOIDAL': 'sinu', 'gstm': 'gstmerc'}
             if r['method_auth_name'] == 'PROJ' and r['method_code'] and \
                str(r['method_code']).isalnum():
+                pname = PROJ_METHOD_MAP.get(str(r['method_code']),
+                                            str(r['method_code']))
+                toks = [f"proj={pname}"]
+                if 8801 in p:
+                    toks.append(f"lat_0={num(A(8801, 0.0))}")
+                if 8802 in p:
+                    toks.append(f"lon_0={num(A(8802, 0.0))}")
+                if 8805 in p:
+                    toks.append(f"k={num(S(8805))}")
+                toks.append(f"x_0={num(L(8806))}")
+                toks.append(f"y_0={num(L(8807))}")
                 a, rf, pm = geod_ell[geod_key]
-                ell = f" a={num(a)} rf={num(rf)}" if rf else f" a={num(a)} b={num(a)}"
-                pmtok = f" pm={num(pm)}" if pm else ""
-                return f"proj={r['method_code']}{ell}{pmtok} units=m"
+                toks.append(f"a={num(a)} rf={num(rf)}" if rf
+                            else f"a={num(a)} b={num(a)}")
+                if pm:
+                    toks.append(f"pm={num(pm)}")
+                toks.append("units=m")
+                return " ".join(toks)
             return None
         if m == 9807 or m == 9808:
             # ESRI encodes Transverse Mercator (South Orientated) as 9807
