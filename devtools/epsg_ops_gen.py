@@ -527,6 +527,17 @@ def main():
             core = (f"proj=col_urban lat_0={num(A(8801, 0.0))}"
                     f" lon_0={num(A(8802, 0.0))} x_0={num(L(8806))}"
                     f" y_0={num(L(8807))} h_0={num(L(1039))}")
+        elif m == 9840:
+            core = (f"proj=ortho lat_0={num(A(8801, 0.0))}"
+                    f" lon_0={num(A(8802, 0.0))}"
+                    f" x_0={num(L(8806))} y_0={num(L(8807))}")
+        elif m == 1026:
+            # Mercator (Spherical): the reference exports merc with R_A
+            # spherification of the ellipsoid (authalic radius); IAU uses
+            # it on spheres where it reduces to plain merc
+            core = (f"proj=merc lat_0={num(A(8801, 0.0))}"
+                    f" lon_0={num(A(8802, 0.0))}"
+                    f" x_0={num(L(8806))} y_0={num(L(8807))}")
         else:
             return None
         a, rf, pm = geod_ell[geod_key]
