@@ -492,7 +492,7 @@ object CliProjinfo {
       graft.proj.wkt.Wkt1Out.esriGeogString(code).foreach(s =>
         sections += (("WKT1:ESRI string:", s + "\n")))
     if (o.outProjjson)
-      graft.proj.wkt.ProjJsonOut.geodCrs(code).foreach(j =>
+      graft.proj.wkt.ProjJsonOut.crs(code).foreach(j =>
         sections += (("PROJJSON:", j)))
     if (o.outSql && o.outputId.nonEmpty) {
       val i = o.outputId.indexOf(':')

@@ -64,21 +64,11 @@ object ProjJsonOut {
     if (i > 0) n.substring(0, i) else n
   }
 
-  /** PROJJSON text for a geographic (2D/3D) or geocentric CRS code. */
-  def geodCrs(code: String): Option[String] = {
-    val g = db.geodetic.get(code).getOrElse(return None)
-    val cm = meta.crs(code)
-    val w = new W
-    w.open('{')
-    w.key("$schema").str("https://proj.org/schemas/v0.7/projjson.schema.json")
-    w.key("type").str(
-      if (g.kind == EpsgDb.Geocentric) "GeodeticCRS" else "GeographicCRS")
-    w.key("name").str(g.name)
-
-    val dm = meta.datums(g.datum)
-    val members = db.ensembleMembers.getOrElse(g.datum, Nil)
+  private def datumFields(w: W, datumKey: String): Unit = {
+    val dm = meta.datums(datumKey)
+    val members = db.ensembleMembers.getOrElse(datumKey, Nil)
     if (members.nonEmpty) {
-      val d = db.datums(g.datum)
+      val d = db.datums(datumKey)
       w.key("datum_ensemble").open('{')
       w.key("name").str(d.name)
       w.key("members").open('[')
@@ -92,10 +82,10 @@ object ProjJsonOut {
       ellipsoidFields(w, dm.ellKey)
       if (dm.accText.nonEmpty && dm.accText != "-")
         w.key("accuracy").str(dm.accText)
-      idFields(w, g.datum)
+      idFields(w, datumKey)
       w.close('}')
     } else {
-      val d = db.datums(g.datum)
+      val d = db.datums(datumKey)
       w.key("datum").open('{')
       w.key("type").str(
         if (d.frameEpoch.isDefined) "DynamicGeodeticReferenceFrame"
@@ -106,12 +96,13 @@ object ProjJsonOut {
       ellipsoidFields(w, dm.ellKey)
       w.close('}')
     }
+  }
 
+  private def csFields(w: W, csKey: String): Unit = {
     w.key("coordinate_system").open('{')
-    w.key("subtype").str(
-      meta.css.get(cm.csKey).map(_.typ).getOrElse("ellipsoidal"))
+    w.key("subtype").str(meta.css.get(csKey).map(_.typ).getOrElse("ellipsoidal"))
     w.key("axis").open('[')
-    for (a <- meta.css.get(cm.csKey).map(_.axes).getOrElse(Nil)) {
+    for (a <- meta.css.get(csKey).map(_.axes).getOrElse(Nil)) {
       w.item().open('{')
       w.key("name").str(a.name)
       w.key("abbreviation").str(a.abbrev)
@@ -121,11 +112,13 @@ object ProjJsonOut {
     }
     w.close(']')
     w.close('}')
+  }
 
-    if (cm.scope.nonEmpty) w.key("scope").str(cm.scope)
-    val areaDesc = meta.descOfArea(cm.areaName)
-    areaDesc.foreach(d => w.key("area").str(d))
-    g.bbox.foreach { b =>
+  private def usageFields(w: W, scope: String, areaName: String,
+                          bbox: Option[EpsgDb.Bbox]): Unit = {
+    if (scope.nonEmpty) w.key("scope").str(scope)
+    meta.descOfArea(areaName).foreach(d => w.key("area").str(d))
+    bbox.foreach { b =>
       w.key("bbox").open('{')
       w.key("south_latitude").raw(WktOut.num(b.south))
       w.key("west_longitude").raw(WktOut.num(b.west))
@@ -133,8 +126,129 @@ object ProjJsonOut {
       w.key("east_longitude").raw(WktOut.num(b.east))
       w.close('}')
     }
+  }
+
+  /** PROJJSON text for a geographic (2D/3D) or geocentric CRS code. */
+  def geodCrs(code: String): Option[String] = {
+    val g = db.geodetic.get(code).getOrElse(return None)
+    val cm = meta.crs(code)
+    val w = new W
+    w.open('{')
+    w.key("$schema").str("https://proj.org/schemas/v0.7/projjson.schema.json")
+    w.key("type").str(
+      if (g.kind == EpsgDb.Geocentric) "GeodeticCRS" else "GeographicCRS")
+    w.key("name").str(g.name)
+
+    datumFields(w, g.datum)
+    csFields(w, cm.csKey)
+    usageFields(w, cm.scope, cm.areaName, g.bbox)
     idFields(w, code)
     w.close('}')
     Some(w.toString)
+  }
+
+  /** PROJJSON text for a projected CRS code. */
+  def projCrs(code: String): Option[String] = {
+    val p = db.projected.get(code).getOrElse(return None)
+    val cm = meta.crs.get(code).getOrElse(return None)
+    val base = db.geodetic.get(p.baseGeog).getOrElse(return None)
+    val baseCm = meta.crs.get(p.baseGeog).getOrElse(return None)
+    val (convKey, _) = EpsgMeta.projConv.getOrElse(code, ("", ""))
+    val conv = meta.convs.get(convKey).getOrElse(return None)
+    val w = new W
+    w.open('{')
+    w.key("$schema").str("https://proj.org/schemas/v0.7/projjson.schema.json")
+    w.key("type").str("ProjectedCRS")
+    w.key("name").str(p.name)
+    w.key("base_crs").open('{')
+    w.key("type").str(
+      if (base.kind == EpsgDb.Geocentric) "GeodeticCRS" else "GeographicCRS")
+    w.key("name").str(base.name)
+    datumFields(w, base.datum)
+    csFields(w, baseCm.csKey)
+    idFields(w, p.baseGeog)
+    w.close('}')
+    w.key("conversion").open('{')
+    w.key("name").str(conv.name)
+    w.key("method").open('{')
+    w.key("name").str(conv.methodName)
+    if (conv.methodKey.nonEmpty) idFields(w, conv.methodKey)
+    w.close('}')
+    w.key("parameters").open('[')
+    for ((pcode, vtext, uomKey) <- conv.params) {
+      w.item().open('{')
+      w.key("name").str(meta.paramNames.getOrElse(pcode, s"parameter $pcode"))
+      w.key("value").raw(WktOut.num(vtext))
+      w.key("unit").str(unitName(uomKey))
+      idFields(w, s"EPSG:$pcode")
+      w.close('}')
+    }
+    w.close(']')
+    w.close('}')
+    csFields(w, cm.csKey)
+    usageFields(w, cm.scope, cm.areaName, p.bbox)
+    idFields(w, code)
+    w.close('}')
+    Some(w.toString)
+  }
+
+  /** PROJJSON text for a vertical CRS code. */
+  def vertCrs(code: String): Option[String] = {
+    val v = db.vertical.get(code).getOrElse(return None)
+    val cm = meta.crs.get(code).getOrElse(return None)
+    val w = new W
+    w.open('{')
+    w.key("$schema").str("https://proj.org/schemas/v0.7/projjson.schema.json")
+    w.key("type").str("VerticalCRS")
+    w.key("name").str(v.name)
+    w.key("datum").open('{')
+    val vd = meta.vdatums.get(v.datum)
+    w.key("type").str(
+      if (vd.exists(_.frameEpoch.nonEmpty)) "DynamicVerticalReferenceFrame"
+      else "VerticalReferenceFrame")
+    w.key("name").str(vd.map(_.name).getOrElse(v.datum))
+    vd.map(_.frameEpoch).filter(_.nonEmpty).foreach(fe =>
+      w.key("frame_reference_epoch").raw(WktOut.num(fe)))
+    w.close('}')
+    csFields(w, cm.csKey)
+    usageFields(w, cm.scope, cm.areaName, v.bbox)
+    idFields(w, code)
+    w.close('}')
+    Some(w.toString)
+  }
+
+  /** PROJJSON text for any CRS code: geodetic, projected, vertical,
+    * compound. */
+  def crs(code: String): Option[String] = {
+    if (db.geodetic.contains(code)) geodCrs(code)
+    else if (db.projected.contains(code)) projCrs(code)
+    else if (db.vertical.contains(code)) vertCrs(code)
+    else db.compound.get(code).flatMap { x =>
+      for {
+        h <- crs(x.horiz)
+        v <- crs(x.vert)
+      } yield {
+        val w = new W
+        w.open('{')
+        w.key("$schema")
+          .str("https://proj.org/schemas/v0.7/projjson.schema.json")
+        w.key("type").str("CompoundCRS")
+        w.key("name").str(x.name)
+        // components re-indent the standalone texts (their own $schema
+        // dropped), two levels deep
+        def stripSchema(t: String): String = t.linesIterator
+          .filterNot(_.contains("$schema")).mkString("\n")
+        def indent(t: String): String = t.linesIterator.zipWithIndex
+          .map { case (l, i) => if (i == 0) l else "    " + l }
+          .mkString("\n")
+        w.key("components").open('[')
+        w.item().raw(indent(stripSchema(h)))
+        w.item().raw(indent(stripSchema(v)))
+        w.close(']')
+        idFields(w, code)
+        w.close('}')
+        w.toString
+      }
+    }
   }
 }
