@@ -485,7 +485,8 @@ object CliProjinfo {
     // WKT1 bodies carry a trailing blank line (the reference prints them
     // with an extra newline)
     if (o.outWkt1Gdal)
-      graft.proj.wkt.Wkt1Out.gdalGeogNode(code).foreach(n =>
+      graft.proj.wkt.Wkt1Out.gdalGeogNode(code)
+        .orElse(graft.proj.wkt.Wkt1Out.gdalProjNode(code)).foreach(n =>
         sections += (("WKT1:GDAL string:",
           WktOut.render(n, !o.singleLine) + "\n")))
     if (o.outWkt1Esri)

@@ -85,6 +85,81 @@ object Wkt1Out {
       Child(unit), auth(code))))
   }
 
+  /** GDAL WKT1 projection names per EPSG method code (reference io.cpp /
+    * esriparammappings — public mapping data). */
+  private val gdalMethodNames: Map[String, String] = Map(
+    "9807" -> "Transverse_Mercator",
+    "9808" -> "Transverse_Mercator_South_Orientated",
+    "9801" -> "Lambert_Conformal_Conic_1SP",
+    "9802" -> "Lambert_Conformal_Conic_2SP",
+    "9804" -> "Mercator_1SP", "9805" -> "Mercator_2SP",
+    "9809" -> "Oblique_Stereographic", "9810" -> "Polar_Stereographic",
+    "9820" -> "Lambert_Azimuthal_Equal_Area",
+    "9822" -> "Albers_Conic_Equal_Area",
+    "9806" -> "Cassini_Soldner",
+    "1028" -> "Equirectangular", "1029" -> "Equirectangular",
+    "9818" -> "Polyconic",
+    "9812" -> "Hotine_Oblique_Mercator",
+    "9815" -> "Hotine_Oblique_Mercator_Azimuth_Center",
+    "9819" -> "Krovak",
+    "9834" -> "Cylindrical_Equal_Area", "9835" -> "Cylindrical_Equal_Area")
+
+  /** GDAL WKT1 parameter names per EPSG parameter code. */
+  private val gdalParamNames: Map[Int, String] = Map(
+    8801 -> "latitude_of_origin", 8802 -> "central_meridian",
+    8805 -> "scale_factor", 8806 -> "false_easting",
+    8807 -> "false_northing", 8821 -> "latitude_of_origin",
+    8822 -> "central_meridian", 8823 -> "standard_parallel_1",
+    8824 -> "standard_parallel_2", 8826 -> "false_easting",
+    8827 -> "false_northing", 8811 -> "latitude_of_center",
+    8812 -> "longitude_of_center", 8813 -> "azimuth",
+    8814 -> "rectified_grid_angle", 8815 -> "scale_factor")
+
+  /** WKT1:GDAL node for a projected CRS code with a mapped conversion
+    * method; falls back to None (section omitted) otherwise. */
+  def gdalProjNode(code: String): Option[Node] = {
+    val p = db.projected.get(code).getOrElse(return None)
+    val (convKey, _) = EpsgMeta.projConv.getOrElse(code, ("", ""))
+    val conv = meta.convs.get(convKey).getOrElse(return None)
+    val methodCode = conv.methodKey.drop(conv.methodKey.indexOf(':') + 1)
+    val projName = gdalMethodNames.get(methodCode).getOrElse(return None)
+    val geog = gdalGeogNode(p.baseGeog).getOrElse(return None)
+    // WKT1 prints parameter values normalized to degree / metre / unity
+    // (unlike WKT2, which keeps the registration unit alongside)
+    def paramValue(vtext: String, uomKey: String): String = {
+      val raw = if (vtext.isEmpty) 0.0 else vtext.toDouble
+      meta.uoms.get(uomKey) match {
+        case Some(u) if u.name.startsWith("sexagesimal") =>
+          val sign = if (raw < 0) -1.0 else 1.0
+          val v = math.abs(raw)
+          val d = math.floor(v)
+          val mm = math.floor((v - d) * 100 + 1e-9)
+          val ss = (v - d - mm / 100.0) * 10000.0
+          WktOut.num(sign * (d + mm / 60.0 + ss / 3600.0))
+        case Some(u) if u.typ == "angle" =>
+          WktOut.num(raw * u.factor * 180.0 / math.Pi)
+        case Some(u) => WktOut.num(raw * u.factor)
+        case None => WktOut.num(raw)
+      }
+    }
+    val params = conv.params.flatMap { case (pcode, vtext, uomKey) =>
+      gdalParamNames.get(pcode).map(n =>
+        Child(Node("PARAMETER", Seq(Q(n), Raw(paramValue(vtext, uomKey))))))
+    }
+    val cm = meta.crs(code)
+    val axes = meta.css.get(cm.csKey).map(_.axes).getOrElse(Nil)
+    val uomKey = axes.headOption.map(_.uomKey).getOrElse("EPSG:9001")
+    val u = meta.uoms.get(uomKey)
+    val unit = Node("UNIT", Seq(Q(u.map(_.name).getOrElse("metre")),
+      Raw(WktOut.num(u.map(_.factor).getOrElse(1.0))), auth(uomKey)))
+    val axisNodes = axes.map { a =>
+      Child(Node("AXIS", Seq(Q(a.name), Raw(a.orientation.toUpperCase))))
+    }
+    Some(Node("PROJCS", Seq(Q(p.name), Child(geog),
+      Child(Node("PROJECTION", Seq(Q(projName))))) ++ params ++
+      Seq(Child(unit)) ++ axisNodes ++ Seq(auth(code))))
+  }
+
   /** WKT1:ESRI single-line string for a geographic CRS code. */
   def esriGeogString(code: String): Option[String] = {
     val g = db.geodetic.get(code).getOrElse(return None)
