@@ -235,6 +235,15 @@ def main():
                         "'DATABASE.LAYOUT.VERSION.MINOR')"):
         lines.append(f"G|{r['key']}|{r['value']}")
 
+    # ---- ESRI display names: B|auth:code|esri_alias (the WKT1-ESRI
+    # exporter's reverse lookup — alias_name rows tagged source='ESRI')
+    for r in db.execute("select table_name t, auth_name a, code c, alt_name n"
+                        " from alias_name where source='ESRI' and"
+                        " table_name in ('projected_crs','geodetic_crs',"
+                        "'geodetic_datum','ellipsoid','vertical_crs')"):
+        if r['a'] in AUTHS:
+            lines.append(f"B|{r['a']}:{r['c']}|{r['n']}")
+
     # ---- scopes: F|auth:code|b64(text) (usage scope codes for SQL export)
     for r in db.execute("select auth_name,code,scope from scope"):
         if r['auth_name'] in AUTHS:

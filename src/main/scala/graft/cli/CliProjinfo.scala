@@ -490,7 +490,8 @@ object CliProjinfo {
         sections += (("WKT1:GDAL string:",
           WktOut.render(n, !o.singleLine) + "\n")))
     if (o.outWkt1Esri)
-      graft.proj.wkt.Wkt1Out.esriGeogString(code).foreach(s =>
+      graft.proj.wkt.Wkt1Out.esriGeogString(code)
+        .orElse(graft.proj.wkt.Wkt1Out.esriProjString(code)).foreach(s =>
         sections += (("WKT1:ESRI string:", s + "\n")))
     if (o.outProjjson)
       graft.proj.wkt.ProjJsonOut.crs(code).foreach(j =>

@@ -58,7 +58,9 @@ object EpsgMeta {
       /** scope code -> text (usage scope references for SQL export) */
       val scopes: Map[String, String],
       /** registry metadata (EPSG.VERSION, PROJ_DATA.VERSION, layout) */
-      val metadata: Map[String, String]) {
+      val metadata: Map[String, String],
+      /** EPSG object -> its ESRI display name (WKT1-ESRI export) */
+      val esriNames: Map[String, String]) {
 
     /** scope text -> smallest-coded scope key (SQL-export reverse lookup) */
     lazy val scopeByText: Map[String, String] =
@@ -112,6 +114,8 @@ object EpsgMeta {
     val pnames = Map.newBuilder[Int, String]
     val scopes = Map.newBuilder[String, String]
     val metadataKv = Map.newBuilder[String, String]
+    val esriNames = Map.newBuilder[String, String]
+    val esriNameSeen = scala.collection.mutable.Set.empty[String]
     val repl = scala.collection.mutable.Map.empty[String, Vector[String]]
 
     def bbox(w: String, s: String, e: String, n: String): Option[Bbox] =
@@ -131,6 +135,11 @@ object EpsgMeta {
               scopes += f(1) -> b64d(at(f, 2))
             case "G" =>
               metadataKv += f(1) -> at(f, 2)
+            case "B" =>
+              if (!esriNameSeen.contains(f(1))) {
+                esriNameSeen += f(1)
+                esriNames += f(1) -> at(f, 2)
+              }
             case "E" =>
               extents += f(1) -> Extent(f(1), bbox(f(2), f(3), f(4), f(5)),
                 f(6), at(f, 7))
@@ -190,7 +199,7 @@ object EpsgMeta {
       css.result(), convs.result(), vdatums.result(), crs.result(),
       datums.result(), ops.result(), pnames.result(),
       repl.view.mapValues(_.toSeq).toMap, scopes.result(),
-      metadataKv.result())
+      metadataKv.result(), esriNames.result())
   }
 
   /** projected-CRS extras not in EpsgDb.ProjCrs: conversion key and name.

@@ -85,6 +85,85 @@ object Wkt1Out {
       Child(unit), auth(code))))
   }
 
+  /** numeric value normalized to degree / metre / unity (WKT1 drops the
+    * registration unit; sexagesimal and grad encodings convert). */
+  private def paramValue(vtext: String, uomKey: String): Double = {
+    val raw = if (vtext.isEmpty) 0.0 else vtext.toDouble
+    meta.uoms.get(uomKey) match {
+      case Some(u) if u.name.startsWith("sexagesimal") =>
+        val sign = if (raw < 0) -1.0 else 1.0
+        val v = math.abs(raw)
+        val d = math.floor(v)
+        val mm = math.floor((v - d) * 100 + 1e-9)
+        val ss = (v - d - mm / 100.0) * 10000.0
+        sign * (d + mm / 60.0 + ss / 3600.0)
+      case Some(u) if u.typ == "angle" => raw * u.factor * 180.0 / math.Pi
+      case Some(u) => raw * u.factor
+      case None => raw
+    }
+  }
+
+  /** ESRI WKT1 projection names and their canonical parameter order per
+    * EPSG method code (reference esriparammappings.cpp — public data).
+    * Each parameter is (ESRI name, candidate EPSG codes, default). */
+  private type EsriParams = Seq[(String, Seq[Int], Double)]
+  private val FE = ("False_Easting", Seq(8806, 8826), 0.0)
+  private val FN = ("False_Northing", Seq(8807, 8827), 0.0)
+  private val CM = ("Central_Meridian", Seq(8802, 8822), 0.0)
+  private val SF = ("Scale_Factor", Seq(8805, 8815), 1.0)
+  private val LO = ("Latitude_Of_Origin", Seq(8801, 8821), 0.0)
+  private val SP1 = ("Standard_Parallel_1", Seq(8823), 0.0)
+  private val SP2 = ("Standard_Parallel_2", Seq(8824), 0.0)
+  private val esriMethods: Map[String, (String, EsriParams)] = Map(
+    "9807" -> ("Transverse_Mercator", Seq(FE, FN, CM, SF, LO)),
+    "9801" -> ("Lambert_Conformal_Conic",
+      Seq(FE, FN, CM, ("Standard_Parallel_1", Seq(8801), 0.0), SF, LO)),
+    "9802" -> ("Lambert_Conformal_Conic", Seq(FE, FN, CM, SP1, SP2, LO)),
+    "9805" -> ("Mercator", Seq(FE, FN, CM, SP1)),
+    "1024" -> ("Mercator_Auxiliary_Sphere",
+      Seq(FE, FN, CM, SP1, ("Auxiliary_Sphere_Type", Seq(), 0.0))),
+    "9810" -> ("Stereographic", Seq(FE, FN, CM, SF, LO)),
+    "9820" -> ("Lambert_Azimuthal_Equal_Area", Seq(FE, FN, CM, LO)),
+    "9822" -> ("Albers", Seq(FE, FN, CM, SP1, SP2, LO)),
+    "9806" -> ("Cassini", Seq(FE, FN, CM, SF, LO)),
+    "1028" -> ("Equidistant_Cylindrical", Seq(FE, FN, CM, SP1)),
+    "1029" -> ("Equidistant_Cylindrical", Seq(FE, FN, CM, SP1)))
+
+  /** WKT1:ESRI single-line string for a projected CRS code; None when the
+    * CRS has no ESRI name or its method is unmapped. */
+  def esriProjString(code: String): Option[String] = {
+    val p = db.projected.get(code).getOrElse(return None)
+    val name = meta.esriNames.getOrElse(code, return None)
+    val (convKey, _) = EpsgMeta.projConv.getOrElse(code, ("", ""))
+    val conv = meta.convs.get(convKey).getOrElse(return None)
+    val methodCode = conv.methodKey.drop(conv.methodKey.indexOf(':') + 1)
+    val (projName, spec) = esriMethods.get(methodCode).getOrElse(return None)
+    val geog = esriGeogString(p.baseGeog).getOrElse(return None)
+    def dec(v: Double): String = {
+      val s = WktOut.num(v)
+      if (s.contains('.') || s.contains('e') || s.contains('E')) s else s + ".0"
+    }
+    val byCode = conv.params.map(x => x._1 -> x).toMap
+    val params = spec.map { case (en, codes, default) =>
+      val v = codes.iterator.flatMap(byCode.get)
+        .map(x => paramValue(x._2, x._3)).nextOption().getOrElse(default)
+      s"""PARAMETER["$en",${dec(v)}]"""
+    }
+    val cm = meta.crs(code)
+    val uomKey = meta.css.get(cm.csKey).flatMap(_.axes.headOption)
+      .map(_.uomKey).getOrElse("EPSG:9001")
+    val u = meta.uoms.get(uomKey)
+    val unitName0 = u.map(_.name).getOrElse("metre") match {
+      case "metre" => "Meter"
+      case "foot" => "Foot"
+      case "US survey foot" => "Foot_US"
+      case other => morphNameToESRI(other.capitalize)
+    }
+    Some(s"""PROJCS["$name",$geog,PROJECTION["$projName"],""" +
+      params.mkString(",") +
+      s""",UNIT["$unitName0",${dec(u.map(_.factor).getOrElse(1.0))}]]""")
+  }
+
   /** GDAL WKT1 projection names per EPSG method code (reference io.cpp /
     * esriparammappings — public mapping data). */
   private val gdalMethodNames: Map[String, String] = Map(
@@ -169,12 +248,13 @@ object Wkt1Out {
     val pm = meta.pms(dm.pmKey)
     val (_, uFactor, _) = angularUnit(code)
     val datumName0 = plainDatumName(g.datum)
-    val datumName =
+    val datumName = meta.esriNames.getOrElse(g.datum,
       if (datumName0 == "World Geodetic System 1984") "D_WGS_1984"
-      else "D_" + morphNameToESRI(datumName0)
-    val ellName =
-      if (ell.name == "WGS 84") "WGS_1984" else morphNameToESRI(ell.name)
-    val gcsName = "GCS_" + datumName.stripPrefix("D_")
+      else "D_" + morphNameToESRI(datumName0))
+    val ellName = meta.esriNames.getOrElse(dm.ellKey,
+      if (ell.name == "WGS 84") "WGS_1984" else morphNameToESRI(ell.name))
+    val gcsName = meta.esriNames.getOrElse(code,
+      "GCS_" + datumName.stripPrefix("D_"))
     def dec(v: String): String = if (v.contains('.')) v else v + ".0"
     Some(s"""GEOGCS["$gcsName",DATUM["$datumName",SPHEROID["$ellName",""" +
       s"""${dec(ell.aText)},${if (ell.rfText.nonEmpty) ell.rfText else "0.0"}]],""" +

@@ -47,4 +47,20 @@ class Wkt1ProjSpec extends AnyFunSuite {
     assert(r.stdout.contains("PARAMETER[\"standard_parallel_2\",44]"))
     assert(r.stdout.contains("PARAMETER[\"latitude_of_origin\",46.5]"))
   }
+
+  test("EPSG:32631 renders the canonical ESRI WKT1 single-line") {
+    val r = graft.cli.CliProjinfo.run(
+      Seq("-o", "WKT1_ESRI", "-q", "EPSG:32631"), "", "projinfo", Map.empty)
+    assert(r.exit == 0, r.stderr)
+    assert(r.stdout ==
+      """PROJCS["WGS_1984_UTM_Zone_31N",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["False_Easting",500000.0],PARAMETER["False_Northing",0.0],PARAMETER["Central_Meridian",3.0],PARAMETER["Scale_Factor",0.9996],PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]""" +
+      "\n\n", r.stdout)
+  }
+
+  test("EPSG:2154 renders ESRI's Lambert_Conformal_Conic form") {
+    val r = graft.cli.CliProjinfo.run(
+      Seq("-o", "WKT1_ESRI", "-q", "EPSG:2154"), "", "projinfo", Map.empty)
+    assert(r.stdout.startsWith("PROJCS[\"RGF_1993_Lambert_93\""))
+    assert(r.stdout.contains("PARAMETER[\"Latitude_Of_Origin\",46.5]"))
+  }
 }
