@@ -27,6 +27,8 @@ object WktMap {
     case "GEOGCRS" | "GEOGRAPHICCRS" | "GEODCRS" | "GEODETICCRS" =>
       geodetic(node)
     case "PROJCRS" | "PROJECTEDCRS" => projected(node)
+    case "GEOGCS" => geodeticWkt1(node)
+    case "PROJCS" => projectedWkt1(node)
     case "BOUNDCRS" =>
       // source CRS with the abridged transformation folded in as towgs84
       val src = node.child("SOURCECRS").flatMap(_.args.collectFirst { case n: WktNode => n })
@@ -305,6 +307,113 @@ object WktMap {
     WktCrsDef(s"$core $ell$pmTok$unitTok no_defs",
       isGeographic = false, isGeocentric = false, latFirst = cs.latFirst,
       angularUnitToRad = GeoMath.DEG2RAD, is3D = cs.dims == 3,
+      name = crs.name.getOrElse(""))
+  }
+
+  // --------------------------------------------------------- WKT1 dialects
+
+  /** WKT1 GEOGCS (GDAL/ESRI): DATUM/SPHEROID + PRIMEM + angular UNIT.
+    * Axis order is lon-lat unless explicit AXIS nodes lead with latitude
+    * (the reference's parsed non-registry WKT1 objects are lon-first). */
+  private def geodeticWkt1(crs: WktNode): WktCrsDef = {
+    val ell = ellipsoidTokens(crs)
+    val pmDeg = pmDegrees(crs)
+    val pmTok = if (pmDeg != 0.0) s" pm=$pmDeg" else ""
+    val latFirst = crs.children("AXIS").headOption
+      .flatMap(_.args.collectFirst { case s: String => s })
+      .exists(_.toLowerCase.startsWith("lat"))
+    val unitToRad = crs.child("UNIT").flatMap(_.numbers.headOption)
+      .getOrElse(GeoMath.DEG2RAD)
+    WktCrsDef(s"proj=longlat $ell$pmTok no_defs",
+      isGeographic = true, isGeocentric = false, latFirst = latFirst,
+      angularUnitToRad = unitToRad, is3D = false,
+      name = crs.name.getOrElse(""))
+  }
+
+  /** WKT1 PROJCS: the GDAL / ESRI projection and parameter naming mapped
+    * onto the same projection cores as the WKT2 path. Angular parameters
+    * are in degrees (the OGR convention), linear ones in the PROJCS
+    * linear unit. */
+  private def projectedWkt1(crs: WktNode): WktCrsDef = {
+    val geogcs = crs.child("GEOGCS").getOrElse(fail("PROJCS without GEOGCS"))
+    val ell = ellipsoidTokens(geogcs)
+    val pmDeg = pmDegrees(geogcs)
+    val pmTok = if (pmDeg != 0.0) s" pm=$pmDeg" else ""
+    val projName = crs.child("PROJECTION")
+      .flatMap(_.args.collectFirst { case s: String => s })
+      .getOrElse(fail("PROJCS without PROJECTION")).toLowerCase
+    val unitToM = crs.child("UNIT").flatMap(_.numbers.headOption).getOrElse(1.0)
+    val params: Map[String, Double] = crs.children("PARAMETER").flatMap { p =>
+      for {
+        n <- p.args.collectFirst { case s: String => s }
+        v <- p.numbers.headOption
+      } yield n.toLowerCase -> v
+    }.toMap
+    def a(keys: String*): Double =
+      keys.iterator.flatMap(params.get).nextOption().getOrElse(0.0)
+    def k(d: Double): Double =
+      params.getOrElse("scale_factor", d)
+    def l(key: String): Double = params.getOrElse(key, 0.0) * unitToM
+    val xy = s"x_0=${l("false_easting")} y_0=${l("false_northing")}"
+    val latO = a("latitude_of_origin", "latitude_of_center")
+    val lonO = a("central_meridian", "longitude_of_center")
+    val core = projName match {
+      case "transverse_mercator" | "transverse_mercator_complex" |
+           "gauss_kruger" =>
+        s"proj=tmerc lat_0=$latO lon_0=$lonO k=${k(1.0)} $xy"
+      case "lambert_conformal_conic_1sp" =>
+        s"proj=lcc lat_1=$latO lat_0=$latO lon_0=$lonO k_0=${k(1.0)} $xy"
+      case "lambert_conformal_conic_2sp" =>
+        s"proj=lcc lat_0=$latO lon_0=$lonO " +
+          s"lat_1=${a("standard_parallel_1")} lat_2=${a("standard_parallel_2")} $xy"
+      case "lambert_conformal_conic" =>
+        // ESRI uses one name for both: a scale factor without a second
+        // parallel marks the 1SP form
+        if (params.contains("standard_parallel_2"))
+          s"proj=lcc lat_0=$latO lon_0=$lonO " +
+            s"lat_1=${a("standard_parallel_1")} lat_2=${a("standard_parallel_2")} $xy"
+        else
+          s"proj=lcc lat_1=${a("standard_parallel_1", "latitude_of_origin")} " +
+            s"lat_0=$latO lon_0=$lonO k_0=${k(1.0)} $xy"
+      case "mercator_1sp" =>
+        s"proj=merc lon_0=$lonO k=${k(1.0)} $xy"
+      case "mercator_2sp" | "mercator" =>
+        s"proj=merc lat_ts=${a("standard_parallel_1")} lon_0=$lonO $xy"
+      case "mercator_auxiliary_sphere" =>
+        s"proj=webmerc lat_0=$latO lon_0=$lonO $xy"
+      case "oblique_stereographic" | "double_stereographic" =>
+        s"proj=sterea lat_0=$latO lon_0=$lonO k=${k(1.0)} $xy"
+      case "polar_stereographic" =>
+        s"proj=stere lat_0=$latO lon_0=$lonO k=${k(1.0)} $xy"
+      case "stereographic" =>
+        // ESRI: polar at the poles, double stereographic elsewhere
+        if (math.abs(math.abs(latO) - 90) < 1e-9)
+          s"proj=stere lat_0=$latO lon_0=$lonO k=${k(1.0)} $xy"
+        else s"proj=sterea lat_0=$latO lon_0=$lonO k=${k(1.0)} $xy"
+      case "stereographic_north_pole" =>
+        s"proj=stere lat_0=90 lat_ts=${a("standard_parallel_1")} lon_0=$lonO $xy"
+      case "stereographic_south_pole" =>
+        s"proj=stere lat_0=-90 lat_ts=${a("standard_parallel_1")} lon_0=$lonO $xy"
+      case "lambert_azimuthal_equal_area" =>
+        s"proj=laea lat_0=$latO lon_0=$lonO $xy"
+      case "albers_conic_equal_area" | "albers" =>
+        s"proj=aea lat_0=$latO lon_0=$lonO " +
+          s"lat_1=${a("standard_parallel_1")} lat_2=${a("standard_parallel_2")} $xy"
+      case "cassini_soldner" | "cassini" =>
+        s"proj=cass lat_0=$latO lon_0=$lonO $xy"
+      case "polyconic" =>
+        s"proj=poly lat_0=$latO lon_0=$lonO $xy"
+      case "equirectangular" | "equidistant_cylindrical" | "plate_carree" =>
+        s"proj=eqc lat_ts=${a("standard_parallel_1")} lon_0=$lonO $xy"
+      case "sinusoidal" => s"proj=sinu lon_0=$lonO $xy"
+      case "mollweide" => s"proj=moll lon_0=$lonO $xy"
+      case "robinson" => s"proj=robin lon_0=$lonO $xy"
+      case other => fail(s"unsupported WKT1 projection $other")
+    }
+    val unitTok = if (unitToM == 1.0) " units=m" else s" to_meter=$unitToM"
+    WktCrsDef(s"$core $ell$pmTok$unitTok no_defs",
+      isGeographic = false, isGeocentric = false, latFirst = false,
+      angularUnitToRad = GeoMath.DEG2RAD, is3D = false,
       name = crs.name.getOrElse(""))
   }
 
