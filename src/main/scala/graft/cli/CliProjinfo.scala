@@ -333,6 +333,26 @@ object CliProjinfo {
 
     if (s.trim.startsWith("GEOGCS[")) return outputWkt1Geogcs(s.trim, o, io)
 
+    if (s.trim.startsWith("PROJCS[")) {
+      // WKT1 projected input (GDAL/ESRI dialects): describe the parsed
+      // object's PROJ string back out
+      return try {
+        val obj = graft.proj.wkt.WktMap.toObject(graft.proj.wkt.Wkt.parse(s.trim))
+        obj match {
+          case c: graft.proj.wkt.WktCrsDef =>
+            val body = ProjOut.parse(c.projString)
+            emitSections(Vector(("PROJ.4 string:",
+              ProjOut.render(body, multiline = false) + " +type=crs")), o, io)
+            0
+          case _ =>
+            io.err("buildObject failed: object not found\n"); 1
+        }
+      } catch {
+        case e: graft.core.ProjError =>
+          io.err(s"buildObject failed: ${e.getMessage}\n"); 1
+      }
+    }
+
     if (o.outSql && o.outputId.nonEmpty && s.trim.startsWith("+proj=")) {
       val i = o.outputId.indexOf(':')
       return graft.proj.wkt.SqlOut.projStringProjected(s,
