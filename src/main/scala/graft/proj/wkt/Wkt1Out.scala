@@ -62,8 +62,44 @@ object Wkt1Out {
     val uomKey = meta.css.get(cm.csKey).flatMap(_.axes.headOption)
       .map(_.uomKey).getOrElse("EPSG:9122")
     val u = meta.uoms.get(uomKey)
-    (u.map(_.name).getOrElse("degree"), WktOut.num(u.map(_.factor)
+    // reference factory.cpp:4638 — EPSG:9122's registered name maps to
+    // the plain "degree"
+    val name = u.map(_.name).getOrElse("degree") match {
+      case "degree (supplier to define representation)" => "degree"
+      case n => n
+    }
+    (name, WktOut.num(u.map(_.factor)
       .getOrElse(0.0174532925199433)), uomKey)
+  }
+
+  /** WKT1 (GDAL and ESRI) prints the prime meridian longitude in degrees
+    * whatever its registered unit (reference io.cpp:388,397
+    * primeMeridianInDegree); sexagesimal DMS values decode first. */
+  private def pmLonDegreesText(pm: EpsgMeta.Pm): String = {
+    val raw = if (pm.lonText.isEmpty) 0.0 else pm.lonText.toDouble
+    val deg = meta.uoms.get(pm.uomKey) match {
+      case Some(u) if u.name.startsWith("sexagesimal") =>
+        val sign = if (raw < 0) -1.0 else 1.0
+        val v = math.abs(raw)
+        val d = math.floor(v)
+        val mm = math.floor((v - d) * 100 + 1e-9)
+        val ss = (v - d - mm / 100.0) * 10000.0
+        sign * (d + mm / 60.0 + ss / 3600.0)
+      case Some(u) if u.typ == "angle" =>
+        if (math.abs(u.factor - 0.017453292519943295) < 1e-12) raw
+        else raw * u.factor * 180.0 / math.Pi
+      case _ => raw
+    }
+    WktOut.num(deg)
+  }
+
+  /** reference common.cpp:211-218 — ESRI WKT1 capitalizes the common
+    * angular/linear unit names. */
+  private def esriUnitName(name: String): String = name.toLowerCase match {
+    case "degree" => "Degree"
+    case "grad" => "Grad"
+    case "metre" => "Meter"
+    case _ => name
   }
 
   /** WKT1:GDAL node for a geographic CRS code; None for other kinds. */
@@ -73,14 +109,14 @@ object Wkt1Out {
     val dm = meta.datums(g.datum)
     val ell = meta.ells(dm.ellKey)
     val pm = meta.pms(dm.pmKey)
-    val (_, uFactor, uKey) = angularUnit(code)
+    val (uName, uFactor, uKey) = angularUnit(code)
     val spheroid = Node("SPHEROID", Seq(Q(ell.name), Raw(ell.aText),
       Raw(if (ell.rfText.nonEmpty) ell.rfText else "0"), auth(dm.ellKey)))
     val datum = Node("DATUM", Seq(Q(gdalDatumName(g.datum)), Child(spheroid),
       auth(g.datum)))
-    val primem = Node("PRIMEM", Seq(Q(pm.name), Raw(WktOut.num(pm.lonText)),
+    val primem = Node("PRIMEM", Seq(Q(pm.name), Raw(pmLonDegreesText(pm)),
       auth(dm.pmKey)))
-    val unit = Node("UNIT", Seq(Q("degree"), Raw(uFactor), auth(uKey)))
+    val unit = Node("UNIT", Seq(Q(uName), Raw(uFactor), auth(uKey)))
     Some(Node("GEOGCS", Seq(Q(g.name), Child(datum), Child(primem),
       Child(unit), auth(code))))
   }
@@ -173,6 +209,7 @@ object Wkt1Out {
     "9802" -> "Lambert_Conformal_Conic_2SP",
     "9804" -> "Mercator_1SP", "9805" -> "Mercator_2SP",
     "9809" -> "Oblique_Stereographic", "9810" -> "Polar_Stereographic",
+    "9829" -> "Polar_Stereographic",
     "9820" -> "Lambert_Azimuthal_Equal_Area",
     "9822" -> "Albers_Conic_Equal_Area",
     "9806" -> "Cassini_Soldner",
@@ -192,7 +229,11 @@ object Wkt1Out {
     8824 -> "standard_parallel_2", 8826 -> "false_easting",
     8827 -> "false_northing", 8811 -> "latitude_of_center",
     8812 -> "longitude_of_center", 8813 -> "azimuth",
-    8814 -> "rectified_grid_angle", 8815 -> "scale_factor")
+    8814 -> "rectified_grid_angle", 8815 -> "scale_factor",
+    // Polar Stereographic variant B: the standard parallel prints as
+    // latitude_of_origin with no scale_factor (GDAL convention; the
+    // importer's k==1 rule round-trips it to variant B)
+    8832 -> "latitude_of_origin", 8833 -> "central_meridian")
 
   /** WKT1:GDAL node for a projected CRS code with a mapped conversion
     * method; falls back to None (section omitted) otherwise. */
@@ -231,8 +272,14 @@ object Wkt1Out {
     val u = meta.uoms.get(uomKey)
     val unit = Node("UNIT", Seq(Q(u.map(_.name).getOrElse("metre")),
       Raw(WktOut.num(u.map(_.factor).getOrElse(1.0))), auth(uomKey)))
+    // WKT1 only knows the seven bare direction enums; "North along 90°E"
+    // style polar directions collapse to OTHER (reference
+    // coordinatesystem.cpp:404-410)
+    val wkt1Dirs = Set("NORTH", "SOUTH", "EAST", "WEST", "UP", "DOWN", "OTHER")
     val axisNodes = axes.map { a =>
-      Child(Node("AXIS", Seq(Q(a.name), Raw(a.orientation.toUpperCase))))
+      val dir0 = a.orientation.toUpperCase
+      val dir = if (wkt1Dirs(dir0)) dir0 else "OTHER"
+      Child(Node("AXIS", Seq(Q(a.name), Raw(dir))))
     }
     Some(Node("PROJCS", Seq(Q(p.name), Child(geog),
       Child(Node("PROJECTION", Seq(Q(projName))))) ++ params ++
@@ -246,7 +293,7 @@ object Wkt1Out {
     val dm = meta.datums(g.datum)
     val ell = meta.ells(dm.ellKey)
     val pm = meta.pms(dm.pmKey)
-    val (_, uFactor, _) = angularUnit(code)
+    val (uName, uFactor, _) = angularUnit(code)
     val datumName0 = plainDatumName(g.datum)
     val datumName = meta.esriNames.getOrElse(g.datum,
       if (datumName0 == "World Geodetic System 1984") "D_WGS_1984"
@@ -258,7 +305,7 @@ object Wkt1Out {
     def dec(v: String): String = if (v.contains('.')) v else v + ".0"
     Some(s"""GEOGCS["$gcsName",DATUM["$datumName",SPHEROID["$ellName",""" +
       s"""${dec(ell.aText)},${if (ell.rfText.nonEmpty) ell.rfText else "0.0"}]],""" +
-      s"""PRIMEM["${pm.name}",${dec(WktOut.num(pm.lonText))}],""" +
-      s"""UNIT["Degree",$uFactor]]""")
+      s"""PRIMEM["${pm.name}",${dec(pmLonDegreesText(pm))}],""" +
+      s"""UNIT["${esriUnitName(uName)}",$uFactor]]""")
   }
 }

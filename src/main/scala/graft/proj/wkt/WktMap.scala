@@ -69,12 +69,47 @@ object WktMap {
     if (rf == 0.0) s"a=$a b=$a" else s"a=$a rf=$rf"
   }
 
-  /** prime meridian longitude in degrees (0 when absent/greenwich). */
-  private def pmDegrees(crs: WktNode): Double =
+  /** well-known prime meridians whose WKT1 value may be the DD.MMSSsss
+    * or decimal-degree form regardless of the declared angular unit
+    * (reference io.cpp:2183-2219). */
+  private val primeMeridiansDMS: Seq[(String, Int, Int, Double)] = Seq(
+    ("Lisbon", -9, 7, 54.862), ("Bogota", -74, 4, 51.3),
+    ("Madrid", -3, 41, 14.55), ("Rome", 12, 27, 8.4),
+    ("Bern", 7, 26, 22.5), ("Jakarta", 106, 48, 27.79),
+    ("Ferro", -17, 40, 0), ("Brussels", 4, 22, 4.71),
+    ("Stockholm", 18, 3, 29.8), ("Athens", 23, 42, 58.815),
+    ("Oslo", 10, 43, 22.5), ("Paris RGS", 2, 20, 13.95),
+    ("Paris_RGS", 2, 20, 13.95))
+
+  private val GRAD2RAD = math.Pi / 200.0
+
+  /** prime meridian longitude in degrees (0 when absent/greenwich).
+    * A PRIMEM without an inline unit inherits the enclosing CRS's angular
+    * unit (reference buildPrimeMeridian, io.cpp:2158); the GDAL/ESRI WKT1
+    * departures — Paris given as its decimal-degree value under a grad
+    * unit, and known meridians given in DD.MMSSsss or decimal degrees
+    * whatever the unit says — are corrected the way io.cpp:2177-2219
+    * does. */
+  private def pmDegrees(crs: WktNode,
+                        defaultToRad: Double = GeoMath.DEG2RAD): Double =
     crs.child("PRIMEM", "PRIMEMERIDIAN").map { pm =>
-      val v = pm.numbers.headOption.getOrElse(0.0)
-      val toRad = pm.child("ANGLEUNIT", "UNIT").flatMap(_.numbers.headOption)
-        .getOrElse(GeoMath.DEG2RAD)
+      var v = pm.numbers.headOption.getOrElse(0.0)
+      var toRad = pm.child("ANGLEUNIT", "UNIT").flatMap(_.numbers.headOption)
+        .getOrElse(defaultToRad)
+      val name = pm.args.collectFirst { case s: String => s }.getOrElse("")
+      if (name == "Paris" && math.abs(v - 2.33722917) < 1e-8 &&
+          math.abs(toRad - GRAD2RAD) < 1e-12) {
+        v = 2.5969213
+      } else primeMeridiansDMS.find(_._1 == name).foreach {
+        case (_, d, m, s) =>
+          val sign = if (d >= 0) 1 else -1
+          val asDecimal = sign * (math.abs(d) + m / 100.0 + s / 10000.0)
+          val asDegrees = sign * (math.abs(d) + m / 60.0 + s / 3600.0)
+          if (math.abs(v - asDecimal) < 1e-8 || math.abs(v - asDegrees) < 1e-8) {
+            v = asDegrees
+            toRad = GeoMath.DEG2RAD
+          }
+      }
       v * toRad * GeoMath.RAD2DEG
     }.getOrElse(0.0)
 
@@ -317,13 +352,13 @@ object WktMap {
     * (the reference's parsed non-registry WKT1 objects are lon-first). */
   private def geodeticWkt1(crs: WktNode): WktCrsDef = {
     val ell = ellipsoidTokens(crs)
-    val pmDeg = pmDegrees(crs)
+    val unitToRad = crs.child("UNIT").flatMap(_.numbers.headOption)
+      .getOrElse(GeoMath.DEG2RAD)
+    val pmDeg = pmDegrees(crs, unitToRad)
     val pmTok = if (pmDeg != 0.0) s" pm=$pmDeg" else ""
     val latFirst = crs.children("AXIS").headOption
       .flatMap(_.args.collectFirst { case s: String => s })
       .exists(_.toLowerCase.startsWith("lat"))
-    val unitToRad = crs.child("UNIT").flatMap(_.numbers.headOption)
-      .getOrElse(GeoMath.DEG2RAD)
     WktCrsDef(s"proj=longlat $ell$pmTok no_defs",
       isGeographic = true, isGeocentric = false, latFirst = latFirst,
       angularUnitToRad = unitToRad, is3D = false,
@@ -337,7 +372,9 @@ object WktMap {
   private def projectedWkt1(crs: WktNode): WktCrsDef = {
     val geogcs = crs.child("GEOGCS").getOrElse(fail("PROJCS without GEOGCS"))
     val ell = ellipsoidTokens(geogcs)
-    val pmDeg = pmDegrees(geogcs)
+    val geogUnitToRad = geogcs.child("UNIT").flatMap(_.numbers.headOption)
+      .getOrElse(GeoMath.DEG2RAD)
+    val pmDeg = pmDegrees(geogcs, geogUnitToRad)
     val pmTok = if (pmDeg != 0.0) s" pm=$pmDeg" else ""
     val projName = crs.child("PROJECTION")
       .flatMap(_.args.collectFirst { case s: String => s })
@@ -376,7 +413,12 @@ object WktMap {
           s"proj=lcc lat_1=${a("standard_parallel_1", "latitude_of_origin")} " +
             s"lat_0=$latO lon_0=$lonO k_0=${k(1.0)} $xy"
       case "mercator_1sp" =>
-        s"proj=merc lon_0=$lonO k=${k(1.0)} $xy"
+        // GDAL ticket-3026 hack (reference io.cpp:4215-4242): a non-zero
+        // latitude_of_origin on Mercator_1SP is really Mercator_2SP with
+        // that latitude as the standard parallel
+        if (params.get("latitude_of_origin").exists(_ != 0.0))
+          s"proj=merc lat_ts=$latO lon_0=$lonO $xy"
+        else s"proj=merc lon_0=$lonO k=${k(1.0)} $xy"
       case "mercator_2sp" | "mercator" =>
         s"proj=merc lat_ts=${a("standard_parallel_1")} lon_0=$lonO $xy"
       case "mercator_auxiliary_sphere" =>
@@ -384,7 +426,15 @@ object WktMap {
       case "oblique_stereographic" | "double_stereographic" =>
         s"proj=sterea lat_0=$latO lon_0=$lonO k=${k(1.0)} $xy"
       case "polar_stereographic" =>
-        s"proj=stere lat_0=$latO lon_0=$lonO k=${k(1.0)} $xy"
+        // reference io.cpp:4244-4296: scale_factor absent or 1 selects
+        // variant B (lat_ts = latitude_of_origin, pole from its sign);
+        // variant A (k at the pole) only when |lat_0| == 90
+        if (k(1.0) == 1.0) {
+          val pole = if (latO >= 0) 90 else -90
+          s"proj=stere lat_0=$pole lat_ts=$latO lon_0=$lonO $xy"
+        } else if (math.abs(math.abs(latO) - 90) < 1e-10)
+          s"proj=stere lat_0=$latO lon_0=$lonO k=${k(1.0)} $xy"
+        else fail("Polar_Stereographic with scale_factor != 1 needs lat_0=±90")
       case "stereographic" =>
         // ESRI: polar at the poles, double stereographic elsewhere
         if (math.abs(math.abs(latO) - 90) < 1e-9)
