@@ -19,24 +19,46 @@ object Factors {
       tissotSemimajor: Double, tissotSemiminor: Double,
       dxDlam: Double, dxDphi: Double, dyDlam: Double, dyDphi: Double)
 
+  /** mutable mirror of ProjFactors for allocation-free per-row callers
+    * (the Spark FactorsKernels path). */
+  final class ProjFactorsM {
+    var meridionalScale = 0.0; var parallelScale = 0.0; var arealScale = 0.0
+    var angularDistortion = 0.0; var meridianParallelAngle = 0.0
+    var meridianConvergence = 0.0
+    var tissotSemimajor = 0.0; var tissotSemiminor = 0.0
+    var dxDlam = 0.0; var dxDphi = 0.0; var dyDlam = 0.0; var dyDphi = 0.0
+  }
+
   private final val DEFAULT_H = 1e-5
   private final val EPS = 1e-12
 
+  private val coordScratch = ThreadLocal.withInitial[Coord](() => new Coord)
+
   /** raw kernel forward (no prepare/finalize), like pj_deriv's use of
-    * P->fwd: lam must already be lam0-relative; output in a-units. */
-  private def rawFwd(P: PJ, lam: Double, phi: Double): (Double, Double) = {
-    val c = new Coord
+    * P->fwd: lam must already be lam0-relative; output in a-units.
+    * Writes into `c` (caller-owned scratch). */
+  private def rawFwd(P: PJ, lam: Double, phi: Double, c: Coord): Unit = {
     c.set(lam, phi, 0, 0)
     if (P.hasCap(OpKernel.FWD2)) P.kernel.fwd2(c)
     else if (P.hasCap(OpKernel.FWD3)) P.kernel.fwd3(c)
     else P.kernel.fwd4(c)
     if (c.isError || c.x == Double.PositiveInfinity)
       throw ProjError(ProjErr.COORD_TRANSFM_OUTSIDE_PROJECTION_DOMAIN, "factors: fwd failed")
-    (c.x, c.y)
   }
 
   /** proj_factors(P, lon, lat) with angles in radians. */
   def apply(P: PJ, lamIn: Double, phiIn: Double, hIn: Double = DEFAULT_H): ProjFactors = {
+    val m = new ProjFactorsM
+    evalInto(P, lamIn, phiIn, hIn, m)
+    ProjFactors(m.meridionalScale, m.parallelScale, m.arealScale,
+      m.angularDistortion, m.meridianParallelAngle, m.meridianConvergence,
+      m.tissotSemimajor, m.tissotSemiminor,
+      m.dxDlam, m.dxDphi, m.dyDlam, m.dyDphi)
+  }
+
+  /** allocation-free proj_factors: results land in `out`. */
+  def evalInto(P: PJ, lamIn: Double, phiIn: Double, hIn: Double,
+               out: ProjFactorsM): Unit = {
     var lam = lamIn
     var phi = phiIn
     if (math.abs(phi) - GeoMath.HALFPI > EPS)
@@ -52,10 +74,11 @@ object Factors {
     }
 
     // four-corner stencil (reference src/deriv.cpp)
-    val (t1x, t1y) = rawFwd(P, lam + h, phi + h) // ++
-    val (t2x, t2y) = rawFwd(P, lam + h, phi - h) // +-
-    val (t3x, t3y) = rawFwd(P, lam - h, phi - h) // --
-    val (t4x, t4y) = rawFwd(P, lam - h, phi + h) // -+
+    val c = coordScratch.get()
+    rawFwd(P, lam + h, phi + h, c); val t1x = c.x; val t1y = c.y // ++
+    rawFwd(P, lam + h, phi - h, c); val t2x = c.x; val t2y = c.y // +-
+    rawFwd(P, lam - h, phi - h, c); val t3x = c.x; val t3y = c.y // --
+    rawFwd(P, lam - h, phi + h, c); val t4x = c.x; val t4y = c.y // -+
     val h4 = 4 * h
     val xl = (t1x + t2x - t3x - t4x) / h4
     val yp = (t1y - t2y - t3y + t4y) / h4
@@ -85,7 +108,11 @@ object Factors {
     a = 0.5 * (a + t2)
     val omega = 2.0 * GeoMath.aasin((a - b) / (a + b))
 
-    ProjFactors(hFac, kFac, s, omega, thetap, conv, a, b, xl, xp, yl, yp)
+    out.meridionalScale = hFac; out.parallelScale = kFac; out.arealScale = s
+    out.angularDistortion = omega; out.meridianParallelAngle = thetap
+    out.meridianConvergence = conv
+    out.tissotSemimajor = a; out.tissotSemiminor = b
+    out.dxDlam = xl; out.dxDphi = xp; out.dyDlam = yl; out.dyDphi = yp
   }
 
   /** Transform a bounding box by transforming densified edges — the

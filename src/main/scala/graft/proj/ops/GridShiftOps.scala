@@ -316,11 +316,25 @@ object GridShiftOps {
     def resX: Double; def resY: Double
     def width: Int; def height: Int
     def children: Seq[HGrid]
-    /** (lonShiftRad, latShiftRad); compensate flips the NTv2/CTable2
-      * positive-west convention to east-positive (GeoTIFF grids carry their
-      * own convention and ignore the flag, like the reference). */
-    def valueAt(x: Int, y: Int, compensate: Boolean): (Float, Float)
+    /** (lonShiftRad, latShiftRad) packed as float bits (lon high, lat low)
+      * so the per-point interpolation allocates nothing — Tuple2[Float,
+      * Float] is not @specialized and would box both floats per corner.
+      * compensate flips the NTv2/CTable2 positive-west convention to
+      * east-positive (GeoTIFF grids carry their own convention and ignore
+      * the flag, like the reference). */
+    def shiftAt(x: Int, y: Int, compensate: Boolean): Long
+    /** children as an array for the allocation-free descent in gridAt
+      * (hierarchies are final once a grid set is built). */
+    final lazy val childArray: Array[HGrid] = children.toArray
   }
+
+  @inline private def packShift(lonRad: Float, latRad: Float): Long =
+    (java.lang.Float.floatToRawIntBits(lonRad).toLong << 32) |
+      (java.lang.Float.floatToRawIntBits(latRad).toLong & 0xffffffffL)
+  @inline private def lonOf(packed: Long): Float =
+    java.lang.Float.intBitsToFloat((packed >>> 32).toInt)
+  @inline private def latOf(packed: Long): Float =
+    java.lang.Float.intBitsToFloat(packed.toInt)
 
   /** One NTv2 subgrid: row 0 at south, file columns east-to-west. */
   final class Ntv2Grid(bb: ByteBuffer, val offset: Int,
@@ -330,14 +344,14 @@ object GridShiftOps {
                        val width: Int, val height: Int) extends HGrid {
     val kids = mutable.ListBuffer[Ntv2Grid]()
     def children: Seq[HGrid] = kids.toSeq
-    def valueAt(x: Int, y: Int, compensate: Boolean): (Float, Float) = {
+    def shiftAt(x: Int, y: Int, compensate: Boolean): Long = {
       val fileCol = width - 1 - x // NTv2 stores east to west
       val rec = offset + 16 * (y * width + fileCol)
       val latS = bb.getFloat(rec)
       val lonS = bb.getFloat(rec + 4)
       val toRad = (math.Pi / 180.0) / 3600.0
       val sign = if (compensate) -1.0 else 1.0 // west-positive -> east-positive
-      ((sign * lonS * toRad).toFloat, (latS * toRad).toFloat)
+      packShift((sign * lonS * toRad).toFloat, (latS * toRad).toFloat)
     }
   }
 
@@ -401,7 +415,7 @@ object GridShiftOps {
     val resX: Double = math.Pi; val resY: Double = math.Pi / 2
     val width = 3; val height = 3
     def children: Seq[HGrid] = Nil
-    def valueAt(x: Int, y: Int, compensate: Boolean): (Float, Float) = (0f, 0f)
+    def shiftAt(x: Int, y: Int, compensate: Boolean): Long = 0L
   }
 
   /** NTv1 grid (reference NTv1Grid, grids.cpp:1803-1933): 192-byte header of
@@ -426,13 +440,13 @@ object GridShiftOps {
     val width: Int = (math.abs((east - west) / resX + 0.5) + 1).toInt
     val height: Int = (math.abs((north - south) / resY + 0.5) + 1).toInt
     def children: Seq[HGrid] = Nil
-    def valueAt(x: Int, y: Int, compensate: Boolean): (Float, Float) = {
+    def shiftAt(x: Int, y: Int, compensate: Boolean): Long = {
       val rec = 192 + 16 * (y * width + width - 1 - x) // east to west
       val toRad = (math.Pi / 180.0) / 3600.0
       val latS = bb.getDouble(rec)
       val lonS = bb.getDouble(rec + 8)
       val sign = if (compensate) -1.0 else 1.0 // west-positive -> east-positive
-      ((sign * lonS * toRad).toFloat, (latS * toRad).toFloat)
+      packShift((sign * lonS * toRad).toFloat, (latS * toRad).toFloat)
     }
   }
 
@@ -454,11 +468,11 @@ object GridShiftOps {
     // the reference computes north with resX too; keep the same behavior
     val north: Double = south + (height - 1) * resX
     def children: Seq[HGrid] = Nil
-    def valueAt(x: Int, y: Int, compensate: Boolean): (Float, Float) = {
+    def shiftAt(x: Int, y: Int, compensate: Boolean): Long = {
       val rec = 160 + 8 * (y * width + x)
       val lonS = bb.getFloat(rec)
       val latS = bb.getFloat(rec + 4)
-      ((if (compensate) -lonS else lonS), latS)
+      packShift(if (compensate) -lonS else lonS, latS)
     }
   }
 
@@ -471,11 +485,11 @@ object GridShiftOps {
     def resX = ifd.resX; def resY = ifd.resY
     def width = ifd.width; def height = ifd.height
     def children: Seq[HGrid] = kids.toSeq
-    def valueAt(x: Int, y: Int, compensate: Boolean): (Float, Float) = {
+    def shiftAt(x: Int, y: Int, compensate: Boolean): Long = {
       val latS = (ifd.valueAt(idxLat, x, y) * convToRad).toFloat
       var lonS = (ifd.valueAt(idxLon, x, y) * convToRad).toFloat
       if (!positiveEast) lonS = -lonS
-      (lonS, latS)
+      packShift(lonS, latS)
     }
     def contains(o: HTiffGrid): Boolean =
       west <= o.west && east >= o.east && south <= o.south && north >= o.north
@@ -555,29 +569,42 @@ object GridShiftOps {
   }
 
   private def gridAt(roots: List[HGrid], lam: Double, phi: Double): HGrid = {
-    var cur: HGrid = null
-    roots.find { g => inExtent(lam, phi, g, (g.resX + g.resY) * RELTOL) } match {
-      case Some(g0) =>
-        cur = g0
+    // allocation-free: List cells are walked in place, children via the
+    // cached array — this runs once per transformed point
+    var rest = roots
+    while (rest.nonEmpty) {
+      val g = rest.head
+      if (inExtent(lam, phi, g, (g.resX + g.resY) * RELTOL)) {
+        var cur = g
         var descended = true
         while (descended) {
           descended = false
-          val it = cur.children.iterator
-          while (it.hasNext && !descended) {
-            val ch = it.next()
-            if (inExtent(lam, phi, ch, (ch.resX + ch.resY) * RELTOL)) { cur = ch; descended = true }
+          val kids = cur.childArray
+          var i = 0
+          while (i < kids.length && !descended) {
+            val ch = kids(i)
+            if (inExtent(lam, phi, ch, (ch.resX + ch.resY) * RELTOL)) {
+              cur = ch; descended = true
+            }
+            i += 1
           }
         }
-        cur
-      case None => null
+        return cur
+      }
+      rest = rest.tail
     }
+    null
   }
 
-  /** Bilinear shift lookup in grid-origin coords; NaN pair if outside
-    * (reference pj_hgrid_interpolate :3326). Returns (dLam, dPhi) radians. */
+  /** mutable (dLam, dPhi) holder for the allocation-free hot path */
+  private final class Shift2 { var lam = 0.0; var phi = 0.0 }
+  private val interpScratch = ThreadLocal.withInitial[Shift2](() => new Shift2)
+
+  /** Bilinear shift lookup in grid-origin coords; false if outside
+    * (reference pj_hgrid_interpolate :3326). Writes (dLam, dPhi) radians
+    * into `out` — per-thread scratch, nothing allocated per point. */
   private def hInterp(g: HGrid, tLam0: Double, tPhi0: Double,
-                      compensate: Boolean = true): (Double, Double) = {
-    val bad = (Double.NaN, Double.NaN)
+                      out: Shift2, compensate: Boolean = true): Boolean = {
     val tLam = tLam0 / g.resX
     var ixLam = if (tLam.isNaN) 0 else math.floor(tLam).toInt
     val tPhi = tPhi0 / g.resY
@@ -585,25 +612,26 @@ object GridShiftOps {
     var fLam = tLam - ixLam
     var fPhi = tPhi - ixPhi
     if (ixLam < 0) {
-      if (ixLam == -1 && fLam > 1 - 10 * RELTOL) { ixLam += 1; fLam = 0 } else return bad
+      if (ixLam == -1 && fLam > 1 - 10 * RELTOL) { ixLam += 1; fLam = 0 } else return false
     } else if (ixLam + 1 >= g.width) {
-      if (ixLam + 1 == g.width && fLam < 10 * RELTOL) { ixLam -= 1; fLam = 1 } else return bad
+      if (ixLam + 1 == g.width && fLam < 10 * RELTOL) { ixLam -= 1; fLam = 1 } else return false
     }
     if (ixPhi < 0) {
-      if (ixPhi == -1 && fPhi > 1 - 10 * RELTOL) { ixPhi += 1; fPhi = 0 } else return bad
+      if (ixPhi == -1 && fPhi > 1 - 10 * RELTOL) { ixPhi += 1; fPhi = 0 } else return false
     } else if (ixPhi + 1 >= g.height) {
-      if (ixPhi + 1 == g.height && fPhi < 10 * RELTOL) { ixPhi -= 1; fPhi = 1 } else return bad
+      if (ixPhi + 1 == g.height && fPhi < 10 * RELTOL) { ixPhi -= 1; fPhi = 1 } else return false
     }
-    val (f00x, f00y) = g.valueAt(ixLam, ixPhi, compensate)
-    val (f10x, f10y) = g.valueAt(ixLam + 1, ixPhi, compensate)
-    val (f01x, f01y) = g.valueAt(ixLam, ixPhi + 1, compensate)
-    val (f11x, f11y) = g.valueAt(ixLam + 1, ixPhi + 1, compensate)
+    val p00 = g.shiftAt(ixLam, ixPhi, compensate)
+    val p10 = g.shiftAt(ixLam + 1, ixPhi, compensate)
+    val p01 = g.shiftAt(ixLam, ixPhi + 1, compensate)
+    val p11 = g.shiftAt(ixLam + 1, ixPhi + 1, compensate)
     var m10 = fLam; var m11 = m10; var m01 = 1.0 - fLam; var m00 = m01
     m11 *= fPhi; m01 *= fPhi
     val fPhi1 = 1.0 - fPhi
     m00 *= fPhi1; m10 *= fPhi1
-    (m00 * f00x + m10 * f10x + m01 * f01x + m11 * f11x,
-      m00 * f00y + m10 * f10y + m01 * f01y + m11 * f11y)
+    out.lam = m00 * lonOf(p00) + m10 * lonOf(p10) + m01 * lonOf(p01) + m11 * lonOf(p11)
+    out.phi = m00 * latOf(p00) + m10 * latOf(p10) + m01 * latOf(p01) + m11 * latOf(p11)
+    true
   }
 
   /** Apply an hgrid shift, forward or iterative-inverse
@@ -623,18 +651,21 @@ object GridShiftOps {
     }
     var tbLam = normLam(c.x, grid)
     var tbPhi = c.y - grid.south
-    val (sLam, sPhi) = hInterp(grid, tbLam, tbPhi)
-    if (sLam.isNaN) { c.setError(ProjErr.COORD_TRANSFM_OUTSIDE_GRID); return }
-    if (forward) { c.x += sLam; c.y += sPhi; return }
-    var tLam = tbLam - sLam
-    var tPhi = tbPhi - sPhi
+    val sh = interpScratch.get()
+    if (!hInterp(grid, tbLam, tbPhi, sh)) {
+      c.setError(ProjErr.COORD_TRANSFM_OUTSIDE_GRID); return
+    }
+    if (forward) { c.x += sh.lam; c.y += sh.phi; return }
+    var tLam = tbLam - sh.lam
+    var tPhi = tbPhi - sh.phi
     var i = 10 // MAX_ITERATIONS
     val toltol = 1e-12 * 1e-12
     var done = false
     var edgeBreak = false
     while (i > 0 && !done) {
-      val (dLam, dPhi) = hInterp(grid, tLam, tPhi)
-      if (dLam.isNaN) {
+      val inGrid = hInterp(grid, tLam, tPhi, sh)
+      val dLam = sh.lam; val dPhi = sh.phi
+      if (!inGrid) {
         // the iterate walked off this grid: switch to whichever grid
         // contains the current guess (reference grids.cpp:3452-3477,
         // "Switching from grid X to grid Y")
@@ -737,7 +768,10 @@ object GridShiftOps {
     var tLam = lam - grid.west
     if (tLam + eps < 0) tLam += 2 * math.Pi
     else if (tLam - eps > grid.east - grid.west) tLam -= 2 * math.Pi
-    hInterp(grid, tLam, phi - grid.south, compensate = false)
+    val sh = interpScratch.get()
+    if (hInterp(grid, tLam, phi - grid.south, sh, compensate = false))
+      (sh.lam, sh.phi)
+    else (Double.NaN, Double.NaN)
   }
 
   /** vertical grid value ×mult at lp or NaN (reference read_vgrid_value). */

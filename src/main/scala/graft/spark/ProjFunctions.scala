@@ -59,10 +59,30 @@ object ProjKernels {
 
   def resultType: StructType = outType
 
+  /** per-thread, per-EXPRESSION scratch: the dominant transform path
+    * allocates nothing per row — a typed SpecificInternalRow avoids even
+    * the Double boxing an Array[Any]-backed row would pay. The scratch is
+    * owned by the expression instance (not this object): two transform
+    * columns in one projection must not alias one row (consumers that
+    * buffer the struct copy it — Spark's own UnsafeProjection reuse
+    * contract covers the per-row reuse). */
+  final class Scratch {
+    val c = new Coord
+    val row = new SpecificInternalRow(outType.map(_.dataType))
+  }
+  /** serialization-friendly handle: ships with the plan, rebuilds its
+    * per-thread scratch lazily in each JVM */
+  final class ScratchRef extends Serializable {
+    @transient lazy val tl: ThreadLocal[Scratch] =
+      ThreadLocal.withInitial[Scratch](() => new Scratch)
+  }
+
   /** degIn/degOut: convert between degrees and the pipeline's angular IO. */
   def eval(p: ProjPipeline, forward: Boolean, degIO: Boolean,
-           x: Double, y: Double, z: Double, t: Double): InternalRow = {
-    val c = new Coord
+           x: Double, y: Double, z: Double, t: Double,
+           scratch: ScratchRef): InternalRow = {
+    val s = scratch.tl.get()
+    val c = s.c
     var xi = x; var yi = y
     if (degIO && p.angularInput(forward)) {
       xi = x * (math.Pi / 180); yi = y * (math.Pi / 180)
@@ -73,7 +93,10 @@ object ProjKernels {
     if (degIO && p.angularOutput(forward) && err == 0) {
       xo = c.x * (180 / math.Pi); yo = c.y * (180 / math.Pi)
     }
-    new GenericInternalRow(Array[Any](xo, yo, c.z, c.t, err))
+    val r = s.row
+    r.setDouble(0, xo); r.setDouble(1, yo); r.setDouble(2, c.z)
+    r.setDouble(3, c.t); r.setInt(4, err)
+    r
   }
 }
 
@@ -89,18 +112,32 @@ object FactorsKernels {
 
   def resultType: StructType = outType
 
-  def eval(p: ProjPipeline, lonDeg: Double, latDeg: Double): InternalRow = {
+  final class Scratch {
+    val row = new SpecificInternalRow(outType.map(_.dataType))
+    val m = new graft.proj.Factors.ProjFactorsM
+  }
+  final class ScratchRef extends Serializable {
+    @transient lazy val tl: ThreadLocal[Scratch] =
+      ThreadLocal.withInitial[Scratch](() => new Scratch)
+  }
+
+  def eval(p: ProjPipeline, lonDeg: Double, latDeg: Double,
+           scratch: ScratchRef): InternalRow = {
+    val s = scratch.tl.get()
+    val r = s.row
     try {
-      val f = graft.proj.Factors(p.pjForFactors,
-        lonDeg * (math.Pi / 180), latDeg * (math.Pi / 180))
-      new GenericInternalRow(Array[Any](
-        f.meridionalScale, f.parallelScale, f.arealScale,
-        f.angularDistortion, f.meridianConvergence))
+      val f = s.m
+      graft.proj.Factors.evalInto(p.pjForFactors,
+        lonDeg * (math.Pi / 180), latDeg * (math.Pi / 180), 1e-5, f)
+      r.setDouble(0, f.meridionalScale); r.setDouble(1, f.parallelScale)
+      r.setDouble(2, f.arealScale); r.setDouble(3, f.angularDistortion)
+      r.setDouble(4, f.meridianConvergence)
     } catch {
       case _: graft.core.ProjError =>
-        new GenericInternalRow(Array[Any](Double.NaN, Double.NaN, Double.NaN,
-          Double.NaN, Double.NaN))
+        var i = 0
+        while (i < 5) { r.setDouble(i, Double.NaN); i += 1 }
     }
+    r
   }
 }
 
@@ -117,17 +154,28 @@ object TransBoundsKernels {
 
   def resultType: StructType = outType
 
+  final class ScratchRef extends Serializable {
+    @transient lazy val tl: ThreadLocal[SpecificInternalRow] =
+      ThreadLocal.withInitial[SpecificInternalRow](
+        () => new SpecificInternalRow(outType.map(_.dataType)))
+  }
+
   def eval(p: ProjPipeline, lonMin: Double, latMin: Double,
-           lonMax: Double, latMax: Double): InternalRow = {
+           lonMax: Double, latMax: Double,
+           scratch: ScratchRef): InternalRow = {
     val d = math.Pi / 180
+    val r = scratch.tl.get()
     try {
       val (x0, y0, x1, y1) = graft.proj.Factors.transBounds(p.pjForFactors,
         forward = true, lonMin * d, latMin * d, lonMax * d, latMax * d)
-      new GenericInternalRow(Array[Any](x0, y0, x1, y1))
+      r.setDouble(0, x0); r.setDouble(1, y0)
+      r.setDouble(2, x1); r.setDouble(3, y1)
     } catch {
       case _: graft.core.ProjError =>
-        new GenericInternalRow(Array[Any](Double.NaN, Double.NaN, Double.NaN, Double.NaN))
+        var i = 0
+        while (i < 4) { r.setDouble(i, Double.NaN); i += 1 }
     }
+    r
   }
 }
 
@@ -136,6 +184,7 @@ case class TransBoundsExpr(lonMin: Expression, latMin: Expression,
                            projString: String) extends Expression
     with org.apache.spark.sql.graftbridge.PublicInputTypes {
   @transient private lazy val pipeline = new ProjPipeline(projString)
+  @transient private lazy val scratch = new TransBoundsKernels.ScratchRef
 
   override def children: Seq[Expression] = Seq(lonMin, latMin, lonMax, latMax)
   override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType, DoubleType, DoubleType)
@@ -146,11 +195,14 @@ case class TransBoundsExpr(lonMin: Expression, latMin: Expression,
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) null
     else TransBoundsKernels.eval(pipeline, vs(0).asInstanceOf[Double],
-      vs(1).asInstanceOf[Double], vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+      vs(1).asInstanceOf[Double], vs(2).asInstanceOf[Double],
+      vs(3).asInstanceOf[Double], scratch)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pipeRef = ctx.addReferenceObj("projPipeline", pipeline, classOf[ProjPipeline].getName)
+    val scrRef = ctx.addReferenceObj("tbScratch", scratch,
+      classOf[TransBoundsKernels.ScratchRef].getName)
     val cs = children.map(_.genCode(ctx))
     val kern = TransBoundsKernels.getClass.getName + ".MODULE$"
     val anyNull = cs.map(_.isNull).mkString(" || ")
@@ -162,7 +214,7 @@ case class TransBoundsExpr(lonMin: Expression, latMin: Expression,
         InternalRow ${ev.value} = null;
         if (!${ev.isNull}) {
           ${ev.value} = $kern.eval($pipeRef, ${cs(0).value}, ${cs(1).value},
-            ${cs(2).value}, ${cs(3).value});
+            ${cs(2).value}, ${cs(3).value}, $scrRef);
         }
       """
     ev.copy(code = code)
@@ -288,20 +340,24 @@ object RegistryDispatchKernels {
 
   def resultType: StructType = outType
 
-  /** per-thread scratch: the dominant dispatch path allocates nothing per
-    * row (a consumer that buffers the struct copies it — Spark's own
-    * UnsafeProjection reuse contract) */
-  private final class Scratch {
+  /** per-thread, per-expression scratch: the dominant dispatch path
+    * allocates nothing per row — a typed SpecificInternalRow instead of
+    * Array[Any] so doubles don't box (a consumer that buffers the struct
+    * copies it — Spark's own UnsafeProjection reuse contract) */
+  final class Scratch {
     val c = new Coord
     val c2 = new Coord
     val saved = new Coord
-    val values = new Array[Any](5)
-    val row = new GenericInternalRow(values)
+    val row = new SpecificInternalRow(outType.map(_.dataType))
   }
-  private val scratch = ThreadLocal.withInitial[Scratch](() => new Scratch)
+  final class ScratchRef extends Serializable {
+    @transient lazy val tl: ThreadLocal[Scratch] =
+      ThreadLocal.withInitial[Scratch](() => new Scratch)
+  }
 
-  def eval(d: RegistryDispatch, xIn: Double, yIn: Double): InternalRow = {
-    val s = scratch.get()
+  def eval(d: RegistryDispatch, xIn: Double, yIn: Double,
+           scratch: ScratchRef): InternalRow = {
+    val s = scratch.tl.get()
     // the point in source geographic degrees, for extent checks
     var lonDeg = 0.0
     var latDeg = 0.0
@@ -326,14 +382,15 @@ object RegistryDispatchKernels {
     c.set(xIn * k, yIn * k, 0.0, Double.PositiveInfinity)
     val idx = d.transRow(c, lonDeg, latDeg, s.saved)
     val k2 = if (d.dstAngular) 180 / math.Pi else 1.0
-    val v = s.values
+    val r = s.row
     if (c.isError) {
-      v(0) = idx; v(1) = Double.NaN; v(2) = Double.NaN; v(3) = Double.NaN
-      v(4) = c.err
+      r.setInt(0, idx); r.setDouble(1, Double.NaN); r.setDouble(2, Double.NaN)
+      r.setDouble(3, Double.NaN); r.setInt(4, c.err)
     } else {
-      v(0) = idx; v(1) = c.x * k2; v(2) = c.y * k2; v(3) = c.z; v(4) = 0
+      r.setInt(0, idx); r.setDouble(1, c.x * k2); r.setDouble(2, c.y * k2)
+      r.setDouble(3, c.z); r.setInt(4, 0)
     }
-    s.row
+    r
   }
 }
 
@@ -343,6 +400,7 @@ case class CrsDispatchExpr(xExpr: Expression, yExpr: Expression,
                            srcSpec: String, dstSpec: String) extends Expression
     with org.apache.spark.sql.graftbridge.PublicInputTypes {
   @transient private lazy val dispatch = new RegistryDispatch(srcSpec, dstSpec)
+  @transient private lazy val scratch = new RegistryDispatchKernels.ScratchRef
 
   override def children: Seq[Expression] = Seq(xExpr, yExpr)
   override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType)
@@ -353,13 +411,15 @@ case class CrsDispatchExpr(xExpr: Expression, yExpr: Expression,
     val x = xExpr.eval(input); val y = yExpr.eval(input)
     if (x == null || y == null) null
     else RegistryDispatchKernels.eval(dispatch,
-      x.asInstanceOf[Double], y.asInstanceOf[Double])
+      x.asInstanceOf[Double], y.asInstanceOf[Double], scratch)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // force driver-side planning so executors deserialize plain data
     val dRef = ctx.addReferenceObj("crsDispatch", dispatch,
       classOf[RegistryDispatch].getName)
+    val scrRef = ctx.addReferenceObj("dispScratch", scratch,
+      classOf[RegistryDispatchKernels.ScratchRef].getName)
     val xC = xExpr.genCode(ctx); val yC = yExpr.genCode(ctx)
     val kern = RegistryDispatchKernels.getClass.getName + ".MODULE$"
     val code =
@@ -369,7 +429,7 @@ case class CrsDispatchExpr(xExpr: Expression, yExpr: Expression,
         boolean ${ev.isNull} = ${xC.isNull} || ${yC.isNull};
         InternalRow ${ev.value} = null;
         if (!${ev.isNull}) {
-          ${ev.value} = $kern.eval($dRef, ${xC.value}, ${yC.value});
+          ${ev.value} = $kern.eval($dRef, ${xC.value}, ${yC.value}, $scrRef);
         }
       """
     ev.copy(code = code)
@@ -403,13 +463,27 @@ object UtmNativeKernels {
 
   def resultType: StructType = outType
 
-  def eval(d: UtmDispatch, lonDeg: Double, latDeg: Double): InternalRow = {
+  final class Scratch {
+    val c = new Coord
+    val row = new SpecificInternalRow(outType.map(_.dataType))
+  }
+  final class ScratchRef extends Serializable {
+    @transient lazy val tl: ThreadLocal[Scratch] =
+      ThreadLocal.withInitial[Scratch](() => new Scratch)
+  }
+
+  def eval(d: UtmDispatch, lonDeg: Double, latDeg: Double,
+           scratch: ScratchRef): InternalRow = {
     val zone = graft.proj.ops.TmercOps.zoneFromLonLat(lonDeg)
     val south = latDeg < 0
-    val c = new Coord
+    val s = scratch.tl.get()
+    val c = s.c
     c.set(lonDeg * (math.Pi / 180), latDeg * (math.Pi / 180), 0.0, 0.0)
     d.pipe(zone, south).trans(c, forward = true)
-    new GenericInternalRow(Array[Any](zone, south, c.x, c.y))
+    val r = s.row
+    r.setInt(0, zone); r.setBoolean(1, south)
+    r.setDouble(2, c.x); r.setDouble(3, c.y)
+    r
   }
 }
 
@@ -419,6 +493,7 @@ case class UtmNativeExpr(lonExpr: Expression, latExpr: Expression,
                          ellps: String) extends Expression
     with org.apache.spark.sql.graftbridge.PublicInputTypes {
   @transient private lazy val dispatch = new UtmDispatch(ellps)
+  @transient private lazy val scratch = new UtmNativeKernels.ScratchRef
 
   override def children: Seq[Expression] = Seq(lonExpr, latExpr)
   override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType)
@@ -428,11 +503,14 @@ case class UtmNativeExpr(lonExpr: Expression, latExpr: Expression,
   override def eval(input: InternalRow): Any = {
     val lon = lonExpr.eval(input); val lat = latExpr.eval(input)
     if (lon == null || lat == null) null
-    else UtmNativeKernels.eval(dispatch, lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+    else UtmNativeKernels.eval(dispatch, lon.asInstanceOf[Double],
+      lat.asInstanceOf[Double], scratch)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val dRef = ctx.addReferenceObj("utmDispatch", dispatch, classOf[UtmDispatch].getName)
+    val scrRef = ctx.addReferenceObj("utmScratch", scratch,
+      classOf[UtmNativeKernels.ScratchRef].getName)
     val lonC = lonExpr.genCode(ctx); val latC = latExpr.genCode(ctx)
     val kern = UtmNativeKernels.getClass.getName + ".MODULE$"
     val code =
@@ -442,7 +520,7 @@ case class UtmNativeExpr(lonExpr: Expression, latExpr: Expression,
         boolean ${ev.isNull} = ${lonC.isNull} || ${latC.isNull};
         InternalRow ${ev.value} = null;
         if (!${ev.isNull}) {
-          ${ev.value} = $kern.eval($dRef, ${lonC.value}, ${latC.value});
+          ${ev.value} = $kern.eval($dRef, ${lonC.value}, ${latC.value}, $scrRef);
         }
       """
     ev.copy(code = code)
@@ -457,6 +535,7 @@ case class ProjFactorsExpr(lonExpr: Expression, latExpr: Expression,
                            projString: String) extends Expression
     with org.apache.spark.sql.graftbridge.PublicInputTypes {
   @transient private lazy val pipeline = new ProjPipeline(projString)
+  @transient private lazy val scratch = new FactorsKernels.ScratchRef
 
   override def children: Seq[Expression] = Seq(lonExpr, latExpr)
   override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType)
@@ -466,12 +545,15 @@ case class ProjFactorsExpr(lonExpr: Expression, latExpr: Expression,
   override def eval(input: InternalRow): Any = {
     val lon = lonExpr.eval(input); val lat = latExpr.eval(input)
     if (lon == null || lat == null) null
-    else FactorsKernels.eval(pipeline, lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+    else FactorsKernels.eval(pipeline, lon.asInstanceOf[Double],
+      lat.asInstanceOf[Double], scratch)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pipeRef = ctx.addReferenceObj("projPipeline", pipeline,
       classOf[ProjPipeline].getName)
+    val scrRef = ctx.addReferenceObj("facScratch", scratch,
+      classOf[FactorsKernels.ScratchRef].getName)
     val lonC = lonExpr.genCode(ctx); val latC = latExpr.genCode(ctx)
     val kern = FactorsKernels.getClass.getName + ".MODULE$"
     val code =
@@ -481,7 +563,7 @@ case class ProjFactorsExpr(lonExpr: Expression, latExpr: Expression,
         boolean ${ev.isNull} = ${lonC.isNull} || ${latC.isNull};
         InternalRow ${ev.value} = null;
         if (!${ev.isNull}) {
-          ${ev.value} = $kern.eval($pipeRef, ${lonC.value}, ${latC.value});
+          ${ev.value} = $kern.eval($pipeRef, ${lonC.value}, ${latC.value}, $scrRef);
         }
       """
     ev.copy(code = code)
@@ -504,6 +586,7 @@ case class ProjTransformExpr(
     with org.apache.spark.sql.graftbridge.PublicInputTypes {
 
   @transient private lazy val pipeline = new ProjPipeline(projString)
+  @transient private lazy val scratch = new ProjKernels.ScratchRef
 
   override def children: Seq[Expression] = Seq(xExpr, yExpr, zExpr, tExpr)
   override def inputSpec: Seq[DataType] = Seq(DoubleType, DoubleType, DoubleType, DoubleType)
@@ -516,12 +599,14 @@ case class ProjTransformExpr(
     if (x == null || y == null || z == null || t == null) null
     else ProjKernels.eval(pipeline, forward, degIO,
       x.asInstanceOf[Double], y.asInstanceOf[Double],
-      z.asInstanceOf[Double], t.asInstanceOf[Double])
+      z.asInstanceOf[Double], t.asInstanceOf[Double], scratch)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pipeRef = ctx.addReferenceObj("projPipeline", pipeline,
       classOf[ProjPipeline].getName)
+    val scrRef = ctx.addReferenceObj("projScratch", scratch,
+      classOf[ProjKernels.ScratchRef].getName)
     val xC = xExpr.genCode(ctx); val yC = yExpr.genCode(ctx)
     val zC = zExpr.genCode(ctx); val tC = tExpr.genCode(ctx)
     val kern = ProjKernels.getClass.getName + ".MODULE$"
@@ -535,7 +620,7 @@ case class ProjTransformExpr(
         InternalRow ${ev.value} = null;
         if (!${ev.isNull}) {
           ${ev.value} = $kern.eval($pipeRef, $forward, $degIO,
-            ${xC.value}, ${yC.value}, ${zC.value}, ${tC.value});
+            ${xC.value}, ${yC.value}, ${zC.value}, ${tC.value}, $scrRef);
         }
       """
     ev.copy(code = code)

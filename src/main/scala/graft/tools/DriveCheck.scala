@@ -97,5 +97,53 @@ object DriveCheck {
     var i = 0; val cc = new Coord; var acc = 0.0
     while (i < 1000000) { cc.set((6 + i % 6) * GeoMath.DEG2RAD, (40 + (i % 20)) * GeoMath.DEG2RAD, 0, 0); Dispatch.trans(P2, true, cc); acc += cc.x; i += 1 }
     println(f"1M utm fwd in ${(System.nanoTime - t0)/1e9}%.3f s (checksum $acc%.1f)")
+
+    // row-kernel hot loops: throughput + bytes allocated per row (the
+    // ThreadLocal-scratch contract — each kernel should report ~0 B/row)
+    kernelAllocCheck()
+  }
+
+  /** Drives the generated-code entry points (ProjKernels / UtmNativeKernels /
+    * RegistryDispatchKernels / FactorsKernels) for 1M rows each and reports
+    * per-row allocation from ThreadMXBean.getThreadAllocatedBytes. */
+  private def kernelAllocCheck(): Unit = {
+    import graft.spark._
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread.getId
+    def measure(name: String, n: Int)(body: Int => Double): Unit = {
+      var acc = 0.0
+      var i = 0
+      while (i < 10000) { acc += body(i); i += 1 } // warm + JIT
+      val b0 = tmx.getThreadAllocatedBytes(tid)
+      val t0 = System.nanoTime
+      i = 0
+      while (i < n) { acc += body(i); i += 1 }
+      val secs = (System.nanoTime - t0) / 1e9
+      val bytesPerRow = (tmx.getThreadAllocatedBytes(tid) - b0).toDouble / n
+      println(f"$name: $n rows in $secs%.3f s (${n / secs / 1e6}%.2f M/s), " +
+        f"$bytesPerRow%.1f B/row alloc (checksum $acc%.1f)")
+    }
+    val webmerc = new ProjPipeline("proj=webmerc ellps=WGS84")
+    val pkScr = new ProjKernels.ScratchRef
+    measure("ProjKernels webmerc", 1000000) { i =>
+      ProjKernels.eval(webmerc, forward = true, degIO = true,
+        -179.0 + (i % 358), -85.0 + (i % 170), 0.0, 0.0, pkScr).getDouble(0)
+    }
+    val utm = new UtmDispatch("WGS84")
+    val utmScr = new UtmNativeKernels.ScratchRef
+    measure("UtmNativeKernels", 1000000) { i =>
+      UtmNativeKernels.eval(utm, -179.0 + (i % 358), -80.0 + (i % 160), utmScr).getDouble(2)
+    }
+    val disp = new RegistryDispatch("EPSG:4267", "EPSG:4326")
+    val dScr = new RegistryDispatchKernels.ScratchRef
+    measure("RegistryDispatchKernels", 200000) { i =>
+      RegistryDispatchKernels.eval(disp, -100.0 + (i % 40), 30.0 + (i % 20), dScr).getDouble(1)
+    }
+    val merc = new ProjPipeline("proj=merc ellps=WGS84")
+    val fScr = new FactorsKernels.ScratchRef
+    measure("FactorsKernels merc", 200000) { i =>
+      FactorsKernels.eval(merc, -179.0 + (i % 358), -80.0 + (i % 160), fScr).getDouble(1)
+    }
   }
 }

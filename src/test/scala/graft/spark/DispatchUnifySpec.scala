@@ -14,6 +14,7 @@ import graft.proj.{OpFactory, OpRuntime}
   * verdict's "unify dispatch with OpRuntime" ask.
   */
 class DispatchUnifySpec extends AnyFunSuite {
+  private val dispatchScratch = new RegistryDispatchKernels.ScratchRef
 
   private val src = "EPSG:4230"
   private val dst = "EPSG:4326"
@@ -43,7 +44,7 @@ class DispatchUnifySpec extends AnyFunSuite {
         assert(ok, s"OpRuntime failed at ($lon, $lat)")
         val cliName = runtime.currentName.get
 
-        val row = RegistryDispatchKernels.eval(dispatch, lon, lat)
+        val row = RegistryDispatchKernels.eval(dispatch, lon, lat, dispatchScratch)
         val op = row.getInt(0)
         assert(row.getInt(4) == 0, s"dispatch err at ($lon, $lat)")
         assert(cands(op).name == cliName,
@@ -112,7 +113,7 @@ class DispatchUnifySpec extends AnyFunSuite {
     // row silently fell back to candidate 0)
     val d31 = new RegistryDispatch("EPSG:23031", dst)
     // Barcelona-ish: UTM31 (430000, 4580000) ≈ (2.17 E, 41.37 N)
-    val row = RegistryDispatchKernels.eval(d31, 430000.0, 4580000.0)
+    val row = RegistryDispatchKernels.eval(d31, 430000.0, 4580000.0, dispatchScratch)
     assert(row.getInt(4) == 0)
     val op = row.getInt(0)
     val geo = dispatch.select(2.17, 41.37)
