@@ -28,6 +28,13 @@ object BenchGuard {
       case Seq((c1, t1), (c2, t2)) => c2 > c1 && t2 < t1
       case _ => false
     }
+
+  /** ann_index accounting: the build leg runs the one-time index build AND
+    * a first query; a steady-state query leg can never legitimately exceed
+    * it on a quiet host — an inversion means a co-tenant burst hit the
+    * query legs (the round-4 artifact's 7.451 s warm vs 6.745 s cold). */
+  def buildQueryInversionSuspect(buildSec: Double, querySec: Double): Boolean =
+    querySec > buildSec
 }
 
 object Bench {
@@ -141,13 +148,33 @@ object Bench {
     // landing on the second run; both runs execute fully via the force).
     // Both legs are kept in the per-run artifact so the estimator is
     // auditable (ann_index's cold leg includes the one-time index build).
-    val coldWarm = headline.map { name =>
+    // ann_index is the one query with a one-time setup cost: its first run
+    // builds + persists the index (SparkEntry keys the path per process),
+    // later runs are the steady-state query (a versioned reuse hit runs
+    // zero jobs over the corpus). Mixing the two into one min() lied in
+    // cross-round comparisons, so they report as separate metrics.
+    val coldWarm = headline.flatMap { name =>
       val fn = SparkEntry.queries(name)
-      val (_, cold) = time { force(fn(spark, sfDir)) }
-      val (_, warm) = time { force(fn(spark, sfDir)) }
-      (name, cold, warm)
+      if (name == "ann_index") {
+        val (_, build) = time { force(fn(spark, sfDir)) } // index build + first query
+        val (_, q1) = time { force(fn(spark, sfDir)) }    // reuse-hit query
+        val (_, q2) = time { force(fn(spark, sfDir)) }
+        Seq(("ann_index_build", build, build), ("ann_index_query", q1, q2))
+      } else {
+        val (_, cold) = time { force(fn(spark, sfDir)) }
+        val (_, warm) = time { force(fn(spark, sfDir)) }
+        Seq((name, cold, warm))
+      }
     }
     val results = coldWarm.map { case (name, cold, warm) => name -> math.min(cold, warm) }
+    val annInversionSuspect = {
+      val b = results.collectFirst { case ("ann_index_build", v) => v }
+      val q = results.collectFirst { case ("ann_index_query", v) => v }
+      (b, q) match {
+        case (Some(bs), Some(qs)) => BenchGuard.buildQueryInversionSuspect(bs, qs)
+        case _ => false
+      }
+    }
 
     // north-star throughput at the configured parallelism
     val docsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
@@ -219,11 +246,14 @@ object Bench {
     val loadEnd = loadavg()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // total = steady-state seconds; the one-time ann_index build leg is
+    // reported in queries but not folded into the total
+    val total = results.filterNot(_._1 == "ann_index_build").map(_._2).sum
     val suspectField = if (scalingSuspect) ",\"suspect\":true" else ""
     val hSuspectField = if (headlineSuspect) ",\"suspect\":true" else ""
+    val annField = if (annInversionSuspect) ",\"ann_pair_suspect\":true" else ""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","northstar":{"docs":$nsDocs,"rows":$nRows,"sec":$nsSecEff%.3f,"docs_per_sec":$rowsPerSecEff%.0f$hSuspectField},"scaling":{"localN_docs_per_sec":$thr8%.0f,"local4N_docs_per_sec":$thr32%.0f,"efficiency":$efficiency%.3f$suspectField},"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$annField,"sf":"$sfDir","northstar":{"docs":$nsDocs,"rows":$nRows,"sec":$nsSecEff%.3f,"docs_per_sec":$rowsPerSecEff%.0f$hSuspectField},"scaling":{"localN_docs_per_sec":$thr8%.0f,"local4N_docs_per_sec":$thr32%.0f,"efficiency":$efficiency%.3f$suspectField},"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
     println(json)
     if (scalingOnly) return
     // clean artifact for machine parsing (sbt prefixes stdout lines, which
@@ -248,9 +278,12 @@ object Bench {
          |## Headline queries (sf dir: $sfDir, local[$cpus])
          |
          |Estimator: each query executes twice; reported = min(cold, warm).
-         |The cold leg includes per-query codegen + parquet footer reads (and
-         |for ann_index the one-time persisted-index build); a resident
-         |service amortizes those, so the min is the steady-state figure.
+         |The cold leg includes per-query codegen + parquet footer reads; a
+         |resident service amortizes those, so the min is the steady-state
+         |figure. ann_index reports its one-time index build
+         |(ann_index_build, excluded from the total) separately from the
+         |steady-state reuse-hit query (ann_index_query, two legs, min
+         |reported)${if (annInversionSuspect) " — SUSPECT: the query leg exceeded the build leg (co-tenant burst); re-run on a quiet host" else ""}.
          |Both legs below for auditability.
          |
          || query | cold s | warm s | reported |

@@ -35,4 +35,14 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!BenchGuard.monotoneSuspect(
       Seq((4, 500000.0), (16, 1900000.0), (16, 1800000.0))))
   }
+
+  test("ann_index build/query inversion guard flags the round-4 artifact") {
+    // round-4 committed run: cold (build+query) 6.745 s, warm query
+    // 7.451 s — the query leg exceeding the build leg is physically
+    // impossible on a quiet host
+    assert(BenchGuard.buildQueryInversionSuspect(6.745, 7.451))
+    // quiet-host shape (run-20260819-020809): build 8.110, query 2.800
+    assert(!BenchGuard.buildQueryInversionSuspect(8.110, 2.800))
+    assert(!BenchGuard.buildQueryInversionSuspect(5.0, 5.0))
+  }
 }
