@@ -1026,17 +1026,29 @@ object OracleSql {
     * candidates by Karney order-6; the two independent algorithms agree to
     * ~1e-5 m at this <60 km range, far inside the 1 m bucket.
     * Formulas: Vincenty 1975 (the standard published inverse iteration). */
-  def geoKnnGeodesic: String =
+  def geoKnnGeodesic: String = geoKnnGeodesicBase(
+    """SELECT id AS q_id,
+        139.59005 + ((id*37) % 100)*0.001031 AS q_lon,
+        35.59005 + ((id*59) % 100)*0.001073 AS q_lat
+      FROM range(0,20) t(id)""")
+
+  /** hex kNN oracle: the dense query grid PLUS a sparse outlier (~30 km
+    * southwest of the point cloud) whose true neighbors sit far outside a
+    * 2-ring hex reach — green only under hexKnnJoin's adaptive expansion. */
+  def geoHexKnn: String = geoKnnGeodesicBase(
+    """SELECT id AS q_id,
+        139.59005 + ((id*37) % 100)*0.001031 AS q_lon,
+        35.59005 + ((id*59) % 100)*0.001073 AS q_lat
+      FROM range(0,20) t(id)
+      UNION ALL SELECT 20 AS q_id, 139.30 AS q_lon, 35.30 AS q_lat""")
+
+  private def geoKnnGeodesicBase(qCte: String): String =
     s"""WITH RECURSIVE pts AS (
       SELECT point_id,
         139.49 + (point_id*193 % 4000)*0.0001 AS lon,
         35.49 + (point_id*149 % 4000)*0.0001 AS lat
       FROM (SELECT c_custkey*16 + j AS point_id FROM customer, range(0,16) t(j))),
-    q AS (
-      SELECT id AS q_id,
-        139.59005 + ((id*37) % 100)*0.001031 AS q_lon,
-        35.59005 + ((id*59) % 100)*0.001073 AS q_lat
-      FROM range(0,20) t(id)),
+    q AS ($qCte),
     pairs AS (
       SELECT q_id, point_id,
         atan((1-1.0/298.257223563)*tan(q_lat*(pi()/180))) AS u1,

@@ -251,9 +251,15 @@ object SparkEntry {
         col("id").as("q_id"),
         (lit(139.59005) + (col("id") * 37 % 100) * 0.001031).as("lon"),
         (lit(35.59005) + (col("id") * 59 % 100) * 0.001073).as("lat"))
+        // sparse outlier ~30 km southwest of the cloud: its true neighbors
+        // lie far outside the starting 2-ring reach, so this row is exact
+        // ONLY under the adaptive ring-expansion contract
+        .unionByName(s.range(20, 21).select(col("id").as("q_id"),
+          lit(139.30).as("lon"), lit(35.30).as("lat")))
       // density-adaptive hex size: guaranteed ring reach (2 rings of
       // inradius sqrt(3)/2 * sizeM, deflated by webmerc's 1/cos(35.6°))
-      // keeps >= 2.5x margin over the worst-case 5th-neighbor radius
+      // keeps >= 2.5x margin over the worst-case 5th-neighbor radius for
+      // the dense grid; the outlier escalates adaptively
       val n = countOf(s, dir, "customer") * 16
       val sizeM = if (n >= 150000) 600.0 else if (n >= 15000) 1500.0 else 4000.0
       val res = SpatialJoins.hexKnnJoin(q, pts, k = 8, sizeM = sizeM, rings = 2)
@@ -1068,7 +1074,7 @@ object SparkEntry {
     "geo_geoid" -> OracleSql.geoGeoid,
     "geo_geodesic_meridian" -> OracleSql.geoGeodesicMeridian,
     "geo_knn_geodesic" -> OracleSql.geoKnnGeodesic,
-    "geo_hex_knn" -> OracleSql.geoKnnGeodesic,
+    "geo_hex_knn" -> OracleSql.geoHexKnn,
 
     "docs_spans" ->
       """WITH base AS (

@@ -246,36 +246,80 @@ object SpatialJoins {
   /** Hex-grid kNN: the hex analogue of knnJoin. Both sides bin into the
     * flat-top axial hex grid over web-mercator metres (plane x/y columns);
     * queries expand hexRing(rings), points bucket once, candidates meet in
-    * an equi-join on (hq, hr), exact Karney distance ranks. Pick `sizeM`
-    * so the expected k-th neighbor sits inside `rings` grid steps. */
+    * an equi-join on (hq, hr), exact Karney distance ranks.
+    *
+    * Exactness contract (adaptive = true, the default): a query's top-k is
+    * accepted only when k candidates were found AND the k-th distance is
+    * within the ring set's lower bound — any point outside `rings` grid
+    * steps sits at planar distance ≥ (rings − 0.5)·sizeM from the query
+    * (outside hexes are ≥ rings+1 steps away; centers of hexes n steps
+    * apart are ≥ 1.5·n·sizeM apart, minus one circumradius per endpoint),
+    * deflated to ground metres by web-mercator's cos(lat) at the ring
+    * extent's worst latitude. Unsatisfied queries re-run with doubled
+    * rings until exact (loud failure past maxRings). Fixed-ring behavior
+    * (the silent bounded-candidate approximation) is adaptive = false. */
   def hexKnnJoin(queries: DataFrame, points: DataFrame, k: Int,
                  sizeM: Double, rings: Int = 2,
-                 broadcastQueries: Boolean = true): DataFrame = {
+                 broadcastQueries: Boolean = true,
+                 adaptive: Boolean = true, maxRings: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     def webmerc(df: DataFrame): DataFrame = df
       .withColumn("wm", ProjFunctions.projTrans2(col("lon"), col("lat"),
         "proj=webmerc ellps=WGS84"))
-    val q = webmerc(queries)
-      .withColumn("hex0", GeoFunctions.hexBin(col("wm.x"), col("wm.y"), lit(sizeM)))
-      .withColumn("hex", explode(GeoFunctions.hexRing(
-        col("hex0.q"), col("hex0.r"), lit(rings))))
-      .select(col("q_id"), col("lon").as("q_lon"), col("lat").as("q_lat"),
-        col("hex.q").as("hq"), col("hex.r").as("hr"))
     val p = webmerc(points)
       .withColumn("hex", GeoFunctions.hexBin(col("wm.x"), col("wm.y"), lit(sizeM)))
       .select(col("point_id"), col("lon"), col("lat"),
         col("hex.q").as("hq"), col("hex.r").as("hr"))
 
-    val joined = (if (broadcastQueries) p.join(broadcast(q), Seq("hq", "hr"))
-                  else p.join(q, Seq("hq", "hr")))
-      .withColumn("dist_m", GeoFunctions.geodesicDistance(
-        col("q_lon"), col("q_lat"), col("lon"), col("lat")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("dist_m"), col("point_id"))
-    joined
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .drop("hq", "hr")
+    def fixedRing(qdf: DataFrame, r: Int): DataFrame = {
+      val q = webmerc(qdf)
+        .withColumn("hex0", GeoFunctions.hexBin(col("wm.x"), col("wm.y"), lit(sizeM)))
+        .withColumn("hex", explode(GeoFunctions.hexRing(
+          col("hex0.q"), col("hex0.r"), lit(r))))
+        .select(col("q_id"), col("lon").as("q_lon"), col("lat").as("q_lat"),
+          col("hex.q").as("hq"), col("hex.r").as("hr"))
+      val joined = (if (broadcastQueries) p.join(broadcast(q), Seq("hq", "hr"))
+                    else p.join(q, Seq("hq", "hr")))
+        .withColumn("dist_m", GeoFunctions.geodesicDistance(
+          col("q_lon"), col("q_lat"), col("lon"), col("lat")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("dist_m"), col("point_id"))
+      joined
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k)
+        .drop("hq", "hr")
+    }
+
+    if (!adaptive) return fixedRing(queries, rings)
+
+    var r = rings
+    var pending = queries
+    val parts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var done = false
+    while (!done) {
+      val res = fixedRing(pending, r)
+      // ground-metre lower bound to anything outside the ring set: the
+      // planar (r − 0.5)·sizeM, deflated by cos at the worst latitude the
+      // ring extent can reach (web-mercator ground = planar · cos(lat))
+      val padDeg = math.toDegrees((r + 2) * math.sqrt(3.0) * sizeM / 6378137.0)
+      val okIds = res.groupBy("q_id")
+        .agg(max("dist_m").as("kth"), count(lit(1)).as("cnt"),
+          first("q_lat").as("ql"))
+        .where(col("cnt") === k && col("kth") <=
+          lit((r - 0.5) * sizeM) *
+            cos(radians(least(lit(89.5), abs(col("ql")) + lit(padDeg)))))
+        .select("q_id")
+      parts += res.join(broadcast(okIds), Seq("q_id"))
+      pending = pending.join(broadcast(okIds), Seq("q_id"), "left_anti")
+      if (pending.isEmpty) done = true
+      else {
+        require(r < maxRings,
+          s"hexKnnJoin: k=$k not provably exact within $maxRings rings of " +
+            s"sizeM=$sizeM — raise maxRings/sizeM or check point density")
+        r = math.min(maxRings, r * 2)
+      }
+    }
+    parts.reduce(_ unionByName _)
   }
 
   /** Raster-tile ↔ vector assignment: tag each point with its z/x/y tile and

@@ -112,6 +112,43 @@ class HexGridSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("hexKnnJoin adaptive expansion is exact where fixed rings are wrong") {
+    // dense cloud near (139.7, 35.7) plus one planted point ~8 km from the
+    // sparse query; all true neighbors of the sparse query lie far outside
+    // its 2-ring reach at sizeM=500
+    val rnd = new scala.util.Random(23)
+    val pts = (0 until 2000).map { i =>
+      (i.toLong, 139.6 + rnd.nextDouble() * 0.2, 35.6 + rnd.nextDouble() * 0.2)
+    } :+ (2000L, 139.35, 35.35) // nearest to the sparse query, still ~8 km
+    val points = pts.toDF("point_id", "lon", "lat")
+    val queries = Seq((0L, 139.7, 35.7), (1L, 139.3, 35.3))
+      .toDF("q_id", "lon", "lat")
+
+    val g = graft.core.Geodesic.WGS84
+    def brute(k: Int): Set[(Long, Long, Int)] =
+      Seq((0L, 139.7, 35.7), (1L, 139.3, 35.3)).flatMap { case (qid, qlon, qlat) =>
+        pts.map { case (pid, plon, plat) =>
+          (pid, g.distance(qlat, qlon, plat, plon))
+        }.sortBy { case (pid, d) => (d, pid) }.take(k).zipWithIndex.map {
+          case ((pid, _), idx) => (qid, pid, idx + 1)
+        }
+      }.toSet
+
+    // fixed 2 rings: the sparse query's candidate set is empty or wrong
+    val fixed = SpatialJoins.hexKnnJoin(queries, points, k = 3,
+      sizeM = 500.0, rings = 2, adaptive = false)
+      .select("q_id", "point_id", "rnk").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(fixed != brute(3), "fixed rings should be wrong for the sparse query")
+
+    // adaptive: exact for both, including the planted distant neighbor
+    val adaptiveRes = SpatialJoins.hexKnnJoin(queries, points, k = 3,
+      sizeM = 500.0, rings = 2)
+      .select("q_id", "point_id", "rnk").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(adaptiveRes == brute(3))
+  }
+
   test("globalHexCell (isea + hex bin) is deterministic and spreads cells") {
     val df = spark.range(0, 2000)
       .select((col("id") * 7 % 360 - 180 + 0.5).cast("double").as("lon"),
