@@ -98,6 +98,107 @@ object GridShiftOps {
     }
   }
 
+  /** Chunked-range HTTP grid reader — the reference networkfilemanager
+    * model (src/networkfilemanager.cpp:116 DOWNLOAD_CHUNK_SIZE = 16 KiB):
+    * every read is a 16 KiB-aligned HTTP Range request through the
+    * byte-bounded GridCache, so a header probe moves one chunk (never the
+    * whole file), whole-file consumption moves each byte exactly once, and
+    * re-reads are pure cache hits. The file size comes from the first
+    * chunk's Content-Range total. A server that ignores Range (status 200,
+    * full body) degrades gracefully: the body is sliced into chunks and
+    * cached, so later reads still hit. Misses fall through to `fallback`
+    * (bundled/local grids keep working). Fetch metrics are exposed for the
+    * bounded-bytes spec and ops observability. */
+  final class ChunkedHttpGridSource(baseUrl: String, fallback: GridSource,
+                                    chunkBytes: Int = 16 * 1024) extends GridSource {
+    val rangeRequests = new java.util.concurrent.atomic.AtomicInteger(0)
+    val bytesFetched = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+    private def urlOf(name: String) = s"${baseUrl.stripSuffix("/")}/$name"
+    private def sizeKey(name: String) = s"httpsize|${urlOf(name)}"
+    private def chunkKey(name: String, idx: Long) = s"httpchunk|${urlOf(name)}|$idx"
+
+    private def cacheChunk(name: String, idx: Long, bytes: Array[Byte]): Array[Byte] =
+      graft.proj.grids.GridCache.put(chunkKey(name, idx), bytes, bytes.length.toLong)
+
+    /** chunk idx (16 KiB-aligned) via Range request, memoized in GridCache. */
+    private def chunk(name: String, idx: Long): Option[Array[Byte]] =
+      graft.proj.grids.GridCache.get[Array[Byte]](chunkKey(name, idx)).orElse {
+        val start = idx * chunkBytes
+        try {
+          val req = java.net.http.HttpRequest.newBuilder()
+            .uri(java.net.URI.create(urlOf(name)))
+            .header("Range", s"bytes=$start-${start + chunkBytes - 1}")
+            .timeout(java.time.Duration.ofSeconds(60)).GET().build()
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+          resp.statusCode match {
+            case 206 =>
+              rangeRequests.incrementAndGet()
+              bytesFetched.addAndGet(resp.body.length.toLong)
+              // Content-Range: bytes <s>-<e>/<total>
+              val cr = resp.headers.firstValue("Content-Range").orElse("")
+              val slash = cr.lastIndexOf('/')
+              if (slash >= 0) cr.substring(slash + 1).toLongOption.foreach(total =>
+                graft.proj.grids.GridCache.put(sizeKey(name), java.lang.Long.valueOf(total), 16L))
+              Some(cacheChunk(name, idx, resp.body))
+            case 200 =>
+              // Range ignored: slice the full body so the transfer still
+              // happens once and every later read is a cache hit
+              rangeRequests.incrementAndGet()
+              val body = resp.body
+              bytesFetched.addAndGet(body.length.toLong)
+              graft.proj.grids.GridCache.put(sizeKey(name), java.lang.Long.valueOf(body.length.toLong), 16L)
+              var i = 0L
+              var out: Option[Array[Byte]] = None
+              while (i * chunkBytes < body.length) {
+                val s = (i * chunkBytes).toInt
+                val e = math.min(s + chunkBytes, body.length)
+                val sliced = cacheChunk(name, i, java.util.Arrays.copyOfRange(body, s, e))
+                if (i == idx) out = Some(sliced)
+                i += 1
+              }
+              out
+            case _ => None
+          }
+        } catch { case _: java.io.IOException | _: InterruptedException => None }
+      }
+
+    /** total file size (Content-Range of the first chunk), memoized. */
+    def sizeOf(name: String): Option[Long] =
+      graft.proj.grids.GridCache.get[java.lang.Long](sizeKey(name)).map(_.longValue).orElse {
+        chunk(name, 0L)
+        graft.proj.grids.GridCache.get[java.lang.Long](sizeKey(name)).map(_.longValue)
+      }
+
+    /** read [offset, offset+len) assembling only the covering chunks. */
+    def readRange(name: String, offset: Long, len: Int): Option[Array[Byte]] = {
+      val out = new Array[Byte](len)
+      var pos = 0
+      while (pos < len) {
+        val abs = offset + pos
+        val idx = abs / chunkBytes
+        val within = (abs - idx * chunkBytes).toInt
+        val ch = chunk(name, idx).getOrElse(return None)
+        if (within >= ch.length) return None // past EOF
+        val n = math.min(ch.length - within, len - pos)
+        System.arraycopy(ch, within, out, pos, n)
+        pos += n
+        if (n == 0) return None
+      }
+      Some(out)
+    }
+
+    def fetch(name: String): Option[Array[Byte]] =
+      sizeOf(name) match {
+        case Some(total) if total <= Int.MaxValue =>
+          readRange(name, 0L, total.toInt).orElse(fallback.fetch(name))
+        case _ => fallback.fetch(name)
+      }
+  }
+
   private def defaultRoots: Seq[String] =
     sys.props.get("graft.grid.paths").toSeq.flatMap(_.split(',').toSeq.map(_.trim)) ++
       Seq("/root/reference/data", "/root/reference/data/tests")
