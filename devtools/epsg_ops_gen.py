@@ -25,9 +25,11 @@ parse without a SQL engine:
   A|original_grid_name|proj_grid_name|format|proj_method|inverse  grid aliases
   U|auth:code|auth:code                                          supersession
 
-Only authorities EPSG, PROJ and IAU_2015 are emitted (the reference's
-authority_to_authority_preference for EPSG<->EPSG pairs is 'PROJ,EPSG' plus
-NKG, whose operations all need network grids unavailable in this sandbox).
+Authorities EPSG, PROJ, IAU_2015, IGNF, ESRI and NKG are emitted. NKG's
+operations all need network grids unavailable in this sandbox, so they load
+as structurally-known but non-instantiable candidates (grids flagged
+unavailable) — exactly how the reference answers candidate queries without
+the grids.
 """
 import os, re, sqlite3, sys, base64
 
@@ -48,7 +50,7 @@ ORDER = ['unit_of_measure','extent','scope','prime_meridian','ellipsoid',
  'grid_transformation_custom','non_imported_operations',
  'geodetic_datum_ensemble_member','vertical_datum_ensemble_member','metadata']
 
-AUTHS = ("EPSG", "PROJ", "IAU_2015", "IGNF", "ESRI")
+AUTHS = ("EPSG", "PROJ", "IAU_2015", "IGNF", "ESRI", "NKG")
 
 def load():
     db = sqlite3.connect(':memory:')
@@ -777,7 +779,14 @@ def main():
                 v = conv(v, ua, uc, 'deg')
             elif typ == 'length':
                 v = conv(v, ua, uc, 'm')
-            # scale params keep their raw value (similarity scale is unity)
+            elif str(r['method_code']) == '1143' and str(pc) == '8611':
+                # Position Vector (geocen) & NEU velocities: Scale
+                # difference is registered in ppb; the PROJ helmert step
+                # takes ppm (reference singleoperation.cpp ~5060
+                # parameterValueNumeric(..., PARTS_PER_MILLION))
+                v = conv(v, ua, uc, 'ppm')
+            # other scale params keep their raw value (similarity scale is
+            # unity)
             kv.append('p%s=%s' % (pc, num(v)))
         if r['grid_name']:
             kv.append('grid=%s' % r['grid_name'])

@@ -902,15 +902,21 @@ object CliProjinfo {
       areaOf = clippedArea, exportableOf = exportable)
     // reference removeUninterestingOps: for the same extent, drop a
     // candidate with similar-or-worse accuracy than the previously kept
-    // one that takes strictly more transformation steps
+    // one that takes strictly more transformation steps; an operation with
+    // a registry identifier counts as a single step, so one identified
+    // concatenated op never eliminates another (reference
+    // coordinateoperationfactory.cpp:1627 "If a concatenated operation has
+    // an identifier, consider it as a single step")
     val all = {
+      def effSteps(c: Candidate): Int =
+        if (c.identOp.isDefined) 1 else c.stepCount
       val out = Vector.newBuilder[Candidate]
       var last = Option.empty[Candidate]
       for (c <- allSorted) {
         val drop = last.exists { l =>
           val accWorse = (c.accuracy >= l.accuracy && l.accuracy >= 0) ||
             (c.accuracy < 0 && l.accuracy >= 0)
-          accWorse && c.boxes == l.boxes && c.stepCount > l.stepCount
+          accWorse && c.boxes == l.boxes && effSteps(c) > effSteps(l)
         }
         if (!drop) { out += c; last = Some(c) }
       }
@@ -1070,8 +1076,9 @@ object CliProjinfo {
         .filter(meta.convs.contains).map(k => k.replace(":", ":"))
         .map(k => s"${k.substring(0, k.indexOf(':'))}:${k.substring(k.indexOf(':') + 1)}")
         .getOrElse("unknown id")
-    } else if (c.dispHops.length == 1 && lc.isEmpty && rc.isEmpty) {
-      val (op, inv) = c.dispHops.head
+    } else if ((c.identOp.isDefined || c.dispHops.length == 1) &&
+      lc.isEmpty && rc.isEmpty) {
+      val (op, inv) = c.identOp.getOrElse(c.dispHops.head)
       val derived = op.kind == 'G' &&
         db.gridAlias.get(op.extras.getOrElse("grid", ""))
           .exists(a => a.proj.nonEmpty && a.proj != op.extras("grid"))
@@ -1103,7 +1110,7 @@ object CliProjinfo {
       (lc.isDefined || rc.isDefined))) {
       // a concatenation shown without its registry identity lists its step
       // names (the reference synthesizes it in-memory)
-      if (c.dispHops.length > 1 && !c.name.contains(" + "))
+      if (c.identOp.isEmpty && c.dispHops.length > 1 && !c.name.contains(" + "))
         parts += c.dispHops.map(h => hopName(h._1, h._2)).mkString(" + ")
       else parts += c.name
     }
@@ -1124,9 +1131,10 @@ object CliProjinfo {
     val (lc, rc) = convLegs(src, dst, c)
     if (c.ballpark || c.ballparkVertical || c.accuracy < 0) "unknown accuracy"
     else if (c.dispHops.isEmpty) "0 m"
-    else if (c.dispHops.length == 1 && lc.isEmpty && rc.isEmpty &&
+    else if ((c.identOp.isDefined || c.dispHops.length == 1) &&
+      lc.isEmpty && rc.isEmpty &&
       !compoundSide(src) && !compoundSide(dst)) {
-      val acc = opAccText(c.dispHops.head._1)
+      val acc = opAccText(c.identOp.getOrElse(c.dispHops.head)._1)
       if (acc.isEmpty) "unknown accuracy" else acc + " m"
     } else WktOut.num(c.accuracy) + " m"
   }
@@ -1199,6 +1207,12 @@ object CliProjinfo {
             math.max(cur.south, b.south), math.min(cur.east, b.east),
             math.min(cur.north, b.north)), None))
       }
+    }
+    // a registered concatenated operation keeps its own area of use
+    c.identOp.foreach { case (op, _) =>
+      return meta.descOfArea(op.areaName).getOrElse(
+        if (op.bbox.contains(Bbox(-180, -90, 180, 90))) "World"
+        else "unknown domain of validity")
     }
     // conversion legs count as world extent in the reference's getExtent
     // (conversionExtentIsWorld) and so never narrow the intersection

@@ -202,6 +202,12 @@ object OpFactory {
   /** resolve an EPSG grid name to (name our readers can open, available?):
     * the PROJ-delivered name, the legacy (old) PROJ name, the original EPSG
     * name, or the bare stem NADCON .las/.los pairs ship under locally. */
+  /** PROJ-delivered grid names (grid_alternatives proj_grid_name), for
+    * gridsKnown checks on names that appear already-translated inside raw
+    * PROJ-string methods. */
+  private lazy val deliveredGridNames: Set[String] =
+    db.gridAlias.valuesIterator.map(_.proj).toSet
+
   private def gridFile(orig: String, opts: Options): (String, Boolean) = {
     val alias = db.gridAlias.get(orig)
     val projName = alias.map(_.proj).getOrElse(orig)
@@ -250,7 +256,12 @@ object OpFactory {
       dispHops: Seq[(Op, Boolean)] = Nil,
       /** operates directly in the projected CRS pair's own space (whole-CRS
         * similarity/affine/TIN): no geographic I/O normalization applies */
-      wholeCrs: Boolean = false) {
+      wholeCrs: Boolean = false,
+      /** the registered operation this candidate IS (a concatenated
+        * operation expanded into step hops keeps its registry identity —
+        * id, name, accuracy and extent come from this op, reference
+        * ConcatenatedOperation display) */
+      identOp: Option[(Op, Boolean)] = None) {
     def gridsAvailable: Boolean = grids.forall(_._2)
     def hasGrids: Boolean = grids.nonEmpty
     /** the reference's hardcoded null-transformation priority ops
@@ -422,9 +433,21 @@ object OpFactory {
           }
           val alias = db.gridAlias.get(op.extras("grid"))
           val inv = hop.inv ^ alias.exists(_.inverse)
-          val pm = alias.map(_.method).getOrElse("hgridshift")
-          toForm(RAD)
+          val pm0 = alias.map(_.method).getOrElse("hgridshift")
+          // Geocentric translations using NEU velocity grid (gtg), EPSG
+          // method 1144: the registered op is the inverse sense of
+          // +proj=deformation at the target epoch (reference
+          // singleoperation.cpp ~5158 wraps the deformation step in an
+          // inversion), applied between geocentric CRSs
+          val pm = if (pm0 == "velocity_grid" && method == "1144")
+            "deformation_epoch" else pm0
+          if (pm == "deformation_epoch") toForm(XYZ) else toForm(RAD)
           pm match {
+            case "deformation_epoch" =>
+              val t = op.extras.getOrElse("p1069", "0")
+              sb ++= s" step proj=deformation t_epoch=$t grids=$file $curEll" +
+                (if (!inv) " inv" else "")
+              steps += 1
             case "geoid_like" =>
               // Geographic3D <-> GravityRelatedHeight: fwd (h -> H) removes
               // the geoid undulation, i.e. vgridshift inv
@@ -560,12 +583,61 @@ object OpFactory {
                 s"yoff=${x.getOrElse("p8639", "0")} s21=${x.getOrElse("p8640", "0")} s22=${x.getOrElse("p8641", "1")}"
               sb ++= " step " + aff + (if (hop.inv) " inv" else "")
               steps += 1
+            case "1143" =>
+              // Position Vector tfm (geocen) & geocentric translations from
+              // NEU velocities (gtg): helmert convention=position_vector
+              // followed by +proj=deformation dt=target-source over the
+              // velocity grid, between geocentric CRSs (reference
+              // singleoperation.cpp ~5003-5100; sidecar rotations are
+              // degrees -> arcsec here, scale already ppm)
+              toForm(XYZ)
+              val (file, avail) = gridFile(x("grid"), opts)
+              grids += ((file, avail))
+              if (!avail && !db.gridAlias.contains(x("grid")))
+                gridsKnown = false
+              def asec(k: String): String = x.get(k).map(v =>
+                (BigDecimal(v) * 3600).bigDecimal.stripTrailingZeros
+                  .toPlainString).getOrElse("0")
+              val helm = s"proj=helmert x=${x.getOrElse("p8605", "0")} " +
+                s"y=${x.getOrElse("p8606", "0")} z=${x.getOrElse("p8607", "0")} " +
+                s"rx=${asec("p8608")} ry=${asec("p8609")} rz=${asec("p8610")} " +
+                s"s=${x.getOrElse("p8611", "0")} convention=position_vector"
+              val defo = (x.get("p1069"), x.get("p1068")) match {
+                case (Some(t), Some(s0)) =>
+                  val dt = (BigDecimal(t) - BigDecimal(s0)).bigDecimal
+                    .stripTrailingZeros.toPlainString
+                  s"proj=deformation dt=$dt grids=$file $curEll"
+                case (Some(t), None) =>
+                  s"proj=deformation t_epoch=$t grids=$file $curEll"
+                case _ => throw graft.core.ProjError(
+                  graft.core.ProjErr.INVALID_OP,
+                  "method 1143 missing target epoch")
+              }
+              if (hop.inv)
+                sb ++= " step " + defo + " inv step " + helm + " inv"
+              else
+                sb ++= " step " + helm + " step " + defo
+              steps += 2
             case other =>
               throw graft.core.ProjError(graft.core.ProjErr.INVALID_OP, s"unsupported method $other")
           }
         case 'S' =>
           val str = new String(java.util.Base64.getDecoder.decode(
             op.extras("str")), "UTF-8")
+          // raw PROJ-string ops consume grids named inline (+grids= /
+          // +file=); register them so availability and gridsKnown rank the
+          // candidate like the reference's PROJBasedOperation::gridsNeeded
+          for (tok <- str.split("\\s+"); v = tok.stripPrefix("+")
+               if v.startsWith("grids=") || v.startsWith("file=");
+               g0 <- v.substring(v.indexOf('=') + 1).split(',')
+               if g0.nonEmpty) {
+            val g = g0.stripPrefix("@")
+            val (file, avail) = gridFile(g, opts)
+            grids += ((file, avail))
+            if (!avail && !db.gridAlias.contains(g) &&
+                !deliveredGridNames.contains(g))
+              gridsKnown = false
+          }
           if (!opts.displayOnly)
             throw graft.core.ProjError(graft.core.ProjErr.INVALID_OP, s"PROJ-string method not supported: $str")
           // display surface: keep the raw PROJ-string operation's own steps
@@ -630,6 +702,11 @@ object OpFactory {
       val code = s.substring(1)
       opsByCode.get(code) match {
         case Some(o) if o.kind != 'C' && o.kind != 'S' => hops += Hop(o, stepInv)
+        case Some(o) if o.kind == 'S' && displayOnly =>
+          // raw PROJ-string steps (NKG deformation legs) materialize on the
+          // display surface — the structural candidate answer the reference
+          // gives even when the step's network grids are unavailable
+          hops += Hop(o, stepInv)
         case None if displayOnly && EpsgMeta.meta.convs.contains(code) =>
           // conversion legs (projection to/from the projected-space op's own
           // CRSs) are implied by the neighbouring op's wrap in assemble
@@ -644,7 +721,11 @@ object OpFactory {
   private def allowedAuth(op: Op, opts: Options): Boolean = opts.authority match {
     case Some("any") => true
     case Some(a) => op.auth == a
-    case None => op.auth == "EPSG" || op.auth == "PROJ" ||
+    // NKG appends itself to the EPSG<->EPSG authority preference
+    // (reference data/sql/nkg_post_customizations.sql: allowed_authorities
+    // 'PROJ,EPSG' -> 'PROJ,EPSG,NKG'), so NKG operations are candidates
+    // for plain EPSG pairs even though their grids are network-only
+    case None => op.auth == "EPSG" || op.auth == "PROJ" || op.auth == "NKG" ||
       opts.implicitAuths.contains(op.auth)
   }
 
@@ -657,7 +738,25 @@ object OpFactory {
       !db.gridAlias.contains(o.extras.getOrElse("grid", "")))
 
   private def usableOps(a: String, b: String, opts: Options): Vector[Hop] = {
-    val all0 = db.opsBetween(a, b).collect {
+    // A datum-ensemble end also matches operations registered against its
+    // member realizations (e.g. ITRF2014 to ETRS89-DNK qualifies for a
+    // plain ETRS89 target), but ONLY under the reference's
+    // createOperationsEnsembleCRSToOtherGeodCRS gates
+    // (coordinateoperationfactory.cpp:4520-4547): exactly one side is an
+    // ensemble, the other side's datum is not one of its members, and
+    // never for the GDA94/GDA2020 <-> WGS 84 pairs, whose hand-tuned
+    // direct operations must keep winning.
+    val aM = db.ensembleMembers.getOrElse(a, Nil)
+    val bM = db.ensembleMembers.getOrElse(b, Nil)
+    val gdaDatums = Set("EPSG:6283", "EPSG:1168") // GDA94, GDA2020
+    val isGdaWgs = (gdaDatums.contains(a) && b == "EPSG:6326") ||
+      (a == "EPSG:6326" && gdaDatums.contains(b))
+    val expand = (aM.nonEmpty != bM.nonEmpty) &&
+      !aM.contains(b) && !bM.contains(a) && !isGdaWgs
+    val keysA = if (expand) a +: aM else Seq(a)
+    val keysB = if (expand) b +: bM else Seq(b)
+    val all0 = (for (x <- keysA; y <- keysB; p <- db.opsBetween(x, y))
+      yield p).distinct.toVector.collect {
       case (op, inv) if !op.deprecated &&
         allowedAuth(op, opts) && op.kind != 'S' => Hop(op, inv)
     }
@@ -711,7 +810,8 @@ object OpFactory {
                               /** hops driving the extent (a compound
                                 * operation's area of use follows its
                                 * horizontal transformation) */
-                              extentHops: Option[Seq[Hop]] = None): Option[Candidate] =
+                              extentHops: Option[Seq[Hop]] = None,
+                              identOp: Option[Hop] = None): Option[Candidate] =
     try {
       val (pipe, grids, n, known) = assemble(src, dst, hops, opts)
       // an empty intersection of hop extents invalidates the combination
@@ -729,20 +829,24 @@ object OpFactory {
         intersect(acc, h.op.bbox)
       }
       if (disjoint) return None
-      val bbox = extentHops.getOrElse(hops).foldLeft(Option.empty[Bbox])(
-        (acc, h) => intersect(acc, h.op.bbox))
-      val acc = hops.map(_.op.accuracy).foldLeft(0.0) { (s, x) =>
-        if (s < 0 || x < 0) -1.0 else s + x
-      }
+      val bbox = identOp.map(_.op.bbox).getOrElse(
+        extentHops.getOrElse(hops).foldLeft(Option.empty[Bbox])(
+          (acc, h) => intersect(acc, h.op.bbox)))
+      val acc = identOp.map(_.op.accuracy).getOrElse(
+        hops.map(_.op.accuracy).foldLeft(0.0) { (s, x) =>
+          if (s < 0 || x < 0) -1.0 else s + x
+        })
       val name = if (hopName.nonEmpty) hopName
         else if (hops.isEmpty) nullOpName(src, dst) else hopName
-      Some(Candidate(name, if (hops.isEmpty) 0.0 else acc,
+      Some(Candidate(name, if (hops.isEmpty && identOp.isEmpty) 0.0 else acc,
         boxesOf(bbox), pseudoArea(bbox),
-        hops.headOption.map(_.op.areaName).getOrElse(""), grids,
+        identOp.map(_.op.areaName).getOrElse(
+          hops.headOption.map(_.op.areaName).getOrElse("")), grids,
         ballpark = false, ballparkVertical = ballparkVertical,
         hopCount.getOrElse(hops.length max 1), pipe,
         projSteps = n, gridsKnown = known,
-        dispHops = hops.map(h => (h.op, h.inv))))
+        dispHops = hops.map(h => (h.op, h.inv)),
+        identOp = identOp.map(h => (h.op, h.inv))))
     } catch { case _: graft.core.ProjError => None }
 
   // --------------------------------------------------- vertical legs
@@ -990,19 +1094,39 @@ object OpFactory {
     // two distinct member realizations of one ensemble are distinct datums
     // (reference isSameGeodeticDatum): direct registry ops when any exist,
     // else the pivot search below — never a synthesized null offset
-    val horizSeqs: Vector[(Seq[Hop], String)] =
-      if (db.sameDatum(a, b)) Vector((Nil, ""))
+    val horizSeqs: Vector[(Seq[Hop], String, Option[Hop])] =
+      if (db.sameDatum(a, b)) Vector((Nil, "", None))
       else usableOps(a, b, opts).flatMap { h =>
-        if (h.op.kind == 'C') expandConcat(h.op, h.inv, opts.displayOnly).map((_, h.name))
-        else Some((Seq(h), h.name))
+        if (h.op.kind == 'C')
+          expandConcat(h.op, h.inv, opts.displayOnly).map((_, h.name, Some(h)))
+        else Some((Seq(h), h.name, None))
       }
 
-    def combine(seqs: Vector[(Seq[Hop], String)]): Vector[Candidate] =
-      (for ((hs, hn) <- seqs; vp <- plans;
+    // a registered concatenated operation keeps its registry identity only
+    // when it applies between the query CRSs' own forms: the reference's
+    // registry lookups are CRS-coded, so a geog2D query served through
+    // geocentric conversion legs yields a synthesized in-memory operation
+    // ("unknown id" + step names — e.g. WGS 84 (G1150) -> (G2296) geog2D
+    // never surfaces PROJ:WGS_84_G1150_TO_WGS_84_G2296), while a
+    // same-form query keeps the id even across ensemble-member datums
+    // (EPSG:7789 -> EPSG:4936 lists EPSG:10894 under its own identity)
+    def keepsIdentity(h: Hop): Boolean = {
+      val (sCode, dCode) =
+        if (h.inv) (h.op.dstCrs, h.op.srcCrs) else (h.op.srcCrs, h.op.dstCrs)
+      def formOk(end: Resolved, c: String): Boolean =
+        end.projBody.isEmpty && db.geodetic.get(c).exists(_.kind == end.kind)
+      formOk(src, sCode) && formOk(dst, dCode)
+    }
+
+    def combine(seqs: Vector[(Seq[Hop], String, Option[Hop])]): Vector[Candidate] =
+      (for ((hs, hn, ident) <- seqs; vp <- plans;
             c <- hopsToCandidate(src, dst, vp.pre ++ hs ++ vp.post,
               nameOf(hn, vp), opts, ballparkVertical = vp.ballparkVertical,
               hopCount = Some(hs.length + vp.pre.length + vp.post.length max 1),
-              extentHops = if (hs.nonEmpty) Some(hs) else None))
+              extentHops = if (hs.nonEmpty) Some(hs) else None,
+              // a vertical leg makes the composition synthetic again
+              identOp = if (vp.pre.isEmpty && vp.post.isEmpty)
+                ident.filter(keepsIdentity) else None))
         yield c).filter(keep)
 
     val direct: Vector[Candidate] = combine(horizSeqs)
@@ -1035,7 +1159,7 @@ object OpFactory {
         Vector.empty
       else combine(pivotHops(a, b, opts, src.name, dst.name,
         bothGeographic = src.isLongLat && dst.isLongLat)
-        .map { case (hops, nm) => (hops, nm) })
+        .map { case (hops, nm) => (hops, nm, None) })
 
     // ballpark vertical transformation: always an alternative against an
     // ellipsoidal side; between two vertical datums the reference only
@@ -1045,7 +1169,7 @@ object OpFactory {
       if (!hasVert || !opts.allowBallpark || sameVertCode || vertBlocked2D ||
           (vertVert && (direct.exists(!_.ballparkVertical) ||
             viaPivot.exists(!_.ballparkVertical)))) Vector.empty
-      else (for ((hs, hn) <- horizSeqs;
+      else (for ((hs, hn, _) <- horizSeqs;
                  c <- hopsToCandidate(src, dst, hs, "", opts,
                    ballparkVertical = true, hopCount = Some(hs.length max 1)))
         yield c.copy(name = nameOf(hn, VBallpark), accuracy = -1.0))

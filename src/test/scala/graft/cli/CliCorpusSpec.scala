@@ -155,8 +155,7 @@ class CliCorpusSpec extends AnyFunSuite {
   private val projinfoSkips: Map[Int, String] = {
     def at(ids: Seq[Int], why: String) = ids.map(_ -> why)
     (at(Seq(47), "--searchpaths is environment-specific") ++
-      at(Seq(48, 49), "--remote-data reports network state") ++
-      at(Seq(64), "NKG authority excluded from the sidecar (network-grid ops)")).toMap
+      at(Seq(48, 49), "--remote-data reports network state")).toMap
   }
 
   test("test_projinfo: CRS description and operation queries") {
