@@ -340,6 +340,74 @@ object OracleSql {
       CAST(round(v*1e9) AS BIGINT) AS v_nano
     FROM fc ORDER BY point_id"""
 
+  // ----------------------------------------- geo_range_partition (full s2 id)
+
+  /** Full 64-bit s2 cell id mirror: face/(u,v) as in [[geoS2Cells]], the
+    * quadratic uv->st transform, st->ij discretization, then the Hilbert
+    * curve as a 30-step recursive CTE over the published 4-entry traversal
+    * tables (posToIJ / posToOrientation, inverted to (orientation, ij) ->
+    * (pos, next orientation) — 16 literal rows). Independent of the
+    * implementation's 4-bit lookup-table machinery. The range-partition
+    * invariants (sorted-within, disjoint ranges) are computed Spark-side
+    * from the actual partition layout; this oracle pins them at zero and
+    * recomputes rows / distinct / exact min and max of the key. */
+  def geoRangePartition: String =
+    s"""WITH RECURSIVE $ptsCte,
+    xyz AS (
+      SELECT point_id,
+        cos(lat/180.0*pi())*cos(lon/180.0*pi()) AS x,
+        cos(lat/180.0*pi())*sin(lon/180.0*pi()) AS y,
+        sin(lat/180.0*pi()) AS z
+      FROM pts),
+    fc AS (
+      SELECT point_id, x, y, z,
+        CASE WHEN abs(x) > abs(y) THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
+             WHEN abs(y) > abs(z) THEN 1 ELSE 2 END AS f0,
+        CASE WHEN f0 = 0 AND x < 0 THEN 3
+             WHEN f0 = 1 AND y < 0 THEN 4
+             WHEN f0 = 2 AND z < 0 THEN 5 ELSE f0 END AS face,
+        CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                  WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+        CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                  WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+      FROM xyz),
+    ij AS (
+      SELECT point_id, face,
+        CAST(LEAST(GREATEST(floor(1073741824.0 *
+          (CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END)
+          ), 0), 1073741823) AS BIGINT) AS i,
+        CAST(LEAST(GREATEST(floor(1073741824.0 *
+          (CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END)
+          ), 0), 1073741823) AS BIGINT) AS j
+      FROM fc),
+    hp(o, ij2, pos, no) AS (VALUES
+      (0,0,0,1),(0,1,1,0),(0,2,3,3),(0,3,2,0),
+      (1,0,0,0),(1,2,1,1),(1,3,2,1),(1,1,3,2),
+      (2,3,0,3),(2,2,1,2),(2,0,2,2),(2,1,3,1),
+      (3,3,0,2),(3,1,1,3),(3,0,2,3),(3,2,3,0)),
+    hseq(k, point_id, i, j, o, n) AS (
+      SELECT 29, point_id, i, j, face & 1, CAST(face AS HUGEINT) FROM ij
+      UNION ALL
+      SELECT r.k - 1, r.point_id, r.i, r.j, hp.no, r.n * 4 + hp.pos
+      FROM hseq r JOIN hp ON hp.o = r.o
+        AND hp.ij2 = ((r.i >> r.k) & 1) * 2 + ((r.j >> r.k) & 1)
+      WHERE r.k >= 0),
+    leaf AS (
+      SELECT point_id,
+        CASE WHEN n * 2 + 1 > 9223372036854775807
+             THEN CAST(n * 2 + 1 - 18446744073709551616 AS BIGINT)
+             ELSE CAST(n * 2 + 1 AS BIGINT) END AS id
+      FROM hseq WHERE k = -1),
+    cells AS (
+      SELECT point_id,
+        (id & -(1::BIGINT << 40)) | (1::BIGINT << 40) AS cell
+      FROM leaf)
+    SELECT CAST(0 AS BIGINT) AS sort_violations,
+      CAST(0 AS BIGINT) AS range_overlaps,
+      count(*) AS n_rows, count(DISTINCT cell) AS n_cells,
+      min(cell) AS min_cell, max(cell) AS max_cell
+    FROM cells"""
+
   // ----------------------------------------------------------- geo_gridshift
 
   private val tifNodes: String =

@@ -285,6 +285,41 @@ object SparkEntry {
           round(col("fuv.v") * 1e9).cast("long").as("v_nano"))
     }),
 
+    "geo_range_partition" -> ((s, dir) => {
+      // Hilbert-locality storage partitioning: range-partition on the full
+      // s2 cell id (level 10) and verify the operator contract from the
+      // actual partition layout — every partition internally sorted, the
+      // per-partition [min, max] cell ranges pairwise disjoint, rows
+      // conserved — plus exact global min/max/distinct of the cell key
+      // against a full SQL mirror of the Hilbert curve (quadratic uv->st,
+      // bit-interleave via the published 4-entry traversal tables).
+      val pts = custPoints(s, dir)
+        .withColumn("cell", GeoFunctions.s2Cell(col("lon"), col("lat"), lit(10)))
+      val parted = SpatialJoins.rangePartitionByCell(pts, 8)
+        .select(col("cell"), spark_partition_id().as("pid"),
+          monotonically_increasing_id().as("mid"))
+      val wSort = Window.partitionBy(col("pid")).orderBy(col("mid"))
+      val flagged = parted
+        .withColumn("prev", lag(col("cell"), 1).over(wSort))
+        .withColumn("viol", when(col("prev") > col("cell"), 1L).otherwise(0L))
+      val per = flagged.groupBy(col("pid")).agg(
+        min(col("cell")).as("mn"), max(col("cell")).as("mx"),
+        count(lit(1)).as("n"), sum(col("viol")).as("v"))
+      // range partitioning keeps equal keys together, so consecutive
+      // ranges (by min) must be strictly separated
+      val wRange = Window.orderBy(col("mn"))
+      val chk = per
+        .withColumn("pmax", lag(col("mx"), 1).over(wRange))
+        .withColumn("ovl", when(col("pmax") >= col("mn"), 1L).otherwise(0L))
+      val invariants = chk.agg(
+        sum(col("v")).as("sort_violations"),
+        sum(col("ovl")).as("range_overlaps"),
+        sum(col("n")).as("n_rows"),
+        min(col("mn")).as("min_cell"), max(col("mx")).as("max_cell"))
+      val dist = pts.agg(countDistinct(col("cell")).as("n_cells"))
+      invariants.crossJoin(dist)
+    }),
+
     "geo_tile_qa" -> ((s, dir) => {
       // tile QA metrics: web-mercator distortion factors per point. For the
       // spherical webmerc kernel the parallel scale is exactly sec(lat), so
@@ -1071,6 +1106,7 @@ object SparkEntry {
     "geo_utm_native" -> OracleSql.geoUtmNative,
     "geo_s2_cells" -> OracleSql.geoS2Cells,
     "geo_gridshift" -> OracleSql.geoGridshift,
+    "geo_range_partition" -> OracleSql.geoRangePartition,
     "geo_geoid" -> OracleSql.geoGeoid,
     "geo_geodesic_meridian" -> OracleSql.geoGeodesicMeridian,
     "geo_knn_geodesic" -> OracleSql.geoKnnGeodesic,
