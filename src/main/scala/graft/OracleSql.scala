@@ -408,6 +408,136 @@ object OracleSql {
       min(cell) AS min_cell, max(cell) AS max_cell
     FROM cells"""
 
+  // --------------------------------------------- geo_global_hex (ISEA mirror)
+
+  /** Full SQL mirror of the ISEA forward projection (Snyder 1992 equations
+    * 5-14, plane mode, standard ISEA orientation) + the flat-top axial hex
+    * binning: coordinate-frame rotation, 20-face search (first face whose
+    * great-circle distance passes both the circumradius and the in-triangle
+    * azimuth gate), the closed-form equal-area mapping, the unfolded-plane
+    * triangle layout, semi-major-axis scaling, then cube-rounded hex
+    * assignment. Constants are Snyder's published values; the face table
+    * (center sin/cos/lon, azimuth adjustment, flip, plane offsets) is
+    * generated from the same published geometry. */
+  def geoGlobalHex: String = {
+    val DEG120 = 2.09439510239319549229
+    val E = 0.91843818701052843323
+    val F = 0.18871053078356206978
+    val G = 0.6523581397843681859886783
+    val TANG = 0.76393202250021030358019673567
+    val TAN30 = 0.57735026918962576450914878
+    val COTT = 1.0 / TAN30
+    val COSG = 0.80901699437494742410229341718281905886
+    val SIN_G = 0.587785252292473129168705954639072768597652
+    val COS_SDC = 0.7946544722917661229596057297879189448539
+    val SGCS = SIN_G * COS_SDC
+    val SQRT3 = 1.73205080756887729352744634150587236694280525381038
+    val RP = 0.9103832815095032
+    val STD_LAT = 1.01722196792335072101
+    val STD_LON = 0.19634954084936207740
+    val D2R = math.Pi / 180.0
+    val TABLE_G = TANG * (SQRT3 / 2.0)
+    val TABLE_H = 0.25 * TANG
+    val A36 = D2R * 36
+    val RPT2 = RP * RP * TANG * TANG
+    val RPTANG = RP * TANG
+    val TWORP = 2.0 * RP
+    val beta = STD_LON + math.Pi
+    val sinA = math.sin(STD_LAT); val cosA = math.cos(STD_LAT)
+    val zmax = G + 0.000005
+    val faces = (0 until 20).map { i =>
+      val clatR = if (i < 5) E else if (i < 10) F else if (i < 15) -F else -E
+      val lonDeg = Array(-144.0, -72.0, 0.0, 72.0, 144.0)(i % 5) +
+        (if (i >= 10) 36.0 else 0.0)
+      val lonAdj = if (lonDeg > 180.0) lonDeg - 360.0 else lonDeg // 144+36=180
+      val clon = lonAdj * D2R
+      val adj = if ((i >= 5 && i <= 9) || i == 15 || i == 16) math.Pi
+        else if (i >= 17) -math.Pi else 0.0
+      val flip = if ((i / 5) % 2 == 1) -1.0 else 1.0
+      var cx = TABLE_G * ((i % 5) - 2) * 2.0
+      if (i > 9) cx += TABLE_G
+      val cy = (i / 5) match {
+        case 0 => 5.0 * TABLE_H; case 1 => TABLE_H
+        case 2 => -TABLE_H; case _ => -5.0 * TABLE_H
+      }
+      s"($i,${math.sin(clatR)},${math.cos(clatR)},$clon,$adj,$flip,${cx * RP},${cy * RP})"
+    }.mkString(",")
+    val size = 500000.0
+    s"""WITH $ptsCte,
+    faces(fi, slat, clat, clon, adj, flip, tcx, tcy) AS (VALUES $faces),
+    pr AS (
+      SELECT point_id, lat*(pi()/180.0) AS phi, lon*(pi()/180.0) AS lam
+      FROM pts),
+    ct AS (
+      SELECT point_id,
+        asin(LEAST(GREATEST(
+          $sinA*sin(phi) - $cosA*cos(phi)*cos(lam - $beta), -1.0), 1.0)) AS plat,
+        atan2(cos(phi)*sin(lam - $beta),
+              $sinA*cos(phi)*cos(lam - $beta) + $cosA*sin(phi)) + $beta AS l0
+      FROM pr),
+    ct2 AS (
+      SELECT point_id, plat,
+        (l1 - $STD_LON) - 2*pi()*floor(((l1 - $STD_LON) + pi())/(2*pi())) AS plon
+      FROM (SELECT point_id, plat,
+              l0 - 2*pi()*floor((l0 + pi())/(2*pi())) AS l1 FROM ct)),
+    fx AS (
+      SELECT p.point_id, f.fi, f.flip, f.tcx, f.tcy,
+        acos(LEAST(GREATEST(
+          f.slat*sin(p.plat) + f.clat*(cos(p.plat)*cos(p.plon - f.clon)),
+          -1.0), 1.0)) AS z,
+        atan2(cos(p.plat)*sin(p.plon - f.clon),
+              f.clat*sin(p.plat) - f.slat*(cos(p.plat)*cos(p.plon - f.clon)))
+          - f.adj AS az0
+      FROM ct2 p CROSS JOIN faces f),
+    fy AS (
+      SELECT *, az0 + (CASE WHEN az0 < 0 THEN 2*pi() ELSE 0 END) AS az1
+      FROM fx WHERE z <= $zmax),
+    fw AS (
+      SELECT *, az1 - m*$DEG120 AS azr FROM (
+        SELECT *,
+          CASE WHEN az1 > 2*$DEG120 + 2.220446049250313e-16 THEN 2
+               WHEN az1 > $DEG120 + 2.220446049250313e-16 THEN 1
+               ELSE 0 END AS m
+        FROM fy)),
+    sel AS (
+      SELECT *, row_number() OVER (PARTITION BY point_id ORDER BY fi) AS rn
+      FROM (SELECT *, atan2($TANG, cos(azr) + sin(azr)*$COTT) AS qq FROM fw)
+      WHERE z <= qq + 0.000005),
+    sny AS (
+      SELECT point_id, fi, flip, tcx, tcy, z, m, azr, qq,
+        azr + $A36 + acos(LEAST(GREATEST(
+          sin(azr)*$SGCS - cos(azr)*$COSG, -1.0), 1.0)) - pi() AS ag
+      FROM sel WHERE rn = 1),
+    sny3 AS (
+      SELECT *, atan2(2.0*ag, $RPT2 - 2.0*ag*$COTT) AS azp FROM sny),
+    sny5 AS (
+      SELECT point_id, flip, tcx, tcy,
+        ($TWORP*(($RPTANG/(cos(azp) + sin(azp)*$COTT))
+          / ($TWORP*sin(qq/2.0))))*sin(z/2.0) AS rho,
+        azp + $DEG120*m AS azp2
+      FROM sny3),
+    pl AS (
+      SELECT point_id,
+        (flip*(rho*sin(azp2)) + tcx) * 6378137.0 AS px,
+        (flip*(rho*cos(azp2)) + tcy) * 6378137.0 AS py
+      FROM sny5),
+    hx AS (
+      SELECT point_id, px, py,
+        (2.0/3.0*px)/$size AS fq,
+        (-1.0/3.0*px + sqrt(3.0)/3.0*py)/$size AS fr,
+        -fq - fr AS fs,
+        floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr, floor(fs + 0.5) AS rs,
+        abs(rq - fq) AS dq, abs(rr - fr) AS dr, abs(rs - fs) AS ds
+      FROM pl)
+    SELECT point_id,
+      CAST(round(px*1000) AS BIGINT) AS x_mm,
+      CAST(round(py*1000) AS BIGINT) AS y_mm,
+      CAST(CASE WHEN dq > dr AND dq > ds THEN -rr - rs ELSE rq END AS BIGINT) AS q,
+      CAST(CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds
+                THEN -rq - rs ELSE rr END AS BIGINT) AS r
+    FROM hx ORDER BY point_id"""
+  }
+
   // ----------------------------------------------------------- geo_gridshift
 
   private val tifNodes: String =

@@ -320,6 +320,25 @@ object SparkEntry {
       invariants.crossJoin(dist)
     }),
 
+    "geo_global_hex" -> ((s, dir) => {
+      // global equal-area hex cells: lon/lat -> ISEA (icosahedral Snyder
+      // equal-area, plane mode) -> flat-top axial hex at 500 km — the
+      // honest H3 alternative. Oracled per point against a full SQL mirror
+      // of the Snyder forward (20-face search + closed-form equal-area
+      // mapping + unfolded-plane layout), both the plane coordinates (mm)
+      // and the hex assignment.
+      val size = 500000.0
+      custPoints(s, dir)
+        .withColumn("isea", ProjFunctions.projTrans2(col("lon"), col("lat"),
+          "proj=isea ellps=WGS84"))
+        .withColumn("cell",
+          GeoFunctions.globalHexCell(col("lon"), col("lat"), lit(size)))
+        .select(col("point_id"),
+          mm(col("isea.x")).as("x_mm"), mm(col("isea.y")).as("y_mm"),
+          col("cell.q").cast("long").as("q"), col("cell.r").cast("long").as("r"))
+        .orderBy("point_id")
+    }),
+
     "geo_tile_qa" -> ((s, dir) => {
       // tile QA metrics: web-mercator distortion factors per point. For the
       // spherical webmerc kernel the parallel scale is exactly sec(lat), so
@@ -1107,6 +1126,7 @@ object SparkEntry {
     "geo_s2_cells" -> OracleSql.geoS2Cells,
     "geo_gridshift" -> OracleSql.geoGridshift,
     "geo_range_partition" -> OracleSql.geoRangePartition,
+    "geo_global_hex" -> OracleSql.geoGlobalHex,
     "geo_geoid" -> OracleSql.geoGeoid,
     "geo_geodesic_meridian" -> OracleSql.geoGeodesicMeridian,
     "geo_knn_geodesic" -> OracleSql.geoKnnGeodesic,
