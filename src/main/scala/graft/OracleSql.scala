@@ -1131,6 +1131,44 @@ object OracleSql {
     * polynomial sums each block's raster positions analytically
     * (sum over an 8x8 block at (bx,by) of (row*W + col + 1) =
     * 64*(by*8*W + bx*8 + 1) + 224*W + 224). */
+  /** Progressive-JPEG mirror: three LCG draws per block (dc, a1, a2). The
+    * AC bases at natural (4,0) and (4,4) contribute exactly ±2*a per pixel
+    * with the (+,-,-,+,+,-,-,+) column/checker pattern, which is
+    * orthogonal to the constant and global-linear folds (their block sums
+    * are 41616*v-only like the baseline) but shows in px_chk through the
+    * quadratic in-block weight: sum s(x)*(1+x)^2 = 8, sum (1+y)^2 = 204,
+    * so each block adds 41616*v + 3264*a1 + 128*a2. */
+  def mediaJpegProg: String =
+    s"""WITH RECURSIVE jpg AS (
+      SELECT doc_id,
+        CAST(8 * (1 + doc_id % 6) AS BIGINT) AS w,
+        CAST(8 * (1 + (doc_id*7) % 6) AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 = 0),
+    gen AS (
+      SELECT doc_id, w, h, (w//8)*(h//8) AS nb, CAST(0 AS BIGINT) AS k,
+             CAST(doc_id AS HUGEINT) AS s,
+             CAST(0 AS BIGINT) AS px_sum, CAST(0 AS BIGINT) AS px_poly,
+             CAST(0 AS BIGINT) AS px_chk
+      FROM jpg
+      UNION ALL
+      SELECT doc_id, w, h, nb, k + 1, s3,
+        px_sum + 64 * v,
+        (px_poly + v * (64 * ((k // (w//8)) * 8 * w + (k % (w//8)) * 8 + 1)
+                        + 224 * w + 224)) % 1000000007,
+        (px_chk + 41616 * v + 3264 * a1 + 128 * a2) % 1000000007
+      FROM (
+        SELECT doc_id, w, h, nb, k, px_sum, px_poly, px_chk,
+          (s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616 AS s1,
+          (s1 * 6364136223846793005 + 1442695040888963407) % 18446744073709551616 AS s2,
+          (s2 * 6364136223846793005 + 1442695040888963407) % 18446744073709551616 AS s3,
+          CAST(s1 // 72057594037927936 AS BIGINT) % 193 - 96 + 128 AS v,
+          CAST(s2 // 72057594037927936 AS BIGINT) % 13 - 6 AS a1,
+          CAST(s3 // 72057594037927936 AS BIGINT) % 13 - 6 AS a2
+        FROM gen WHERE k < nb) t)
+    SELECT doc_id, w * h AS n_px, px_sum, px_poly, px_chk
+    FROM gen WHERE k = nb
+    ORDER BY doc_id"""
+
   def mediaJpeg: String =
     s"""WITH RECURSIVE jpg AS (
       SELECT doc_id,

@@ -917,6 +917,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "media_jpeg_prog" -> ((s, dir) => {
+      // CONTENT-deep progressive JPEG (ITU T.81 §G): encode a real
+      // four-scan SOF2 stream per doc (DC first/refine with successive
+      // approximation, AC first with EOBRUN and ZRL, AC refinement with
+      // the correction-bit protocol), decode it through the multi-scan
+      // coefficient accumulator + IDCT, and fold per-pixel statistics
+      // including a quadratic in-block weight (px_chk) that sees the AC
+      // coefficients; the oracle regenerates everything from the seed
+      // stream in closed form
+      import graft.spark.MediaFunctions._
+      t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          jpegPixelStatsProg(mediaEncodeJpegProg(col("doc_id"))).as("st"))
+        .select(col("doc_id"), col("st.n_px").as("n_px"),
+          col("st.px_sum").as("px_sum"), col("st.px_poly").as("px_poly"),
+          col("st.px_chk").as("px_chk"))
+        .orderBy("doc_id")
+    }),
+
     "media_samples" -> ((s, dir) => {
       // audio counterpart of media_pixels: real RIFF data-chunk walk +
       // little-endian PCM sample decode, verified per-sample against the
@@ -1205,6 +1225,7 @@ object SparkEntry {
     "media_features" -> OracleSql.mediaFeatures,
     "media_pixels" -> OracleSql.mediaPixels,
     "media_jpeg" -> OracleSql.mediaJpeg,
+    "media_jpeg_prog" -> OracleSql.mediaJpegProg,
     "media_samples" -> OracleSql.mediaSamples,
     // row identity across snapshot commit + compaction: the oracle computes
     // the per-bucket metrics from the SOURCE table; the Spark side reads

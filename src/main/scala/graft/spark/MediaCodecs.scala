@@ -505,7 +505,7 @@ object MediaCodecs {
             compQ(c) = bytes(base + 2) & 0x0f
             c += 1
           }
-        case 0xC2 => return None // progressive unsupported
+        case 0xC2 => return decodeJpegProgressivePixels(bytes) // §G path
         case 0xC4 => // DHT
           var p = pos + 4
           while (p < pos + 2 + len) {
@@ -653,6 +653,604 @@ object MediaCodecs {
           def sample(c: Int): Int = {
             val sx = x * compH(c) / hMax; val sy = y * compV(c) / vMax
             planes(c)(sy * planeW(c) + sx) & 0xff
+          }
+          val yy = sample(0).toDouble
+          val cb = sample(1) - 128.0
+          val cr = sample(2) - 128.0
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          val o = (y * width + x) * 3
+          outPx(o) = clamp(yy + 1.402 * cr)
+          outPx(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          outPx(o + 2) = clamp(yy + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+      Some(outPx)
+    }
+  }
+
+  // ------------------------------------------------- JPEG progressive (§G)
+
+  /** Progressive JFIF encoder (ITU T.81 §G) for the synthetic corpus:
+    * grayscale, 8x8-tiled dims; per block the shared LCG draws a DC value
+    * (dc in [-96, 96], quantizer 8) and two AC coefficients a1 at natural
+    * (u=4, v=0) and a2 at (u=4, v=4) (each in [-6, 6], quantizer 16) whose
+    * IDCT basis values are exactly ±1/2, so every pixel is the integer
+    * dc + 128 + 2*a1*s(x) + 2*a2*s(x)*s(y) with s = (+,-,-,+,+,-,-,+) —
+    * closed-form for the DuckDB oracle. Four scans exercise the §G
+    * toolbox: DC first (Al=1, signed size categories), AC first (spectral
+    * selection 1..63, Al=1) with EOBRUN and ZRL, DC refinement (one raw
+    * bit per block), AC refinement (Ah=1) with newly-nonzero coding, ZRL
+    * over zero-history runs and correction bits buffered across EOB runs
+    * (the two-counter protocol: run-local bits flush after each symbol,
+    * EOB-owned bits flush after the EOBn code). Huffman tables are
+    * canonical, built from the emitted symbol set. */
+  def encodeJpegProgressive(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0)
+    val nBlocks = (width / 8) * (height / 8)
+    val dc = new Array[Int](nBlocks)
+    val a1 = new Array[Int](nBlocks)
+    val a2 = new Array[Int](nBlocks)
+    var s = seed
+    var k = 0
+    while (k < nBlocks) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      dc(k) = (((s >>> 56) & 0xff).toInt % 193) - 96
+      s = s * 6364136223846793005L + 1442695040888963407L
+      a1(k) = (((s >>> 56) & 0xff).toInt % 13) - 6
+      s = s * 6364136223846793005L + 1442695040888963407L
+      a2(k) = (((s >>> 56) & 0xff).toInt % 13) - 6
+      k += 1
+    }
+    val kz1 = zigzag.indexOf(4) // (u=4, v=0)
+    val kz2 = zigzag.indexOf(36) // (u=4, v=4)
+
+    /** bit sink: collect mode records Huffman symbols, real mode writes. */
+    final class Emitter(real: Boolean) {
+      val dcSyms = scala.collection.mutable.SortedSet.empty[Int]
+      val acSyms = scala.collection.mutable.SortedSet.empty[Int]
+      var dcCodes: Map[Int, (Int, Int)] = null
+      var acCodes: Map[Int, (Int, Int)] = null
+      val body = new java.io.ByteArrayOutputStream()
+      private var bitBuf = 0; private var bitCnt = 0
+      def putBits(v: Int, n: Int): Unit = if (real) {
+        var i = n - 1
+        while (i >= 0) {
+          bitBuf = (bitBuf << 1) | ((v >> i) & 1); bitCnt += 1
+          if (bitCnt == 8) {
+            body.write(bitBuf)
+            if (bitBuf == 0xff) body.write(0x00)
+            bitBuf = 0; bitCnt = 0
+          }
+          i -= 1
+        }
+      }
+      def huffDc(v: Int): Unit =
+        if (real) { val (c, l) = dcCodes(v); putBits(c, l) } else dcSyms += v
+      def huffAc(v: Int): Unit =
+        if (real) { val (c, l) = acCodes(v); putBits(c, l) } else acSyms += v
+      /** pad the trailing partial byte with 1s (scan end). */
+      def flushByte(): Unit = if (real && bitCnt > 0) {
+        bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+        body.write(bitBuf)
+        if (bitBuf == 0xff) body.write(0x00)
+        bitBuf = 0; bitCnt = 0
+      }
+    }
+
+    def sizeCat(v: Int): Int = {
+      var cat = 0; var mag = math.abs(v)
+      while (mag != 0) { cat += 1; mag >>= 1 }
+      cat
+    }
+
+    def dcFirstScan(e: Emitter): Unit = {
+      var pred = 0; var b = 0
+      while (b < nBlocks) {
+        val v = dc(b) >> 1 // DC point transform: arithmetic shift (§G.1.2.1)
+        var diff = v - pred; pred = v
+        val cat = sizeCat(diff)
+        e.huffDc(cat)
+        if (cat > 0) {
+          if (diff < 0) diff += (1 << cat) - 1
+          e.putBits(diff, cat)
+        }
+        b += 1
+      }
+    }
+
+    def dcRefineScan(e: Emitter): Unit = {
+      var b = 0
+      while (b < nBlocks) { e.putBits(dc(b) & 1, 1); b += 1 }
+    }
+
+    def acFirstScan(e: Emitter): Unit = {
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        var r = 0
+        while ((eobrun >> (r + 1)) != 0) r += 1
+        e.huffAc(r << 4)
+        if (r > 0) e.putBits(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      var b = 0
+      while (b < nBlocks) {
+        // AC point transform truncates toward zero (§G.1.2.2)
+        val at1 = a1(b) / 2; val at2 = a2(b) / 2
+        if (at1 == 0 && at2 == 0) {
+          eobrun += 1
+          if (eobrun == 32767) flushEob()
+        } else {
+          flushEob()
+          var prevK = 0
+          def coefCode(kz: Int, v: Int): Unit = {
+            var run = kz - prevK - 1
+            while (run > 15) { e.huffAc(0xF0); run -= 16 }
+            val sz = sizeCat(v)
+            e.huffAc((run << 4) | sz)
+            var d = v
+            if (d < 0) d += (1 << sz) - 1
+            e.putBits(d, sz)
+            prevK = kz
+          }
+          if (at1 != 0) coefCode(kz1, at1)
+          if (at2 != 0) coefCode(kz2, at2)
+          eobrun += 1 // kz2 < 63: the block always closes with an EOB
+        }
+        b += 1
+      }
+      flushEob()
+    }
+
+    def acRefineScan(e: Emitter): Unit = {
+      var eobrun = 0
+      val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var be = 0 // prefix of `pending` owned by the outstanding EOB run
+      def flushEobIfAny(): Unit = if (eobrun > 0) {
+        var r = 0
+        while ((eobrun >> (r + 1)) != 0) r += 1
+        e.huffAc(r << 4)
+        if (r > 0) e.putBits(eobrun - (1 << r), r)
+        var i = 0
+        while (i < be) { e.putBits(pending(i), 1); i += 1 }
+        pending.remove(0, be); be = 0
+        eobrun = 0
+      }
+      def flushRun(): Unit = { // run-local correction bits (after a symbol)
+        pending.foreach(bit => e.putBits(bit, 1))
+        pending.clear(); be = 0
+      }
+      var b = 0
+      while (b < nBlocks) {
+        var r = 0
+        var kk = 1
+        while (kk <= 63) {
+          val v = if (kk == kz1) a1(b) else if (kk == kz2) a2(b) else 0
+          val mag = math.abs(v)
+          if (mag == 0) r += 1
+          else if (mag > 1) pending += (mag & 1) // history nonzero: correction
+          else { // newly nonzero (±1)
+            flushEobIfAny()
+            while (r > 15) { e.huffAc(0xF0); flushRun(); r -= 16 }
+            e.huffAc((r << 4) | 1)
+            e.putBits(if (v > 0) 1 else 0, 1)
+            flushRun()
+            r = 0
+          }
+          kk += 1
+        }
+        eobrun += 1 // tail 40..63 is always zero-history here
+        be = pending.length
+        if (eobrun == 32767) flushEobIfAny()
+        b += 1
+      }
+      flushEobIfAny()
+    }
+
+    // pass 1: collect the symbol sets; build canonical tables
+    val probe = new Emitter(real = false)
+    dcFirstScan(probe); acFirstScan(probe); acRefineScan(probe)
+    def canonical(vals: Seq[Int], len: Int): (Array[Int], Array[Int], Map[Int, (Int, Int)]) = {
+      require(vals.size < (1 << len) - 1) // keep the all-ones code unused
+      val bits = Array.fill(16)(0); bits(len - 1) = vals.size
+      val codes = vals.zipWithIndex.map { case (v, i) => v -> (i, len) }.toMap
+      (bits, vals.toArray, codes)
+    }
+    val dcVals = if (probe.dcSyms.isEmpty) Seq(0) else probe.dcSyms.toSeq
+    val acVals = if (probe.acSyms.isEmpty) Seq(0) else probe.acSyms.toSeq
+    val (dcBits, dcHv, dcCodes) = canonical(dcVals, 4)
+    val (acBits, acHv, acCodes) = canonical(acVals, 6)
+
+    val out = new java.io.ByteArrayOutputStream()
+    def b8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { b8(v >> 8); b8(v) }
+    u16(0xFFD8)
+    u16(0xFFE0); u16(16); out.write("JFIF".getBytes("ASCII")); b8(0)
+    u16(0x0101); b8(0); u16(1); u16(1); b8(0); b8(0)
+    u16(0xFFDB); u16(2 + 1 + 64); b8(0)
+    for (i <- 0 until 64) b8(if (i == 0) 8 else 16)
+    u16(0xFFC2); u16(8 + 3); b8(8); u16(height); u16(width) // SOF2
+    b8(1); b8(1); b8(0x11); b8(0)
+    u16(0xFFC4); u16(2 + (1 + 16 + dcHv.length) + (1 + 16 + acHv.length))
+    b8(0x00); dcBits.foreach(b8); dcHv.foreach(b8)
+    b8(0x10); acBits.foreach(b8); acHv.foreach(b8)
+    def sos(ss: Int, se: Int, ah: Int, al: Int)(scan: Emitter => Unit): Unit = {
+      u16(0xFFDA); u16(6 + 2)
+      b8(1); b8(1); b8(0x00); b8(ss); b8(se); b8((ah << 4) | al)
+      val e = new Emitter(real = true)
+      e.dcCodes = dcCodes; e.acCodes = acCodes
+      scan(e); e.flushByte()
+      out.write(e.body.toByteArray)
+    }
+    sos(0, 0, 0, 1)(dcFirstScan) // DC first, successive approximation
+    sos(1, 63, 0, 1)(acFirstScan) // AC first, spectral selection
+    sos(0, 0, 1, 0)(dcRefineScan) // DC refinement
+    sos(1, 63, 1, 0)(acRefineScan) // AC refinement
+    u16(0xFFD9)
+    out.toByteArray
+  }
+
+  /** Progressive (SOF2) decode: accumulates per-block coefficients across
+    * DC/AC first and refinement scans (§G.2: DC successive approximation,
+    * AC spectral selection with EOBRUN, the refinement correction-bit
+    * protocol), then dequantizes and runs the shared IDCT. Interleaved
+    * multi-component DC scans and single-component AC scans per the spec;
+    * grayscale returns luma bytes, 3-component converts YCbCr like the
+    * baseline path. */
+  def decodeJpegProgressivePixels(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+      (bytes(1) & 0xff) != 0xd8) return None
+    val quant = Array.fill(4)(new Array[Int](64))
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var width = 0; var height = 0; var nComp = 0
+    val compId = new Array[Int](4)
+    val compH = new Array[Int](4); val compV = new Array[Int](4)
+    val compQ = new Array[Int](4)
+    var hMax = 1; var vMax = 1; var mcusX = 0; var mcusY = 0
+    var bw: Array[Int] = null // MCU-padded block-grid width per component
+    var bhh: Array[Int] = null
+    var bwN: Array[Int] = null // nominal (non-interleaved) block counts
+    var bhN: Array[Int] = null
+    var coefs: Array[Array[Int]] = null
+    val preds = new Array[Int](4)
+
+    var pos = 2
+    var sawEoi = false
+    while (!sawEoi && pos + 2 <= bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xff) return None
+      val marker = bytes(pos + 1) & 0xff
+      if (marker == 0xD9) sawEoi = true
+      else {
+        if (pos + 4 > bytes.length) return None
+        val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+        if (len < 2) return None
+        marker match {
+          case 0xDB =>
+            var p = pos + 4
+            while (p < pos + 2 + len) {
+              val pq = (bytes(p) & 0xf0) >> 4; val tq = bytes(p) & 0x0f
+              p += 1
+              var i = 0
+              while (i < 64) {
+                quant(tq)(i) =
+                  if (pq == 0) bytes(p + i) & 0xff
+                  else ((bytes(p + 2 * i) & 0xff) << 8) | (bytes(p + 2 * i + 1) & 0xff)
+                i += 1
+              }
+              p += (if (pq == 0) 64 else 128)
+            }
+          case 0xC2 =>
+            height = ((bytes(pos + 5) & 0xff) << 8) | (bytes(pos + 6) & 0xff)
+            width = ((bytes(pos + 7) & 0xff) << 8) | (bytes(pos + 8) & 0xff)
+            nComp = bytes(pos + 9) & 0xff
+            if (nComp != 1 && nComp != 3) return None
+            var c = 0
+            while (c < nComp) {
+              val base = pos + 10 + 3 * c
+              compId(c) = bytes(base) & 0xff
+              compH(c) = (bytes(base + 1) & 0xf0) >> 4
+              compV(c) = bytes(base + 1) & 0x0f
+              compQ(c) = bytes(base + 2) & 0x0f
+              c += 1
+            }
+            hMax = (0 until nComp).map(compH).max
+            vMax = (0 until nComp).map(compV).max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            bw = (0 until nComp).map(c0 => mcusX * compH(c0)).toArray
+            bhh = (0 until nComp).map(c0 => mcusY * compV(c0)).toArray
+            bwN = (0 until nComp).map { c0 =>
+              ((width * compH(c0) + hMax - 1) / hMax + 7) / 8
+            }.toArray
+            bhN = (0 until nComp).map { c0 =>
+              ((height * compV(c0) + vMax - 1) / vMax + 7) / 8
+            }.toArray
+            coefs = (0 until nComp).map(c0 =>
+              new Array[Int](bw(c0) * bhh(c0) * 64)).toArray
+          case 0xC0 | 0xC1 => return None // baseline frame: wrong path
+          case 0xC4 =>
+            var p = pos + 4
+            while (p < pos + 2 + len) {
+              val tc = (bytes(p) & 0xf0) >> 4; val th = bytes(p) & 0x0f
+              val bits = new Array[Int](16)
+              var total = 0
+              var i = 0
+              while (i < 16) { bits(i) = bytes(p + 1 + i) & 0xff; total += bits(i); i += 1 }
+              val vals = new Array[Int](total)
+              i = 0
+              while (i < total) { vals(i) = bytes(p + 17 + i) & 0xff; i += 1 }
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              p += 17 + total
+            }
+          case 0xDA =>
+            if (coefs == null) return None
+            val ns = bytes(pos + 4) & 0xff
+            val scanC = new Array[Int](ns)
+            val scanDc = new Array[Int](ns); val scanAc = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val cid = bytes(pos + 5 + 2 * i) & 0xff
+              var c = -1
+              var j = 0
+              while (j < nComp) { if (compId(j) == cid) c = j; j += 1 }
+              if (c < 0) return None
+              scanC(i) = c
+              scanDc(i) = (bytes(pos + 6 + 2 * i) & 0xf0) >> 4
+              scanAc(i) = bytes(pos + 6 + 2 * i) & 0x0f
+              i += 1
+            }
+            val ss = bytes(pos + 5 + 2 * ns) & 0xff
+            val se = bytes(pos + 6 + 2 * ns) & 0xff
+            val ah = (bytes(pos + 7 + 2 * ns) & 0xf0) >> 4
+            val al = bytes(pos + 7 + 2 * ns) & 0x0f
+            val reader = new BitReader(bytes, pos + 2 + len)
+            if (!decodeProgScan(reader, ns, scanC, scanDc, scanAc,
+              ss, se, ah, al)) return None
+            // resynchronize on the next marker after the entropy data
+            var p = reader.pos
+            while (p + 1 < bytes.length && !((bytes(p) & 0xff) == 0xff && {
+              val n = bytes(p + 1) & 0xff
+              n != 0x00 && (n < 0xd0 || n > 0xd7)
+            })) p += 1
+            pos = p
+          case _ => ()
+        }
+        if (marker != 0xDA) pos += 2 + len
+      }
+
+      def decodeProgScan(reader: BitReader, ns: Int, scanC: Array[Int],
+                         scanDc: Array[Int], scanAc: Array[Int],
+                         ss: Int, se: Int, ah: Int, al: Int): Boolean = {
+        var eobrun = 0
+        java.util.Arrays.fill(preds, 0)
+
+        def dcUnit(si: Int, blk: Int): Boolean = {
+          val c = scanC(si)
+          val base = blk * 64
+          if (ah == 0) {
+            val dcT = dcTabs(scanDc(si))
+            if (dcT == null) return false
+            val cat = reader.decode(dcT)
+            if (cat < 0) return false
+            var diff = if (cat == 0) 0 else reader.bits(cat)
+            if (cat > 0 && diff < (1 << (cat - 1))) diff -= (1 << cat) - 1
+            preds(si) += diff
+            coefs(c)(base) = preds(si) << al
+          } else {
+            if (reader.bits(1) != 0) coefs(c)(base) |= (1 << al)
+          }
+          !reader.eof || true // eof mid-stream surfaces as decode(-1) later
+        }
+
+        def acFirstUnit(c: Int, blk: Int, acT: HuffTable): Boolean = {
+          val base = blk * 64
+          if (eobrun > 0) { eobrun -= 1; return true }
+          var k = ss
+          while (k <= se) {
+            val rs = reader.decode(acT)
+            if (rs < 0) return false
+            val r = rs >> 4; val sz = rs & 0x0f
+            if (sz == 0) {
+              if (r == 15) k += 16
+              else {
+                eobrun = (1 << r) - 1
+                if (r > 0) eobrun += reader.bits(r)
+                k = se + 1
+              }
+            } else {
+              k += r
+              if (k > se) return false
+              var v = reader.bits(sz)
+              if (v < (1 << (sz - 1))) v -= (1 << sz) - 1
+              coefs(c)(base + zigzag(k)) = v << al
+              k += 1
+            }
+          }
+          true
+        }
+
+        def acRefineUnit(c: Int, blk: Int, acT: HuffTable): Boolean = {
+          val base = blk * 64
+          val p1 = 1 << al; val m1 = -1 << al
+          var k = ss
+          if (eobrun == 0) {
+            var broke = false
+            while (k <= se && !broke) {
+              val rs = reader.decode(acT)
+              if (rs < 0) return false
+              var r = rs >> 4; val sz = rs & 0x0f
+              var newVal = 0
+              if (sz != 0) {
+                if (sz != 1) return false // §G.1.2.3: refinement codes s=1 only
+                newVal = if (reader.bits(1) != 0) p1 else m1
+              } else if (r != 15) {
+                eobrun = (1 << r)
+                if (r > 0) eobrun += reader.bits(r)
+                broke = true
+              }
+              if (!broke) {
+                var advancing = true
+                while (k <= se && advancing) {
+                  val z = base + zigzag(k)
+                  if (coefs(c)(z) != 0) {
+                    if (reader.bits(1) != 0 && (coefs(c)(z) & p1) == 0)
+                      coefs(c)(z) += (if (coefs(c)(z) >= 0) p1 else m1)
+                    k += 1
+                  } else {
+                    r -= 1
+                    if (r < 0) advancing = false else k += 1
+                  }
+                }
+                if (newVal != 0 && k <= se) coefs(c)(base + zigzag(k)) = newVal
+                k += 1
+              }
+            }
+          }
+          if (eobrun > 0) {
+            while (k <= se) {
+              val z = base + zigzag(k)
+              if (coefs(c)(z) != 0) {
+                if (reader.bits(1) != 0 && (coefs(c)(z) & p1) == 0)
+                  coefs(c)(z) += (if (coefs(c)(z) >= 0) p1 else m1)
+              }
+              k += 1
+            }
+            eobrun -= 1
+          }
+          true
+        }
+
+        if (ss == 0) {
+          if (se != 0) return false // DC scans carry only coefficient 0
+          if (ns == 1) {
+            val c = scanC(0)
+            var by = 0
+            while (by < bhN(c)) {
+              var bx = 0
+              while (bx < bwN(c)) {
+                if (!dcUnit(0, by * bw(c) + bx)) return false
+                bx += 1
+              }
+              by += 1
+            }
+          } else {
+            var my = 0
+            while (my < mcusY) {
+              var mx = 0
+              while (mx < mcusX) {
+                var si = 0
+                while (si < ns) {
+                  val c = scanC(si)
+                  var v = 0
+                  while (v < compV(c)) {
+                    var h = 0
+                    while (h < compH(c)) {
+                      val blk = (my * compV(c) + v) * bw(c) + mx * compH(c) + h
+                      if (!dcUnit(si, blk)) return false
+                      h += 1
+                    }
+                    v += 1
+                  }
+                  si += 1
+                }
+                mx += 1
+              }
+              my += 1
+            }
+          }
+        } else {
+          if (ns != 1) return false // AC scans are single-component (§G.1)
+          val c = scanC(0)
+          val acT = acTabs(scanAc(0))
+          if (acT == null) return false
+          var by = 0
+          while (by < bhN(c)) {
+            var bx = 0
+            while (bx < bwN(c)) {
+              val ok = if (ah == 0) acFirstUnit(c, by * bw(c) + bx, acT)
+                else acRefineUnit(c, by * bw(c) + bx, acT)
+              if (!ok) return false
+              bx += 1
+            }
+            by += 1
+          }
+        }
+        true
+      }
+    }
+    if (coefs == null || width == 0 || height == 0) return None
+
+    // all scans absorbed: dequantize + IDCT every block, then assemble
+    val planeW = (0 until nComp).map(c => bw(c) * 8).toArray
+    val planes = (0 until nComp).map(c =>
+      new Array[Byte](bw(c) * 8 * bhh(c) * 8)).toArray
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var c = 0
+    while (c < nComp) {
+      val q = quant(compQ(c))
+      var by = 0
+      while (by < bhh(c)) {
+        var bx = 0
+        while (bx < bw(c)) {
+          System.arraycopy(coefs(c), (by * bw(c) + bx) * 64, coef, 0, 64)
+          var i = 0
+          while (i < 64) { tmp(i) = coef(i).toDouble * q(i); i += 1 }
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var sum = 0.0
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                val cx = math.cos((2 * x + 1) * u * math.Pi / 16)
+                while (v < 8) {
+                  val cu = if (u == 0) 0.70710678118654752440 else 1.0
+                  val cv = if (v == 0) 0.70710678118654752440 else 1.0
+                  sum += cu * cv * tmp(v * 8 + u) * cx *
+                    math.cos((2 * y + 1) * v * math.Pi / 16)
+                  v += 1
+                }
+                u += 1
+              }
+              val sVal = math.round(sum / 4 + 128).toInt
+              planes(c)((by * 8 + y) * planeW(c) + bx * 8 + x) =
+                (if (sVal < 0) 0 else if (sVal > 255) 255 else sVal).toByte
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
+
+    if (nComp == 1) {
+      val outPx = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(planes(0), y * planeW(0), outPx, y * width, width)
+        y += 1
+      }
+      Some(outPx)
+    } else {
+      val outPx = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          def sample(c0: Int): Int = {
+            val sx = x * compH(c0) / hMax; val sy = y * compV(c0) / vMax
+            planes(c0)(sy * planeW(c0) + sx) & 0xff
           }
           val yy = sample(0).toDouble
           val cb = sample(1) - 128.0

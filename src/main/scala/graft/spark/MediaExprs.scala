@@ -98,6 +98,41 @@ object MediaKernels {
       case None => null
     }
 
+  /** deterministic progressive (SOF2, §G) JPEG for the content-deep
+    * check: dimensions and coefficient stream derived from the seed. */
+  def encodeJpegProgForSeed(seed: Long): Array[Byte] =
+    MediaCodecs.encodeJpegProgressive(
+      8 * (1 + (seed % 6)).toInt, 8 * (1 + ((seed * 7) % 6)).toInt, seed)
+
+  /** full-content progressive-JPEG check: multi-scan coefficient
+    * accumulation + IDCT, then fold (n_px, px_sum, px_poly, px_chk) where
+    * px_chk weights each pixel by (1+x%8)^2 * (1+y%8)^2 — a quadratic
+    * in-block weight with nonzero inner product against the (4,0)/(4,4)
+    * DCT bases, so AC coefficient errors (invisible to the constant and
+    * global-linear folds) flip the hash. Null when the payload doesn't
+    * decode. */
+  def jpegPixelStatsProg(payload: Array[Byte]): InternalRow = {
+    val width = MediaCodecs.decodeJpeg(payload) match {
+      case Some(info) if info.width > 0 => info.width
+      case _ => return null
+    }
+    MediaCodecs.decodeJpegPixels(payload) match {
+      case Some(px) =>
+        var sum = 0L; var poly = 0L; var chk = 0L; var i = 0
+        while (i < px.length) {
+          val b = px(i) & 0xff
+          val xm = (i % width) % 8; val ym = (i / width) % 8
+          sum += b
+          poly = (poly + b.toLong * (i + 1)) % 1000000007L
+          chk = (chk + b.toLong * ((1 + xm) * (1 + xm) * (1 + ym) * (1 + ym))) %
+            1000000007L
+          i += 1
+        }
+        new GenericInternalRow(Array[Any](px.length.toLong, sum, poly, chk))
+      case None => null
+    }
+  }
+
   /** full-content WAV check: RIFF data-chunk walk + LE int16 decode, then
     * fold (n_smp, smp_sum, smp_poly); null when the payload doesn't
     * decode. */
@@ -295,6 +330,37 @@ case class JpegPixelStatsExpr(payload: Expression) extends MediaStaticCall {
     copy(c(0))
 }
 
+case class MediaEncodeJpegProgExpr(seed: Expression) extends MediaStaticCall {
+  override def children: Seq[Expression] = Seq(seed)
+  override def inputSpec: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def staticCall: String = "encodeJpegProgForSeed"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null else MediaKernels.encodeJpegProgForSeed(a(0).asInstanceOf[Long])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0))
+}
+
+/** content-deep progressive-JPEG stats: multi-scan §G decode + IDCT, fold
+  * (n, sum, poly, chk) — chk uses a quadratic in-block weight that sees
+  * the AC coefficients. */
+case class JpegPixelStatsProgExpr(payload: Expression) extends MediaStaticCall {
+  override def children: Seq[Expression] = Seq(payload)
+  override def inputSpec: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_px", LongType), StructField("px_sum", LongType),
+    StructField("px_poly", LongType), StructField("px_chk", LongType)))
+  override def staticCall: String = "jpegPixelStatsProg"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null else MediaKernels.jpegPixelStatsProg(a(0).asInstanceOf[Array[Byte]])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0))
+}
+
 /** Column API for the media expressions. */
 object MediaFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -322,6 +388,14 @@ object MediaFunctions {
 
   /** JPEG content stats struct (n_px, px_sum, px_poly). */
   def jpegPixelStats(payload: Column): Column = col(JpegPixelStatsExpr(ex(payload)))
+
+  /** deterministic progressive (SOF2) JPEG payload from an integer seed. */
+  def mediaEncodeJpegProg(seed: Column): Column =
+    col(MediaEncodeJpegProgExpr(ex(seed)))
+
+  /** progressive-JPEG content stats struct (n_px, px_sum, px_poly, px_chk). */
+  def jpegPixelStatsProg(payload: Column): Column =
+    col(JpegPixelStatsProgExpr(ex(payload)))
 
   /** WAV content stats struct (n_smp, smp_sum, smp_poly). */
   def wavSampleStats(payload: Column): Column = col(WavSampleStatsExpr(ex(payload)))
