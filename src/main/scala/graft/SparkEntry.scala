@@ -339,6 +339,40 @@ object SparkEntry {
         .orderBy("point_id")
     }),
 
+    "geo_waypoints" -> ((s, dir) => {
+      // geodesic line walking: n+1 equally-spaced waypoints between point
+      // pairs. The contract is analytic — waypoint k sits ON the geodesic
+      // (detour (d1+d2-s)/s = 0) at exactly k/n of the arc — so the oracle
+      // emits the contract values while Spark derives them from the real
+      // kernels (Karney line positions re-measured by the Karney inverse;
+      // the self-consistent error ~1e-15 is 6+ orders under the integer
+      // quantization boundaries, so the hash cannot flip on ulps).
+      val n = 8
+      val pairs = t(s, dir, "customer")
+        .where(col("c_custkey") % 75 === 3)
+        .select(col("c_custkey").as("pair_id"),
+          lonOf(col("c_custkey")).cast("double").as("lon1"),
+          latOf(col("c_custkey")).cast("double").as("lat1"),
+          lonOf(col("c_custkey") * 7 + 11).cast("double").as("lon2"),
+          latOf(col("c_custkey") * 3 + 5).cast("double").as("lat2"))
+      val w = pairs.withColumn("wp", GeoFunctions.geodesicWaypoints(
+          col("lon1"), col("lat1"), col("lon2"), col("lat2"), lit(n)))
+        .withColumn("k", explode(sequence(lit(0), lit(n))))
+        .withColumn("wlon", element_at(col("wp"), col("k") * 2 + 1))
+        .withColumn("wlat", element_at(col("wp"), col("k") * 2 + 2))
+      w.withColumn("d1", GeoFunctions.geodesicDistance(
+          col("lon1"), col("lat1"), col("wlon"), col("wlat")))
+        .withColumn("d2", GeoFunctions.geodesicDistance(
+          col("wlon"), col("wlat"), col("lon2"), col("lat2")))
+        .withColumn("s12", GeoFunctions.geodesicDistance(
+          col("lon1"), col("lat1"), col("lon2"), col("lat2")))
+        .select(col("pair_id"), col("k").cast("long").as("k"),
+          round(col("d1") * n / col("s12")).cast("long").as("spacing_idx"),
+          round((col("d1") + col("d2") - col("s12")) / col("s12") * 1e6)
+            .cast("long").as("detour_ppm"))
+        .orderBy("pair_id", "k")
+    }),
+
     "geo_tile_qa" -> ((s, dir) => {
       // tile QA metrics: web-mercator distortion factors per point. For the
       // spherical webmerc kernel the parallel scale is exactly sec(lat), so
@@ -1146,6 +1180,11 @@ object SparkEntry {
     "geo_s2_cells" -> OracleSql.geoS2Cells,
     "geo_gridshift" -> OracleSql.geoGridshift,
     "geo_range_partition" -> OracleSql.geoRangePartition,
+    "geo_waypoints" ->
+      """SELECT c_custkey AS pair_id, CAST(j AS BIGINT) AS k,
+         CAST(j AS BIGINT) AS spacing_idx, CAST(0 AS BIGINT) AS detour_ppm
+         FROM customer, range(0, 9) t(j)
+         WHERE c_custkey % 75 = 3 ORDER BY pair_id, k""",
     "geo_global_hex" -> OracleSql.geoGlobalHex,
     "geo_geoid" -> OracleSql.geoGeoid,
     "geo_geodesic_meridian" -> OracleSql.geoGeodesicMeridian,
