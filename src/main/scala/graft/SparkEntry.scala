@@ -971,6 +971,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "media_frames" -> ((s, dir) => {
+      // frame-sampling shape over video-like payloads: decode headers,
+      // filter to image kinds, explode one row per sampled frame with a
+      // byte-length-derived stride. The JPEG-header family has a constant
+      // 41-byte payload, so the stride arithmetic (min(maxFrames,
+      // floor(bytes/everyN)) = 4) and the contiguous frame_idx contract
+      // are exact in the oracle; lineage (doc_id, media_ref) preserved.
+      val media = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("media://"), col("doc_id")).as("media_ref"),
+        graft.spark.MediaFunctions.mediaEncode(col("doc_id")).as("payload"))
+        .where(col("doc_id") % 3 === 2)
+      val frames = graft.spark.MultimodalOps.sampleFrames(
+        graft.spark.MultimodalOps.decodeAndFeaturize(media))
+      frames.groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_frames"),
+          min(col("frame_idx")).cast("long").as("first_idx"),
+          max(col("frame_idx")).cast("long").as("last_idx"),
+          countDistinct(col("frame_idx")).as("n_distinct"),
+          countDistinct(col("media_ref")).as("n_refs"))
+        .orderBy("doc_id")
+    }),
+
     "media_samples" -> ((s, dir) => {
       // audio counterpart of media_pixels: real RIFF data-chunk walk +
       // little-endian PCM sample decode, verified per-sample against the
@@ -1265,6 +1287,11 @@ object SparkEntry {
     "media_pixels" -> OracleSql.mediaPixels,
     "media_jpeg" -> OracleSql.mediaJpeg,
     "media_jpeg_prog" -> OracleSql.mediaJpegProg,
+    "media_frames" ->
+      """SELECT doc_id, CAST(4 AS BIGINT) AS n_frames,
+         CAST(0 AS BIGINT) AS first_idx, CAST(3 AS BIGINT) AS last_idx,
+         CAST(4 AS BIGINT) AS n_distinct, CAST(1 AS BIGINT) AS n_refs
+         FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""",
     "media_samples" -> OracleSql.mediaSamples,
     // row identity across snapshot commit + compaction: the oracle computes
     // the per-bucket metrics from the SOURCE table; the Spark side reads
