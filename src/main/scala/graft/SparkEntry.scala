@@ -580,6 +580,33 @@ object SparkEntry {
       TrainingOps.embeddingDedupShared(emb.unionByName(pert), thresholdPpm = 900000L)
     }),
 
+    "text_decontam" -> ((s, dir) => {
+      // benchmark decontamination: 13-gram overlap against an eval set
+      // (deterministically derived: the leading 13-gram of every doc_id %
+      // 97 == 5 doc). The eval set broadcasts, corpus windows generate
+      // map-side — the canonical decontamination plan at 100 TB. Oracle
+      // re-derives windows and the join in SQL.
+      val d = t(s, dir, "documents")
+      val eval = TrainingOps.evalSnippets(d.where(col("doc_id") % 97 === 5))
+      TrainingOps.decontaminate(d, eval)
+        .orderBy("doc_id")
+    }),
+
+    "q_mixture" -> ((s, dir) => {
+      // domain-mixing: per-source keep rates ((k+1)*5% for srck) applied
+      // via the seeded integer hash — deterministic sampling the oracle
+      // replays exactly (HUGEINT wrap + signed pmod). Broadcast rates,
+      // map-side filter, no corpus shuffle.
+      val d = t(s, dir, "documents")
+      val rates = d.select(col("source")).distinct()
+        .withColumn("rate_ppm",
+          (substring(col("source"), 4, 10).cast("int") + 1) * 50000)
+      TrainingOps.sampleMixture(d, rates)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy("source")
+    }),
+
     "text_tokens" -> ((s, dir) => {
       // BPE-ish pre-tokenizer counts (letter runs / digit runs / marks)
       // next to whitespace tokens, per source
@@ -1189,6 +1216,41 @@ object SparkEntry {
          SELECT doc_id, chunk_idx, md5(chunk) AS chunk_md5,
            CAST(length(chunk) AS INT) AS chunk_len
          FROM chunked ORDER BY doc_id, chunk_idx""",
+
+    "text_decontam" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+           FROM documents),
+         ev AS (
+           SELECT DISTINCT array_to_string(t[1:13], ' ') AS gram
+           FROM toks WHERE doc_id % 97 = 5 AND len(t) >= 13),
+         pos AS (
+           SELECT doc_id, t, unnest(generate_series(1, len(t) - 12)) AS i
+           FROM toks WHERE len(t) >= 13),
+         win AS (
+           SELECT doc_id, array_to_string(t[i:i+12], ' ') AS gram FROM pos)
+         SELECT doc_id, count(*) AS n_hits
+         FROM win JOIN ev USING (gram)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_mixture" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+             (CAST(doc_id AS HUGEINT) * 6364136223846793005
+              + 1442695040888963407) % 18446744073709551616 AS hu
+           FROM documents),
+         sv AS (
+           SELECT doc_id, source,
+             CASE WHEN hu >= 9223372036854775808
+                  THEN hu - 18446744073709551616 ELSE hu END AS s
+           FROM h)
+         SELECT source, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM sv
+         WHERE ((s % 1000000) + 1000000) % 1000000 <
+           (CAST(substring(source, 4) AS INT) + 1) * 50000
+         GROUP BY source ORDER BY source""",
 
     "text_tokens" ->
       """SELECT source,

@@ -45,6 +45,13 @@ object TextKernels {
     out
   }
 
+  /** seeded uniform in [0, m): the LCG step with Java wrap semantics,
+    * then a sign-safe mod (mirrored by the oracle's HUGEINT emulation). */
+  def sampleHash(key: Long, m: Long): Long = {
+    val s = key * 6364136223846793005L + 1442695040888963407L
+    ((s % m) + m) % m
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -206,12 +213,33 @@ case class LangScoresExpr(prepared: Expression) extends MediaStaticCall {
 }
 
 /** Column API for the single-pass text expressions. */
+/** seeded sampling hash in [0, m): Java two's-complement LCG wrap +
+  * sign-safe mod — ANSI-mode Column arithmetic would raise on the
+  * intentional overflow, so the wrap lives in a codegen'd kernel. */
+case class SampleHashExpr(key: Expression, m: Expression) extends MediaStaticCall {
+  override def children: Seq[Expression] = Seq(key, m)
+  override def inputSpec: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = key.nullable || m.nullable
+  override def kernelObject: String = TextKernels.getClass.getName + ".MODULE$"
+  override def staticCall: String = "sampleHash"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null
+    else TextKernels.sampleHash(a(0).asInstanceOf[Long], a(1).asInstanceOf[Long])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1))
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
   private def col(e: Expression): Column = Bridge.column(e)
   private def ex(c: Column): Expression = Bridge.expression(c)
 
   def simhash64(words: Column): Column = col(SimHash64Expr(ex(words)))
+  def sampleHash(key: Column, m: Column): Column =
+    col(SampleHashExpr(ex(key), ex(m)))
   def simhashBucketShared(words: Column): Column = col(SimHashSharedExpr(ex(words)))
   def langScores(prepared: Column): Column = col(LangScoresExpr(ex(prepared)))
 }

@@ -32,6 +32,59 @@ object TrainingOps {
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
 
+  /** Benchmark decontamination: flag corpus docs sharing any `n`-token
+    * window with an eval-set snippet — the n-gram overlap rule web-scale
+    * training corpora are scrubbed with before benchmark evaluation.
+    * Tokens are the whitespace normalization the oracle mirrors
+    * (lower+trim, runs collapsed). Returns (doc_id, n_hits) for flagged
+    * docs.
+    *
+    * Scale path: the eval set is tiny next to the corpus, so it is
+    * BROADCAST and the corpus never shuffles — n-gram windows generate
+    * map-side (higher-order transform over the token array, inside
+    * codegen) and probe the broadcast hash relation; the only exchange is
+    * the final per-doc count. */
+  def decontaminate(docs: DataFrame, evalGrams: DataFrame, n: Int = 13,
+                    textCol: String = "text"): DataFrame = {
+    val toks = normTokens(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(grams).as("gram"))
+      .join(broadcast(evalGrams.select(col("gram")).distinct()), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** normalized whitespace tokens (identical to the oracle's
+    * string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))). */
+  def normTokens(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
+  /** leading-window eval snippets: the first `n` tokens of each doc in the
+    * eval subset (docs shorter than `n` tokens contribute nothing). */
+  def evalSnippets(evalDocs: DataFrame, n: Int = 13,
+                   textCol: String = "text"): DataFrame = {
+    val toks = normTokens(col(textCol))
+    evalDocs.select(toks.as("t"))
+      .where(size(col("t")) >= n)
+      .select(array_join(slice(col("t"), 1, n), " ").as("gram"))
+  }
+
+  /** Deterministic mixture sampling: keep each doc with its source's
+    * target rate (ppm) using a seeded integer hash of the doc key — the
+    * domain-mixing step of a training-data pipeline, reproducible across
+    * engines and re-runs (no RNG state, no sampling drift between
+    * attempts). The rates table broadcasts; the corpus never shuffles —
+    * the filter is a map-side codegen'd predicate. */
+  def sampleMixture(docs: DataFrame, rates: DataFrame,
+                    keyCol: String = "doc_id",
+                    sourceCol: String = "source"): DataFrame = {
+    val h = TextFunctions.sampleHash(col(keyCol), lit(1000000L))
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .where(h < col("rate_ppm"))
+  }
+
   /** quality metrics: length, token count, punctuation/stopword ratios. */
   def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -113,6 +113,14 @@ object PlanCheck {
         (_.contains("ShuffledHashJoin")),
       "salt_id participates in the join keys" -> (_.contains("salt_id")),
       "no cross product" -> (p => !p.contains("CartesianProduct")))
+    check("text_decontam")(q("text_decontam"))(
+      "eval set broadcasts (corpus never shuffles for the probe)" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cross product" -> (p => !p.contains("CartesianProduct")),
+      "window explode stays in the plan" -> (_.contains("Generate")))
+    check("q_mixture")(q("q_mixture"))(
+      "rates broadcast + map-side filter" -> (_.contains("BroadcastHashJoin")),
+      "no cross product" -> (p => !p.contains("CartesianProduct")))
     check("dedup_embedding")(q("dedup_embedding"))(
       "bucket equi-join" -> (p => p.contains("Join")),
       "no cross product" -> (p => !p.contains("CartesianProduct")))
