@@ -351,8 +351,10 @@ object OracleSql {
     * invariants (sorted-within, disjoint ranges) are computed Spark-side
     * from the actual partition layout; this oracle pins them at zero and
     * recomputes rows / distinct / exact min and max of the key. */
-  def geoRangePartition: String =
-    s"""WITH RECURSIVE $ptsCte,
+  /** CTE chain computing cells(point_id, cell) = the full s2 id at `level`
+    * for the shared customer point set — reused by every oracle that needs
+    * the real cell key. Must follow a WITH RECURSIVE. */
+  private def s2CellsCte(level: Int): String = s"""$ptsCte,
     xyz AS (
       SELECT point_id,
         cos(lat/180.0*pi())*cos(lon/180.0*pi()) AS x,
@@ -400,8 +402,30 @@ object OracleSql {
       FROM hseq WHERE k = -1),
     cells AS (
       SELECT point_id,
-        (id & -(1::BIGINT << 40)) | (1::BIGINT << 40) AS cell
-      FROM leaf)
+        (id & -(1::BIGINT << ${2 * (30 - level)})) |
+          (1::BIGINT << ${2 * (30 - level)}) AS cell
+      FROM leaf)"""
+
+  /** q_stream_window: the closed windows after the four-batch replay —
+    * customer cells in the two 5-minute windows (batch A), the late
+    * re-sends dropped (batch C contributes nothing), and the two advancer
+    * windows closed by later watermarks. */
+  def streamWindow: String =
+    s"""WITH RECURSIVE ${s2CellsCte(10)},
+    ev AS (
+      SELECT point_id, cell,
+        CASE WHEN point_id % 10 < 5 THEN 1767225600 ELSE 1767225900 END AS w
+      FROM cells)
+    SELECT CAST(w AS BIGINT) AS win_start, cell, count(*) AS n
+    FROM ev GROUP BY w, cell
+    UNION ALL
+    SELECT CAST(1767229200 AS BIGINT), CAST(-999 AS BIGINT), CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT CAST(1767232800 AS BIGINT), CAST(-999 AS BIGINT), CAST(1 AS BIGINT)
+    ORDER BY win_start, cell"""
+
+  def geoRangePartition: String =
+    s"""WITH RECURSIVE ${s2CellsCte(10)}
     SELECT CAST(0 AS BIGINT) AS sort_violations,
       CAST(0 AS BIGINT) AS range_overlaps,
       count(*) AS n_rows, count(DISTINCT cell) AS n_cells,
@@ -1166,6 +1190,35 @@ object OracleSql {
           CAST(s3 // 72057594037927936 AS BIGINT) % 13 - 6 AS a2
         FROM gen WHERE k < nb) t)
     SELECT doc_id, w * h AS n_px, px_sum, px_poly, px_chk
+    FROM gen WHERE k = nb
+    ORDER BY doc_id"""
+
+  /** media_resize mirror: after the aligned factor-2 area average every
+    * 8x8 flat block becomes a 4x4 flat block of the same value in the
+    * (w/2)-wide raster; fold the same statistics over that plane. */
+  def mediaResize: String =
+    s"""WITH RECURSIVE jpg AS (
+      SELECT doc_id,
+        CAST(8 * (1 + doc_id % 6) AS BIGINT) AS w,
+        CAST(8 * (1 + (doc_id*5) % 6) AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 = 2),
+    gen AS (
+      SELECT doc_id, w, h, (w//8)*(h//8) AS nb, CAST(0 AS BIGINT) AS k,
+             CAST(doc_id AS HUGEINT) AS s,
+             CAST(0 AS BIGINT) AS px_sum, CAST(0 AS BIGINT) AS px_poly
+      FROM jpg
+      UNION ALL
+      SELECT doc_id, w, h, nb, k + 1, s2,
+        px_sum + 16 * v,
+        (px_poly + v * (16 * ((k // (w//8)) * 4 * (w//2) + (k % (w//8)) * 4 + 1)
+                        + 24 * (w//2) + 24)) % 1000000007
+      FROM (
+        SELECT doc_id, w, h, nb, k, px_sum, px_poly,
+          (s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616 AS s2,
+          CAST((s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+               // 72057594037927936 AS BIGINT) % 193 - 96 + 128 AS v
+        FROM gen WHERE k < nb) t)
+    SELECT doc_id, (w//2) * (h//2) AS n_px, px_sum, px_poly
     FROM gen WHERE k = nb
     ORDER BY doc_id"""
 

@@ -760,6 +760,46 @@ object SparkEntry {
         .orderBy("fp")
     }),
 
+    "q_stream_window" -> ((s, dir) => {
+      // watermarked tumbling-window per-cell counts, replayed over bounded
+      // batches with an explicit LATE-DATA proof:
+      //   batch A (t=0..9min):  customer cells, two 5-min windows W0/W1
+      //   batch B (advancer +1h): watermark -> +50min, W0+W1 close + emit
+      //   batch C: every W0 event AGAIN at its original time (now beyond
+      //            the watermark -> dropped; a wrong impl would double W0
+      //            or re-emit it) + advancer +2h
+      //   batch D (advancer +3h): closes the +1h and +2h advancer windows;
+      //            its own window stays open and must NOT appear
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val pts = custPoints(s, dir)
+        .withColumn("cell", GeoFunctions.s2Cell(col("lon"), col("lat"), lit(10)))
+        .select(col("point_id"), col("cell")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val base = 1767225600000L // 2026-01-01T00:00:00Z
+      def ev(pid: Long, cell: Long) =
+        (cell, new java.sql.Timestamp(base + (pid % 10) * 60000L))
+      def adv(offMs: Long) = (-999L, new java.sql.Timestamp(base + offMs))
+      val in = MemoryStream[(Long, java.sql.Timestamp)]
+      val sinkName = "graft_stream_window_" + streamDedupRuns.incrementAndGet()
+      val q = graft.spark.StreamingOps.windowedCellCounts(
+          in.toDF.toDF("cell", "ts"), "ts")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        in.addData(pts.map((ev _).tupled)); q.processAllAvailable()
+        in.addData(Seq(adv(3600L * 1000))); q.processAllAvailable()
+        in.addData(pts.filter(_._1 % 10 < 5).map((ev _).tupled) :+
+          adv(7200L * 1000)); q.processAllAvailable()
+        in.addData(Seq(adv(10800L * 1000))); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sinkName)
+        .select((col("window.start").cast("long")).as("win_start"),
+          col("cell"), col("n"))
+        .orderBy("win_start", "cell")
+    }),
+
     "geo_trans_bounds" -> ((s, dir) => {
       // per-row tile-extent reprojection (partition-pruning primitive):
       // webmerc is monotone in both axes, so the densified-edge envelope is
@@ -1020,6 +1060,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "media_resize" -> ((s, dir) => {
+      // content-deep image resize: decode the baseline JPEG, area-average
+      // downscale by 2 (the standard anti-aliased box filter, fractional
+      // edge weights in general; here the windows align with the flat DC
+      // blocks so every resized pixel is exactly the block value), fold
+      // per-pixel statistics over the RESIZED plane — the oracle
+      // reconstructs it block-by-block in closed form
+      import graft.spark.MediaFunctions._
+      t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 3 === 2)
+        .select(col("doc_id"),
+          jpegResizeStats(mediaEncodeJpeg(col("doc_id")), lit(2L)).as("st"))
+        .select(col("doc_id"), col("st.n_px").as("n_px"),
+          col("st.px_sum").as("px_sum"), col("st.px_poly").as("px_poly"))
+        .orderBy("doc_id")
+    }),
+
     "media_samples" -> ((s, dir) => {
       // audio counterpart of media_pixels: real RIFF data-chunk walk +
       // little-endian PCM sample decode, verified per-sample against the
@@ -1264,6 +1321,7 @@ object SparkEntry {
     "geo_s2_cells" -> OracleSql.geoS2Cells,
     "geo_gridshift" -> OracleSql.geoGridshift,
     "geo_range_partition" -> OracleSql.geoRangePartition,
+    "q_stream_window" -> OracleSql.streamWindow,
     "geo_waypoints" ->
       """SELECT c_custkey AS pair_id, CAST(j AS BIGINT) AS k,
          CAST(j AS BIGINT) AS spacing_idx, CAST(0 AS BIGINT) AS detour_ppm
@@ -1349,6 +1407,7 @@ object SparkEntry {
     "media_pixels" -> OracleSql.mediaPixels,
     "media_jpeg" -> OracleSql.mediaJpeg,
     "media_jpeg_prog" -> OracleSql.mediaJpegProg,
+    "media_resize" -> OracleSql.mediaResize,
     "media_frames" ->
       """SELECT doc_id, CAST(4 AS BIGINT) AS n_frames,
          CAST(0 AS BIGINT) AS first_idx, CAST(3 AS BIGINT) AS last_idx,

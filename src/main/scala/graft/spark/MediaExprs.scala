@@ -133,6 +133,71 @@ object MediaKernels {
     }
   }
 
+  /** Area-average (box-filter) resize of a grayscale plane: each output
+    * pixel integrates its exact source rectangle with fractional edge
+    * weights — the standard downscale kernel (anti-aliased, unlike
+    * nearest-neighbor), correct for any scale ratio. */
+  def resizeGray(px: Array[Byte], w: Int, h: Int, w2: Int, h2: Int): Array[Byte] = {
+    val out = new Array[Byte](w2 * h2)
+    val sx = w.toDouble / w2; val sy = h.toDouble / h2
+    var oy = 0
+    while (oy < h2) {
+      val y0 = oy * sy; val y1 = (oy + 1) * sy
+      var ox = 0
+      while (ox < w2) {
+        val x0 = ox * sx; val x1 = (ox + 1) * sx
+        var sum = 0.0; var area = 0.0
+        var yy = math.floor(y0).toInt
+        while (yy < y1) {
+          val wy = math.min(y1, yy + 1.0) - math.max(y0, yy.toDouble)
+          if (wy > 0 && yy < h) {
+            var xx = math.floor(x0).toInt
+            while (xx < x1) {
+              val wx = math.min(x1, xx + 1.0) - math.max(x0, xx.toDouble)
+              if (wx > 0 && xx < w) {
+                sum += (px(yy * w + xx) & 0xff) * wx * wy
+                area += wx * wy
+              }
+              xx += 1
+            }
+          }
+          yy += 1
+        }
+        val v = math.round(sum / area).toInt
+        out(oy * w2 + ox) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** content-deep resize check: decode a grayscale JPEG, area-average
+    * downscale by `factor`, fold (n_px, px_sum, px_poly) over the resized
+    * plane. Null when the payload doesn't decode to a grayscale plane. */
+  def jpegResizeStats(payload: Array[Byte], factor: Long): InternalRow = {
+    val info = MediaCodecs.decodeJpeg(payload) match {
+      case Some(i) if i.width > 0 && i.height > 0 => i
+      case _ => return null
+    }
+    MediaCodecs.decodeJpegPixels(payload) match {
+      case Some(px) if px.length == info.width * info.height =>
+        val f = factor.toInt
+        val w2 = info.width / f; val h2 = info.height / f
+        if (w2 == 0 || h2 == 0) return null
+        val r = resizeGray(px, info.width, info.height, w2, h2)
+        var sum = 0L; var poly = 0L; var i = 0
+        while (i < r.length) {
+          val b = r(i) & 0xff
+          sum += b
+          poly = (poly + b.toLong * (i + 1)) % 1000000007L
+          i += 1
+        }
+        new GenericInternalRow(Array[Any](r.length.toLong, sum, poly))
+      case _ => null
+    }
+  }
+
   /** full-content WAV check: RIFF data-chunk walk + LE int16 decode, then
     * fold (n_smp, smp_sum, smp_poly); null when the payload doesn't
     * decode. */
@@ -361,6 +426,25 @@ case class JpegPixelStatsProgExpr(payload: Expression) extends MediaStaticCall {
     copy(c(0))
 }
 
+/** content-deep resize stats: decode + area-average downscale + fold */
+case class JpegResizeStatsExpr(payload: Expression, factor: Expression)
+    extends MediaStaticCall {
+  override def children: Seq[Expression] = Seq(payload, factor)
+  override def inputSpec: Seq[DataType] = Seq(BinaryType, LongType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_px", LongType), StructField("px_sum", LongType),
+    StructField("px_poly", LongType)))
+  override def staticCall: String = "jpegResizeStats"
+  override def eval(input: InternalRow): Any = {
+    val a = evalArgs(input)
+    if (a == null) null
+    else MediaKernels.jpegResizeStats(a(0).asInstanceOf[Array[Byte]],
+      a(1).asInstanceOf[Long])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1))
+}
+
 /** Column API for the media expressions. */
 object MediaFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -388,6 +472,10 @@ object MediaFunctions {
 
   /** JPEG content stats struct (n_px, px_sum, px_poly). */
   def jpegPixelStats(payload: Column): Column = col(JpegPixelStatsExpr(ex(payload)))
+
+  /** resized-plane content stats (area-average downscale by factor). */
+  def jpegResizeStats(payload: Column, factor: Column): Column =
+    col(JpegResizeStatsExpr(ex(payload), ex(factor)))
 
   /** deterministic progressive (SOF2) JPEG payload from an integer seed. */
   def mediaEncodeJpegProg(seed: Column): Column =
