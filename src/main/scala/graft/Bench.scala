@@ -129,6 +129,11 @@ object Bench {
     // headline = the SCALE paths (LSH-bucketed ANN, ring-join kNN, per-row
     // UTM dispatch); the crossJoin baselines (ann_brute, geo_knn) stay
     // oracle-only — they are correctness anchors, not 100-TB plans
+    // round-5 additions (kept identifiable so cross-round totals stay
+    // comparable: "total" spans the legacy 22-query set, "total_r5" adds
+    // the round-5 operators on top)
+    val round5 = Seq("geo_global_hex", "geo_range_partition", "text_decontam",
+      "q_mixture", "media_resize", "media_jpeg_prog")
     val headline =
       if (scalingOnly) Seq.empty[String]
       else Seq("q1_agg", "q3_join", "q_window", "geo_webmerc",
@@ -136,7 +141,7 @@ object Bench {
         "geo_utm_native", "geo_hexbin", "geo_hot_salted", "docs_spans",
         "dedup_exact", "dedup_minhash", "text_metrics", "text_chunks",
         "q_sessions", "pii_scrub", "ann_lsh", "ann_index", "media_features",
-        "geo_dispatch")
+        "geo_dispatch") ++ round5
     def force(df: org.apache.spark.sql.DataFrame): Long = {
       // hash-of-all-columns aggregate so column pruning can't skip work
       df.select(count(lit(1)), sum(pmod(xxhash64(struct(df.columns.map(col): _*)), lit(1000000007L))))
@@ -246,14 +251,17 @@ object Bench {
     val loadEnd = loadavg()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    // total = steady-state seconds; the one-time ann_index build leg is
-    // reported in queries but not folded into the total
-    val total = results.filterNot(_._1 == "ann_index_build").map(_._2).sum
+    // total = steady-state seconds of the legacy 22-query set (cross-round
+    // comparable); total_r5 adds the round-5 operators. The one-time
+    // ann_index build leg is reported in queries but folded into neither.
+    val steady = results.filterNot(_._1 == "ann_index_build")
+    val total = steady.filterNot(p => round5.contains(p._1)).map(_._2).sum
+    val totalR5 = steady.map(_._2).sum
     val suspectField = if (scalingSuspect) ",\"suspect\":true" else ""
     val hSuspectField = if (headlineSuspect) ",\"suspect\":true" else ""
     val annField = if (annInversionSuspect) ",\"ann_pair_suspect\":true" else ""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$annField,"sf":"$sfDir","northstar":{"docs":$nsDocs,"rows":$nRows,"sec":$nsSecEff%.3f,"docs_per_sec":$rowsPerSecEff%.0f$hSuspectField},"scaling":{"localN_docs_per_sec":$thr8%.0f,"local4N_docs_per_sec":$thr32%.0f,"efficiency":$efficiency%.3f$suspectField},"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_with_r5_ops":$totalR5%.3f,"queries":$qs$annField,"sf":"$sfDir","northstar":{"docs":$nsDocs,"rows":$nRows,"sec":$nsSecEff%.3f,"docs_per_sec":$rowsPerSecEff%.0f$hSuspectField},"scaling":{"localN_docs_per_sec":$thr8%.0f,"local4N_docs_per_sec":$thr32%.0f,"efficiency":$efficiency%.3f$suspectField},"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
     println(json)
     if (scalingOnly) return
     // clean artifact for machine parsing (sbt prefixes stdout lines, which

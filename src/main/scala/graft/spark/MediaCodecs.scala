@@ -388,6 +388,52 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** 8x8 IDCT basis with the cu normalization folded in:
+    * COS(x)(u) = cu * cos((2x+1) u pi / 16). */
+  private val IDCT_COS: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    (if (u == 0) 0.70710678118654752440 else 1.0) *
+      math.cos((2 * x + 1) * u * math.Pi / 16)
+  }
+
+  /** Separable 2-D inverse DCT (T.81 A.3.3): rows then columns over the
+    * precomputed basis — 2*8 multiplies per output sample instead of the
+    * direct form's 64. `tmp` holds dequantized coefficients in natural
+    * order (v*8+u); `work` is a caller-provided 64-slot scratch; output
+    * samples (level-shifted, clamped) land in `plane` at (ox, oy). */
+  private def idct8x8Into(tmp: Array[Double], work: Array[Double],
+                          plane: Array[Byte], pw: Int, ox: Int, oy: Int): Unit = {
+    // pass 1: for each row v, resolve u -> x:  work(v*8+x) = sum_u C(x,u) F(v,u)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        val cx = IDCT_COS(x)
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += cx(u) * tmp(v * 8 + u); u += 1 }
+        work(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    // pass 2: resolve v -> y, scale, level shift, clamp
+    var y = 0
+    while (y < 8) {
+      val cy = IDCT_COS(y)
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var vv = 0
+        while (vv < 8) { s += cy(vv) * work(vv * 8 + x); vv += 1 }
+        val px = math.round(s / 4 + 128).toInt
+        plane((oy + y) * pw + ox + x) =
+          (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
   /** zigzag scan order (T.81 figure A.6 — public spec constant). */
   private val zigzag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -553,35 +599,11 @@ object MediaCodecs {
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
 
+    val work = new Array[Double](64)
     def idctInto(plane: Array[Byte], pw: Int, ox: Int, oy: Int, q: Array[Int]): Unit = {
-      // separable 2-D inverse DCT (T.81 A.3.3), double precision
       var i = 0
       while (i < 64) { tmp(i) = coef(i).toDouble * q(i); i += 1 }
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          var sum = 0.0
-          var u = 0
-          while (u < 8) {
-            var v = 0
-            val cx = math.cos((2 * x + 1) * u * math.Pi / 16)
-            while (v < 8) {
-              val cu = if (u == 0) 0.70710678118654752440 else 1.0
-              val cv = if (v == 0) 0.70710678118654752440 else 1.0
-              sum += cu * cv * tmp(v * 8 + u) * cx *
-                math.cos((2 * y + 1) * v * math.Pi / 16)
-              v += 1
-            }
-            u += 1
-          }
-          val s = math.round(sum / 4 + 128).toInt
-          plane((oy + y) * pw + ox + x) =
-            (if (s < 0) 0 else if (s > 255) 255 else s).toByte
-          x += 1
-        }
-        y += 1
-      }
+      idct8x8Into(tmp, work, plane, pw, ox, oy)
     }
 
     var my = 0
@@ -1190,8 +1212,8 @@ object MediaCodecs {
     val planeW = (0 until nComp).map(c => bw(c) * 8).toArray
     val planes = (0 until nComp).map(c =>
       new Array[Byte](bw(c) * 8 * bhh(c) * 8)).toArray
-    val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
+    val work = new Array[Double](64)
     var c = 0
     while (c < nComp) {
       val q = quant(compQ(c))
@@ -1199,34 +1221,10 @@ object MediaCodecs {
       while (by < bhh(c)) {
         var bx = 0
         while (bx < bw(c)) {
-          System.arraycopy(coefs(c), (by * bw(c) + bx) * 64, coef, 0, 64)
+          val base = (by * bw(c) + bx) * 64
           var i = 0
-          while (i < 64) { tmp(i) = coef(i).toDouble * q(i); i += 1 }
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              var sum = 0.0
-              var u = 0
-              while (u < 8) {
-                var v = 0
-                val cx = math.cos((2 * x + 1) * u * math.Pi / 16)
-                while (v < 8) {
-                  val cu = if (u == 0) 0.70710678118654752440 else 1.0
-                  val cv = if (v == 0) 0.70710678118654752440 else 1.0
-                  sum += cu * cv * tmp(v * 8 + u) * cx *
-                    math.cos((2 * y + 1) * v * math.Pi / 16)
-                  v += 1
-                }
-                u += 1
-              }
-              val sVal = math.round(sum / 4 + 128).toInt
-              planes(c)((by * 8 + y) * planeW(c) + bx * 8 + x) =
-                (if (sVal < 0) 0 else if (sVal > 255) 255 else sVal).toByte
-              x += 1
-            }
-            y += 1
-          }
+          while (i < 64) { tmp(i) = coefs(c)(base + i).toDouble * q(i); i += 1 }
+          idct8x8Into(tmp, work, planes(c), planeW(c), bx * 8, by * 8)
           bx += 1
         }
         by += 1

@@ -46,12 +46,17 @@ object TrainingOps {
     * the final per-doc count. */
   def decontaminate(docs: DataFrame, evalGrams: DataFrame, n: Int = 13,
                     textCol: String = "text"): DataFrame = {
-    val toks = normTokens(col(textCol))
+    // hoist the token split into a real column BEFORE the higher-order
+    // transform: a split referenced inside the lambda re-evaluates per
+    // window (O(tokens^2) re-tokenization — measured 4.8s -> sub-second on
+    // the sf0.1 corpus)
+    val toks = col("__toks")
     val grams = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(grams).as("gram"))
+    docs.withColumn("__toks", normTokens(col(textCol)))
+      .select(col("doc_id"), explode(grams).as("gram"))
       .join(broadcast(evalGrams.select(col("gram")).distinct()), "gram")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
   }
