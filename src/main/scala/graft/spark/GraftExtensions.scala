@@ -141,6 +141,10 @@ object GraftExtensions {
           Literal(TrainingOps.PiiPhoneRe), Literal("<PHONE>"))
         RegExpReplace(phone, Literal(TrainingOps.PiiIdRe), Literal("<NUM>"))
       }),
+    ("graft_sample_hash",
+      info("graft_sample_hash",
+        "graft_sample_hash(key, m) - seeded deterministic uniform in [0, m) (mixture-sampling hash)"),
+      (c: Seq[Expression]) => SampleHashExpr(c(0), c(1))),
     ("graft_proj_factors",
       info("graft_proj_factors",
         "graft_proj_factors(lon, lat, 'proj-string') - struct(h,k,s,omega,conv)"),

@@ -96,6 +96,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert((r.getInt(0), r.getInt(1)) == (want.getInt(0), want.getInt(1)))
   }
 
+  test("graft_sample_hash in SQL matches the kernel and stays in [0, m)") {
+    val rows = spark.sql(
+      "SELECT id, graft_sample_hash(id, 1000000L) AS h FROM range(0, 500)")
+      .collect()
+    rows.foreach { r =>
+      val want = TextKernels.sampleHash(r.getLong(0), 1000000L)
+      assert(r.getLong(1) == want && r.getLong(1) >= 0 && r.getLong(1) < 1000000L)
+    }
+  }
+
   test("graft_geodesic_waypoints and graft_trans_bounds in SQL") {
     val w = spark.sql(
       "SELECT graft_geodesic_waypoints(2D, 1D, 100D, 60D, 4) AS wps").head()
