@@ -523,6 +523,7 @@ object MediaCodecs {
       val marker = bytes(pos + 1) & 0xff
       val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
       if (len < 2) return None
+      if (pos + 2 + len > bytes.length) return None // truncated segment
       marker match {
         case 0xDB => // DQT
           var p = pos + 4
@@ -951,6 +952,7 @@ object MediaCodecs {
         if (pos + 4 > bytes.length) return None
         val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
         if (len < 2) return None
+        if (pos + 2 + len > bytes.length) return None // truncated segment
         marker match {
           case 0xDB =>
             var p = pos + 4
@@ -1283,6 +1285,7 @@ object MediaCodecs {
         marker != 0xC4 && marker != 0xC8 && marker != 0xCC
       val len = bb.getShort(pos + 2) & 0xffff
       if (len < 2) return None // marker length includes itself: never loop
+      if (pos + 2 + len > bytes.length) return None // truncated segment
       if (isSof) {
         if (pos + 10 > bytes.length) return None
         val height = bb.getShort(pos + 5) & 0xffff
